@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Benchmark harness — the driver runs this per-round (BENCH_r{N}.json).
+
+Runs the headline catalog queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is fully materialized via the `noop` sink (forces the whole plan,
+no driver collect, no output I/O skew) after a warm-up action has primed the
+JVM/codegen caches.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from mric_bak_etl_spark.catalog import all_specs  # noqa: E402
+from mric_bak_etl_spark.session import get_spark  # noqa: E402
+
+# Headline set: the flagship + one representative per operator family.
+# Extended as families land (streaming, llm).
+HEADLINE = [
+    "a1_pricing_summary",   # scan + filter + multi-measure hash agg
+    "a4_rollup",            # grouping sets / Expand
+    "j1_inner_equi",        # shuffle join + agg
+    "j2_broadcast_dims",    # broadcast snowflake join
+    "j6_asof",              # as-of via union+window carry-forward
+    "w1_ranking",           # top-N per group window
+    "w3_frames",            # running/moving frames
+    "o2_topk",              # TakeOrderedAndProject
+    "u2b_except_all",       # multiset set-op
+    "f5_arrays",            # higher-order array expressions
+]
+
+
+def materialize(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    match = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(match.group(1).rstrip(".")) if match else None
+
+    spark = get_spark("mric-bak-etl-spark-bench")
+    specs = all_specs()
+    names = [n for n in HEADLINE if n in specs]
+
+    # Warm-up: JVM JIT, codegen cache, parquet footer reads.
+    materialize(specs[names[0]].builder(spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name in names:
+        start = time.perf_counter()
+        materialize(specs[name].builder(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,312 @@
+"""Scalar function families (SURVEY.md §2B F1-F7) + SQL entry-point parity (Q1).
+
+Reference lineage: the reference's entire expression surface is string
+``split`` / ``Substring`` / ``Contains`` on blob names
+(`src/bak_unload.ps1:29-35`) — covered by F1; F2-F7 are the standard
+function families any downstream relational stage needs.
+
+Scale notes (100 TB): every expression here is a built-in Catalyst
+expression — JVM-side, whole-stage-codegen'd, null-safe, no Python
+round-trip. That is the point of this module: the function surface stays on
+the fast path; Python appears nowhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from mric_bak_etl_spark.catalog import register
+from mric_bak_etl_spark.tables import load_table, register_views
+
+
+@register(
+    "f1_strings",
+    oracle="""
+    SELECT doc_id,
+           upper(lang)                                   AS lang_up,
+           lower(source)                                 AS source_low,
+           CAST(length(text) AS BIGINT)                  AS text_len,
+           substring(text, 1, 12)                        AS head12,
+           CAST(contains(text, 'data') AS BOOLEAN)       AS has_data,
+           concat(lang, ':', source)                     AS lang_source,
+           trim(concat(' ', source, ' '))                AS trimmed,
+           string_split(text, ' ')[1]                    AS first_word,
+           regexp_extract(text, '([a-z]+)', 1)           AS first_alpha_run,
+           regexp_replace(text, '\\s+', '_', 'g')        AS squashed
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="F1: string family — split/substring/contains (the reference's "
+    "expression surface, src/bak_unload.ps1:29-35) plus concat/case/trim/"
+    "regexp; all codegen'd Catalyst expressions.",
+    tags=("functions",),
+)
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            F.upper("lang").alias("lang_up"),
+            F.lower("source").alias("source_low"),
+            F.length("text").cast("bigint").alias("text_len"),
+            F.substring("text", 1, 12).alias("head12"),
+            F.col("text").contains("data").alias("has_data"),
+            F.concat_ws(":", "lang", "source").alias("lang_source"),
+            F.trim(F.concat(F.lit(" "), F.col("source"), F.lit(" "))).alias("trimmed"),
+            F.split(F.col("text"), " ").getItem(0).alias("first_word"),
+            F.regexp_extract("text", r"([a-z]+)", 1).alias("first_alpha_run"),
+            F.regexp_replace("text", r"\s+", "_").alias("squashed"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "f2_datetime",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INTEGER)      AS order_year,
+           CAST(month(o_orderdate) AS INTEGER)     AS order_month,
+           CAST(day(o_orderdate) AS INTEGER)       AS order_day,
+           date_trunc('month', o_orderdate)        AS month_start,
+           CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_date,
+           CAST(date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS BIGINT)
+                                                   AS days_since_epoch_start,
+           CAST(epoch(o_orderdate) AS BIGINT)      AS unix_ts
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+    doc="F2: date/time family — year/month/day extraction, date_trunc, "
+    "datediff, to_date, unix epoch; session timezone pinned to UTC so "
+    "epoch values match DuckDB's naive timestamps.",
+    tags=("functions",),
+)
+def datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_orderkey",
+            F.year("o_orderdate").alias("order_year"),
+            F.month("o_orderdate").alias("order_month"),
+            F.dayofmonth("o_orderdate").alias("order_day"),
+            F.date_trunc("month", "o_orderdate").alias("month_start"),
+            # Stringified: DATE round-trips differently through pandas on the
+            # two engines (date objects vs datetime64), breaking value hashes.
+            F.to_date("o_orderdate").cast("string").alias("order_date"),
+            F.datediff(
+                F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp_ntz")
+            ).cast("bigint").alias("days_since_epoch_start"),
+            F.unix_timestamp(F.col("o_orderdate").cast("timestamp")).alias("unix_ts"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "f3_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice, 1)                       AS price_r1,
+           round(abs(l_discount - 0.05), 4)                AS disc_dev,
+           CAST(ceil(l_quantity) AS BIGINT)                AS qty_ceil,
+           CAST(floor(l_quantity) AS BIGINT)               AS qty_floor,
+           round(pow(1 + l_tax, 2), 6)                     AS tax_sq,
+           round(sqrt(l_extendedprice), 6)                 AS price_sqrt,
+           CAST(((l_orderkey % 7) + 7) % 7 AS BIGINT)      AS key_pmod7
+    FROM lineitem
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    doc="F3: math family — round/abs/ceil/floor/pow/sqrt/pmod (pmod spelled "
+    "((x%n)+n)%n in the oracle; DuckDB lacks pmod).",
+    tags=("functions",),
+)
+def math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round("l_extendedprice", 1).alias("price_r1"),
+            F.round(F.abs(F.col("l_discount") - 0.05), 4).alias("disc_dev"),
+            F.ceil("l_quantity").alias("qty_ceil"),
+            F.floor("l_quantity").alias("qty_floor"),
+            F.round(F.pow(1 + F.col("l_tax"), 2), 6).alias("tax_sq"),
+            F.round(F.sqrt("l_extendedprice"), 6).alias("price_sqrt"),
+            F.pmod(F.col("l_orderkey"), F.lit(7)).cast("bigint").alias("key_pmod7"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+@register(
+    "f4_conditional",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice >= 250000 THEN 'high'
+                WHEN o_totalprice >= 100000 THEN 'mid'
+                ELSE 'low' END                              AS price_band,
+           coalesce(nullif(o_orderstatus, 'O'), 'open')     AS status_or_open,
+           CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN TRUE ELSE FALSE END
+                                                            AS is_urgent
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+    doc="F4: conditional family — CASE/when-otherwise, coalesce, nullif, IN.",
+    tags=("functions",),
+)
+def conditional_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_orderkey",
+            F.when(F.col("o_totalprice") >= 250000, "high")
+            .when(F.col("o_totalprice") >= 100000, "mid")
+            .otherwise("low")
+            .alias("price_band"),
+            F.coalesce(F.nullif("o_orderstatus", F.lit("O")), F.lit("open")).alias(
+                "status_or_open"
+            ),
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").alias("is_urgent"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "f5_arrays",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS INTEGER)                       AS dim,
+           CAST(embedding[1] AS DOUBLE)                          AS first_elem,
+           round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 4)
+                                                                 AS vec_sum,
+           round(list_max(list_transform(embedding, x -> CAST(x AS DOUBLE))), 4)
+                                                                 AS vec_max,
+           CAST(length(list_filter(embedding, x -> x > 0)) AS INTEGER)
+                                                                 AS n_positive
+    FROM embeddings
+    ORDER BY vec_id
+    """,
+    doc="F5: array family over array<float> embeddings — size, element "
+    "access, fold (aggregate), element-wise transform, filter; all "
+    "higher-order Catalyst expressions, no UDF.",
+    tags=("functions", "arrays"),
+)
+def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return (
+        e.select(
+            "vec_id",
+            F.size("embedding").alias("dim"),
+            F.col("embedding").getItem(0).cast("double").alias("first_elem"),
+            F.round(
+                F.aggregate(as_double, F.lit(0.0), lambda acc, x: acc + x), 4
+            ).alias("vec_sum"),
+            F.round(F.array_max(as_double), 4).alias("vec_max"),
+            F.size(F.filter(F.col("embedding"), lambda x: x > 0)).alias("n_positive"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+@register(
+    "f6_map_struct",
+    oracle="""
+    SELECT event_id,
+           'k'                                              AS first_key,
+           CAST(json_extract(props, '$.k') AS INTEGER)      AS k_value,
+           event_type                                       AS s_type,
+           round(value, 4)                                  AS s_value
+    FROM events
+    ORDER BY event_id
+    """,
+    doc="F6: map/struct — build map from parsed JSON, read via map_keys/"
+    "element_at; pack/unpack a struct. Oracle computes the same scalars "
+    "straight from JSON (results match; construction path is the point).",
+    tags=("functions",),
+)
+def map_struct_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k_val = F.get_json_object("props", "$.k").cast("int")
+    with_map = ev.select(
+        "event_id",
+        F.create_map(F.lit("k"), k_val).alias("m"),
+        F.struct(F.col("event_type").alias("t"), F.col("value").alias("v")).alias("s"),
+    )
+    return (
+        with_map.select(
+            "event_id",
+            F.map_keys("m").getItem(0).alias("first_key"),
+            F.element_at("m", "k").alias("k_value"),
+            F.col("s.t").alias("s_type"),
+            F.round(F.col("s.v"), 4).alias("s_value"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "f7_json",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS INTEGER)  AS k_get,
+           CAST(json_extract(props, '$.k') AS INTEGER)  AS k_from_json,
+           CAST(json_extract(props, '$.missing') AS INTEGER) AS missing_field
+    FROM events
+    ORDER BY event_id
+    """,
+    doc="F7: JSON family — get_json_object path extraction and from_json "
+    "with an explicit schema (schema_of_json used in tests); missing "
+    "paths yield NULL on both engines.",
+    tags=("functions", "json"),
+)
+def json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    parsed = F.from_json(
+        "props", T.StructType([T.StructField("k", T.IntegerType())])
+    )
+    return (
+        ev.select(
+            "event_id",
+            F.get_json_object("props", "$.k").cast("int").alias("k_get"),
+            parsed.getField("k").alias("k_from_json"),
+            F.get_json_object("props", "$.missing").cast("int").alias("missing_field"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "q1_sql_parity",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 4) AS sum_qty,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    doc="Q1: SQL entry point — the flagship aggregate expressed as a SQL "
+    "string over temp views; Catalyst parses to the same logical plan as "
+    "the DataFrame API (verified in tests by comparing optimized plans).",
+    tags=("sql",),
+)
+def sql_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 4) AS sum_qty,
+               round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+        """
+    )

@@ -1,0 +1,232 @@
+"""Aggregation operators (SURVEY.md §2B A1-A6).
+
+Reference lineage: the reference's only aggregations are an empty-guard
+count (`src/bak_unload.ps1:38-42` → A5) and a lexicographic max-as-latest
+(`src/bak_unload.ps1:44-52` → A6); A1-A4 are the relational breadth the
+bronze/silver/gold stage downstream of the reference's load needs.
+
+Scale notes (100 TB): every query below is a hash aggregate with map-side
+partial aggregation — Spark's HashAggregate emits partial aggregates before
+the shuffle, so the exchange carries one row per (partition × group), not
+per input row. Group-by cardinalities here are tiny (≤ thousands), so the
+shuffle is negligible regardless of input size; AQE coalesces the post-
+shuffle partitions. No driver-side collection anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mric_bak_etl_spark.catalog import register
+from mric_bak_etl_spark.tables import load_table
+
+# Cut-off keeping ~60% of lineitem (shipdates span 1995-2001 in testdata).
+_Q1_CUTOFF = "1998-09-02"
+
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shape pricing summary — the flagship query (A1).
+
+    filter → groupBy(2 cols) → 8 aggregates → order: exercises S1 (parquet
+    scan with pushdown), P1/P2 (projection+filter), A1 (multi-measure hash
+    agg), O1 (sort) in one plan.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit(_Q1_CUTOFF).cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 4).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+register(
+    "a1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 4)                                        AS sum_qty,
+           round(sum(l_extendedprice), 4)                                   AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 4)                AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4)  AS sum_charge,
+           round(avg(l_quantity), 4)                                        AS avg_qty,
+           round(avg(l_extendedprice), 4)                                   AS avg_price,
+           round(avg(l_discount), 4)                                        AS avg_disc,
+           count(*)                                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '{_Q1_CUTOFF} 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1 shape: filter + 2-key hash agg + 8 measures (flagship).",
+    tags=("agg", "flagship"),
+)(pricing_summary)
+
+
+@register(
+    "a2_distinct_count_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           count(DISTINCT o_custkey)       AS n_customers,
+           count(DISTINCT o_orderpriority) AS n_priorities,
+           count(*)                        AS n_orders
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    doc="A2: distinct + count-distinct per group (expand + two-phase agg).",
+    tags=("agg",),
+)
+def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.countDistinct("o_orderpriority").alias("n_priorities"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "a3_approx_count_distinct",
+    oracle=None,  # HLL estimate differs from exact by design → rows-only check
+    doc="A3: approx_count_distinct (HyperLogLog++) — the 100 TB-scale path "
+    "for cardinality where exact count-distinct's expand+shuffle is too "
+    "expensive; single pass, fixed memory per group.",
+    tags=("agg", "approx"),
+)
+def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
+            F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "a4_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+           round(sum(l_quantity), 4) AS sum_qty,
+           count(*)                  AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY gid, l_returnflag NULLS LAST, l_linestatus NULLS LAST
+    """,
+    doc="A4: ROLLUP grouping sets — Catalyst Expand; one shuffle for all "
+    "grouping sets, not one scan per set.",
+    tags=("agg",),
+)
+def rollup_quantities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "sum_qty", "n")
+        .orderBy(
+            "gid",
+            F.col("l_returnflag").asc_nulls_last(),
+            F.col("l_linestatus").asc_nulls_last(),
+        )
+    )
+
+
+@register(
+    "a4b_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+           round(sum(o_totalprice), 4) AS sum_price,
+           count(*)                    AS n
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY gid, o_orderstatus NULLS LAST, o_orderpriority NULLS LAST
+    """,
+    doc="A4: CUBE over orders — all 2^k grouping sets in one Expand pass.",
+    tags=("agg",),
+)
+def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.round(F.sum("o_totalprice"), 4).alias("sum_price"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "gid", "sum_price", "n")
+        .orderBy(
+            "gid",
+            F.col("o_orderstatus").asc_nulls_last(),
+            F.col("o_orderpriority").asc_nulls_last(),
+        )
+    )
+
+
+@register(
+    "a5_global_agg_guard",
+    oracle="""
+    SELECT count(*)                                        AS n_rows,
+           CAST(count(*) = 0 AS BOOLEAN)                   AS is_empty,
+           CAST(sum(CASE WHEN o_totalprice > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_positive
+    FROM orders
+    """,
+    doc="A5: global aggregate / emptiness guard — the reference's early-exit "
+    "on an empty blob listing (src/bak_unload.ps1:38-42) as a 1-row agg; "
+    "df.isEmpty() is the lazy limit-1 variant used in the pipeline runner.",
+    tags=("agg", "reference-fidelity"),
+)
+def global_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) == 0).alias("is_empty"),
+        F.sum(F.when(F.col("o_totalprice") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_positive"),
+    )
+
+
+@register(
+    "a6_max_as_latest",
+    oracle="""
+    SELECT max(ts)       AS latest_ts,
+           min(ts)       AS earliest_ts,
+           max(event_id) AS max_event_id
+    FROM (SELECT CAST(ts AS TIMESTAMP) AS ts, event_id FROM events)
+    """,
+    doc="A6: max-as-latest — the reference picks the 'latest' snapshot as the "
+    "lexicographic max of the filename (src/bak_unload.ps1:44-52); "
+    "generalized to max over event time. Partial max per partition → "
+    "single-row combine; no full sort.",
+    tags=("agg", "reference-fidelity"),
+)
+def max_as_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.agg(
+        F.max("ts").alias("latest_ts"),
+        F.min("ts").alias("earliest_ts"),
+        F.max("event_id").alias("max_event_id"),
+    )

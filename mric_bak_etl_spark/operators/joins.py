@@ -1,0 +1,348 @@
+"""Join operators (SURVEY.md §2B J1-J7) + a reusable as-of join.
+
+Reference lineage: the reference's only join-shaped operation is the
+stateful "already imported?" check (`src/bak_unload.ps1:57-65`) — a left
+anti-join of the candidate snapshot against a one-row state table (J4;
+used for real in pipeline/state.py). J1-J3, J5-J7 are the relational
+breadth for the downstream bronze/silver/gold stage.
+
+Scale notes (100 TB):
+
+- J1/J3: fact⋈fact equi-joins shuffle both sides on the key → sort-merge
+  join; AQE converts to broadcast when a side turns out small and splits
+  skewed partitions.
+- J2: dimension joins (nation: 25 rows, region: 5) must NEVER shuffle the
+  fact side — ``F.broadcast`` pins a BroadcastHashJoin.
+- J5 (non-equi): always carries an equi component (brand) so Spark can use
+  SMJ/SHJ with the range as a post-join condition instead of a cartesian
+  product (BroadcastNestedLoopJoin), which would be O(n·m) at scale.
+- J6 (as-of): implemented as union + window "last non-null carry-forward",
+  one shuffle on (key), no per-row subquery — the standard distributed
+  as-of pattern; per-key data volumes bound state.
+- J7 (cross): only valid for tiny×tiny; guarded by a row-count product
+  check in the builder.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mric_bak_etl_spark.catalog import register
+from mric_bak_etl_spark.tables import load_table
+
+
+@register(
+    "j1_inner_equi",
+    oracle="""
+    SELECT c.c_mktsegment,
+           count(*)                     AS n_lines,
+           round(sum(o.o_totalprice), 4) AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    ORDER BY c.c_mktsegment
+    """,
+    doc="J1: inner equi-join orders⋈customer (Catalyst picks SMJ/broadcast; "
+    "AQE may demote to broadcast at runtime), then aggregate.",
+    tags=("join",),
+)
+def inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "inner")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "j2_broadcast_dims",
+    oracle="""
+    SELECT r.r_name,
+           count(*)                    AS n_customers,
+           round(avg(c.c_acctbal), 4)  AS avg_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    ORDER BY r.r_name
+    """,
+    doc="J2: snowflake dimension join with explicit broadcast() of nation "
+    "and region — fact side never shuffles; plan is two chained "
+    "BroadcastHashJoins inside one codegen stage.",
+    tags=("join", "broadcast"),
+)
+def broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_acctbal"),
+        )
+        .orderBy("r_name")
+    )
+
+
+@register(
+    "j3_left_outer",
+    oracle="""
+    SELECT c.c_mktsegment,
+           count(*)                                  AS n_rows,
+           CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                                                     AS n_customers_without_orders,
+           count(o.o_orderkey)                       AS n_orders
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_mktsegment
+    ORDER BY c.c_mktsegment
+    """,
+    doc="J3: left outer join preserving order-less customers; null-aware "
+    "counts distinguish preserved vs matched rows.",
+    tags=("join",),
+)
+def left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_customers_without_orders"),
+            F.count("o_orderkey").alias("n_orders"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "j3b_full_outer",
+    oracle="""
+    SELECT CAST(sum(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS only_supplier,
+           CAST(sum(CASE WHEN s.s_suppkey  IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS only_nation,
+           CAST(sum(CASE WHEN n.n_nationkey IS NOT NULL AND s.s_suppkey IS NOT NULL
+                    THEN 1 ELSE 0 END) AS BIGINT)                                AS both_sides
+    FROM supplier s FULL JOIN nation n ON s.s_nationkey = n.n_nationkey
+    """,
+    doc="J3: full outer join supplier⟗nation — rows preserved from both "
+    "sides; summarized to side-membership counts.",
+    tags=("join",),
+)
+def full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    j = s.join(n, s.s_nationkey == n.n_nationkey, "full")
+    return j.agg(
+        F.sum(F.when(F.col("n_nationkey").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("only_supplier"),
+        F.sum(F.when(F.col("s_suppkey").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("only_nation"),
+        F.sum(
+            F.when(
+                F.col("n_nationkey").isNotNull() & F.col("s_suppkey").isNotNull(), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("both_sides"),
+    )
+
+
+@register(
+    "j4_left_semi",
+    oracle="""
+    SELECT c_custkey, c_mktsegment
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+    ORDER BY c_custkey
+    """,
+    doc="J4: left semi join (EXISTS) — customers having a big order; no "
+    "duplication of the left side, right side only probed.",
+    tags=("join", "reference-fidelity"),
+)
+def left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "j4b_left_anti",
+    oracle="""
+    SELECT c_custkey, c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    ORDER BY c_custkey
+    """,
+    doc="J4: left anti join (NOT EXISTS) — the reference's 'already "
+    "imported?' skip (src/bak_unload.ps1:57-65) generalized: rows with no "
+    "match in the processed set. Used for real in pipeline/state.py.",
+    tags=("join", "reference-fidelity"),
+)
+def left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "j5_range_theta",
+    oracle="""
+    SELECT a.p_brand,
+           count(*)                               AS n_pairs,
+           CAST(sum(b.p_size - a.p_size) AS BIGINT) AS total_size_gap
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_size < b.p_size
+    GROUP BY a.p_brand
+    ORDER BY a.p_brand
+    """,
+    doc="J5: theta/range join with an equi component (brand) so Spark uses a "
+    "hash/SMJ join with the range as a residual predicate — not a nested-"
+    "loop cartesian, which would be O(n·m) at 100 TB.",
+    tags=("join",),
+)
+def range_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = load_table(spark, sf_dir, "part").select(
+        F.col("p_brand"), F.col("p_size").alias("a_size")
+    )
+    b = load_table(spark, sf_dir, "part").select(
+        F.col("p_brand").alias("b_brand"), F.col("p_size").alias("b_size")
+    )
+    return (
+        a.join(b, (a.p_brand == b.b_brand) & (F.col("a_size") < F.col("b_size")))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.col("b_size") - F.col("a_size")).cast("bigint").alias("total_size_gap"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+) -> DataFrame:
+    """Distributed as-of join: for each left row, the latest right row with
+    ``right_ts <= left_ts`` within the same ``key``.
+
+    Union-and-carry-forward pattern: tag both sides, union, then one window
+    per key ordered by time with ``last(..., ignorenulls=True)`` carrying the
+    most recent right-side values forward onto left rows. Exactly one shuffle
+    on ``key`` — no correlated subquery, no per-row lookup; this is the
+    standard scale-out as-of strategy (cf. pandas merge_asof semantics).
+    """
+    rcols = [f"right_{c}" for c in right_cols]
+    lrow_t = "struct<" + ",".join(
+        f"{f.name}:{f.dataType.simpleString()}" for f in left.schema.fields
+    ) + ">"
+    lt = left.select(
+        F.col(key).alias("_key"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.struct(*left.columns).alias("_lrow"),
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(rc)
+            for c, rc in zip(right_cols, rcols)
+        ],
+    )
+    rt = right.select(
+        F.col(key).alias("_key"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(lrow_t).alias("_lrow"),
+        *[F.col(c).alias(rc) for c, rc in zip(right_cols, rcols)],
+    )
+    # Right rows sort before left rows at equal ts (_side 0 < 1) so a right
+    # row AT the left timestamp is visible to it (<= semantics, like ASOF).
+    w = (
+        Window.partitionBy("_key")
+        .orderBy(F.col("_ts").asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = lt.unionByName(rt).select(
+        "_side",
+        "_lrow",
+        *[F.last(rc, ignorenulls=True).over(w).alias(rc) for rc in rcols],
+    )
+    return carried.filter(F.col("_side") == 1).select(F.col("_lrow.*"), *rcols)
+
+
+@register(
+    "j6_asof",
+    oracle="""
+    WITH purchases AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    signups AS (
+      SELECT user_id, event_id AS signup_event_id, CAST(ts AS TIMESTAMP) AS signup_ts
+      FROM events WHERE event_type = 'signup'
+    )
+    SELECT p.user_id, p.event_id, p.ts,
+           s.signup_event_id AS right_event_id,
+           s.signup_ts       AS right_ts
+    FROM purchases p ASOF LEFT JOIN signups s
+      ON p.user_id = s.user_id AND p.ts >= s.signup_ts
+    ORDER BY p.event_id
+    """,
+    doc="J6: as-of join — each purchase matched to the user's most recent "
+    "prior (or same-instant) signup; union+window carry-forward, one "
+    "shuffle. Oracle uses DuckDB's native ASOF LEFT JOIN.",
+    tags=("join", "asof"),
+)
+def asof_purchases_to_signups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", "event_id", "ts"
+    )
+    return asof_join(
+        purchases, signups, key="user_id", left_ts="ts", right_ts="ts",
+        right_cols=["event_id", "ts"],
+    ).orderBy("event_id")
+
+
+@register(
+    "j7_cross",
+    oracle="""
+    SELECT r.r_name, n.n_name
+    FROM region r CROSS JOIN nation n
+    ORDER BY r.r_name, n.n_name
+    """,
+    doc="J7: explicit cross join — only for tiny×tiny inputs (5×25 here); "
+    "at scale a cross join is a design smell, flagged by requiring the "
+    "explicit crossJoin() API.",
+    tags=("join",),
+)
+def cross_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load_table(spark, sf_dir, "region").select("r_name")
+    n = load_table(spark, sf_dir, "nation").select("n_name")
+    return r.crossJoin(n).orderBy("r_name", "n_name")

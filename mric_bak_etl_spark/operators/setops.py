@@ -1,0 +1,100 @@
+"""Set operators (SURVEY.md §2B U1-U2).
+
+Scale notes (100 TB): ``union``/``unionAll`` is partition concatenation —
+zero shuffle, free at any scale. ``distinct`` / ``intersect`` / ``except``
+each imply a hash shuffle on the full row; when only a key column matters,
+project first so the shuffle carries narrow rows (done below).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mric_bak_etl_spark.catalog import register
+from mric_bak_etl_spark.tables import load_table
+
+
+@register(
+    "u1_union_by_name",
+    oracle="""
+    WITH big AS (
+      SELECT o_orderkey, o_totalprice, 'big' AS bucket
+      FROM orders WHERE o_totalprice >= 200000
+    ),
+    small AS (
+      SELECT o_orderkey, o_totalprice, 'small' AS bucket
+      FROM orders WHERE o_totalprice < 200000
+    )
+    SELECT bucket, count(*) AS n, round(sum(o_totalprice), 4) AS total
+    FROM (SELECT * FROM big UNION ALL SELECT * FROM small)
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+    doc="U1: union of disjoint splits (unionByName resolves by column name, "
+    "not position) — pure partition concat, no shuffle until the final agg.",
+    tags=("setop",),
+)
+def union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    big = (
+        o.filter(F.col("o_totalprice") >= 200000)
+        .select("o_orderkey", "o_totalprice")
+        .withColumn("bucket", F.lit("big"))
+    )
+    # Deliberately different column order: unionByName must align by name.
+    small = (
+        o.filter(F.col("o_totalprice") < 200000)
+        .select(F.lit("small").alias("bucket"), "o_orderkey", "o_totalprice")
+    )
+    return (
+        big.unionByName(small)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 4).alias("total"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "u2_intersect",
+    oracle="""
+    SELECT c_custkey FROM customer
+    INTERSECT
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'
+    ORDER BY c_custkey
+    """,
+    doc="U2: INTERSECT (distinct semantics) on projected keys — narrow-row "
+    "shuffle; semantically a semi-join + distinct, and Catalyst plans it "
+    "exactly that way.",
+    tags=("setop",),
+)
+def intersect_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return c.intersect(o).orderBy("c_custkey")
+
+
+@register(
+    "u2b_except_all",
+    oracle="""
+    SELECT o_custkey FROM orders
+    EXCEPT ALL
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    ORDER BY o_custkey
+    """,
+    doc="U2: EXCEPT ALL (multiset difference, multiplicity-aware) — "
+    "planned as a count-compare aggregate, one shuffle on the key.",
+    tags=("setop",),
+)
+def except_all_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    left = o.select("o_custkey")
+    right = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return left.exceptAll(right).orderBy("o_custkey")

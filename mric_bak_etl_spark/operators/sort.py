@@ -1,0 +1,77 @@
+"""Sort / limit operators (SURVEY.md §2B O1-O2).
+
+Reference lineage: the reference sorts the blob listing descending and takes
+the top entry — "latest = lexicographic max" (`src/bak_unload.ps1:44-52`).
+O2 generalizes that to top-k.
+
+Scale notes (100 TB): a global ``orderBy`` is a range-partitioned exchange
+(sampled boundaries) + per-partition sort — the only correct distributed
+total sort, but still a full shuffle; reserve it for final output. Top-k
+(``orderBy().limit(k)``) compiles to TakeOrderedAndProject: each partition
+keeps a k-row heap and only k·partitions rows ever move — no global sort at
+any scale. That asymmetry is why the latest-pick in the real pipeline uses
+max/limit, never a full sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mric_bak_etl_spark.catalog import register
+from mric_bak_etl_spark.tables import load_table
+
+
+@register(
+    "o1_multikey_sort",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice,
+           CASE WHEN o_orderpriority = '3-MEDIUM' THEN NULL ELSE o_orderpriority END
+             AS priority_or_null
+    FROM orders
+    ORDER BY o_orderstatus DESC,
+             priority_or_null ASC NULLS LAST,
+             o_totalprice ASC,
+             o_orderkey ASC
+    """,
+    doc="O1: multi-key sort, mixed asc/desc with explicit NULLS LAST — a "
+    "range-partitioned total sort (sampled boundaries; no single-node "
+    "bottleneck). nullif-derived column exercises null ordering.",
+    tags=("sort",),
+)
+def multikey_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.withColumn(
+            "priority_or_null", F.nullif(F.col("o_orderpriority"), F.lit("3-MEDIUM"))
+        )
+        .select("o_orderkey", "o_orderstatus", "o_totalprice", "priority_or_null")
+        .orderBy(
+            F.col("o_orderstatus").desc(),
+            F.col("priority_or_null").asc_nulls_last(),
+            F.col("o_totalprice").asc(),
+            F.col("o_orderkey").asc(),
+        )
+    )
+
+
+@register(
+    "o2_topk",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 25
+    """,
+    doc="O2: top-k — TakeOrderedAndProject (per-partition k-heaps, k·P rows "
+    "shuffled), the reference's top-1 latest-pick generalized. o_orderkey "
+    "tiebreak keeps the row set deterministic for the oracle hash.",
+    tags=("sort", "reference-fidelity"),
+)
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(25)
+    )

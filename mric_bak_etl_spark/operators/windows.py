@@ -1,0 +1,148 @@
+"""Window-function operators (SURVEY.md §2B W1-W3).
+
+Scale notes (100 TB): every window below partitions by a key before ordering
+— a per-key shuffle + in-partition sort, which scales as long as no single
+key's rows overflow an executor (our keys: customer ~10s of orders, user
+~100s of events, returnflag is the widest at ~1/3 of lineitem — for a
+genuinely hot key at 100 TB, pre-aggregate or split the frame by a salt
+then merge). An ORDER BY without PARTITION BY would pull everything into
+one task — never used here. Frames are rows-based and bounded except the
+running total, which Spark evaluates incrementally (no O(n²) re-scan).
+
+Every ORDER BY carries a unique tiebreak column so rank/lag/frame results
+are deterministic for the value-hash oracle (SURVEY §7 risk #4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mric_bak_etl_spark.catalog import register
+from mric_bak_etl_spark.tables import load_table
+
+
+@register(
+    "w1_ranking",
+    oracle="""
+    SELECT *
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             CAST(row_number() OVER w AS BIGINT) AS rn,
+             CAST(rank()       OVER w AS BIGINT) AS rnk,
+             CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+             CAST(ntile(4)     OVER w AS BIGINT) AS quartile
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)
+    )
+    WHERE rn <= 3
+    ORDER BY o_custkey, rn
+    """,
+    doc="W1: row_number/rank/dense_rank/ntile per customer — the canonical "
+    "top-N-per-group; one shuffle on o_custkey shared by all four "
+    "functions (same window spec → one sort).",
+    tags=("window",),
+)
+def ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).cast("bigint").alias("rn"),
+            F.rank().over(w).cast("bigint").alias("rnk"),
+            F.dense_rank().over(w).cast("bigint").alias("drnk"),
+            F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        )
+        .filter(F.col("rn") <= 3)
+        .orderBy("o_custkey", "rn")
+    )
+
+
+@register(
+    "w2_lag_lead",
+    oracle="""
+    SELECT event_id, user_id, ts, value,
+           lag(value)  OVER w                        AS prev_value,
+           lead(value) OVER w                        AS next_value,
+           first_value(value) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                                                     AS first_value_in_user,
+           round(value - coalesce(lag(value) OVER w, value), 4) AS delta
+    FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events)
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ORDER BY user_id, ts, event_id
+    """,
+    doc="W2: lag/lead/first_value per user over event time — per-key "
+    "sessionized analytics; the unbounded first_value frame is evaluated "
+    "in the same single sort pass.",
+    tags=("window",),
+)
+def lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            "ts",
+            "value",
+            F.lag("value").over(w).alias("prev_value"),
+            F.lead("value").over(w).alias("next_value"),
+            F.first("value").over(wfull).alias("first_value_in_user"),
+            F.round(
+                F.col("value") - F.coalesce(F.lag("value").over(w), F.col("value")), 4
+            ).alias("delta"),
+        )
+        .orderBy("user_id", "ts", "event_id")
+    )
+
+
+@register(
+    "w3_frames",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_returnflag, l_shipdate,
+           round(sum(l_quantity) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+             AS running_qty,
+           round(avg(l_extendedprice) OVER (w ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4)
+             AS moving_avg_price
+    FROM lineitem
+    WINDOW w AS (PARTITION BY l_returnflag
+                 ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey,
+                          l_suppkey, l_quantity, l_extendedprice, l_discount,
+                          l_tax, l_linestatus)
+    ORDER BY l_returnflag, l_shipdate, l_orderkey, l_linenumber
+    """,
+    doc="W3: frame specs — running total (unbounded preceding) and 4-row "
+    "moving average; incremental frame evaluation, one sort per "
+    "partition key.",
+    tags=("window",),
+)
+def frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    # (l_orderkey, l_linenumber) is NOT unique in the synthetic data; the
+    # window ORDER BY must be a total order (all columns — no full-row dups
+    # exist) or ROWS-frame results are tie-order-dependent.
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax", "l_linestatus",
+    )
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_returnflag",
+            "l_shipdate",
+            F.round(
+                F.sum("l_quantity").over(w.rowsBetween(Window.unboundedPreceding, 0)), 4
+            ).alias("running_qty"),
+            F.round(
+                F.avg("l_extendedprice").over(w.rowsBetween(-3, 0)), 4
+            ).alias("moving_avg_price"),
+        )
+        .orderBy("l_returnflag", "l_shipdate", "l_orderkey", "l_linenumber")
+    )

@@ -1,0 +1,93 @@
+"""SparkSession construction and runtime-config hygiene.
+
+Two audiences:
+
+- our own tests / bench build a session via :func:`get_spark` with scale-aware
+  defaults (AQE on, shuffle partitions ~= cores, UTC, Arrow);
+- the verification driver hands us *its* session, so every entry point calls
+  :func:`ensure_runtime_confs` to apply the runtime-settable configs we rely
+  on for correctness (UTC session timezone for timestamp comparison against
+  DuckDB; parquet TIMESTAMP(NANOS) read support for the events table).
+
+100 TB posture: nothing here is local-mode-specific. On a real cluster the
+same session code applies — AQE handles skew-join splitting and partition
+coalescing at runtime, and ``spark.sql.shuffle.partitions`` becomes the
+*initial* (pre-AQE) parallelism, sized ~2-3× total executor cores.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable SQL confs every entry point enforces, independent of who
+# built the session. Keys verified settable via spark.conf.set on Spark 4.x.
+_RUNTIME_CONFS: dict[str, str] = {
+    # DuckDB timestamps are UTC-naive; pin the session so TimestampType and
+    # TIMESTAMP_NTZ render identically on both sides of the oracle compare.
+    "spark.sql.session.timeZone": "UTC",
+    # The driver's events.parquet stores ts as INT64 TIMESTAMP(NANOS), which
+    # vanilla Spark rejects (PARQUET_TYPE_ILLEGAL). Read it as a long and
+    # convert in tables.load_table.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Runtime re-planning: partition coalescing + skew-join splitting.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for any pandas-UDF stage and toPandas.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def ensure_runtime_confs(spark: SparkSession) -> SparkSession:
+    """Apply the runtime-settable confs this engine depends on.
+
+    Safe to call repeatedly and on sessions we did not build (the driver's).
+    """
+    for key, value in _RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(key, value)
+        except Exception:
+            # A conf may be static on some builds; prefer degraded operation
+            # over refusing to run.
+            pass
+    return spark
+
+
+def default_parallelism() -> int:
+    """Shuffle-partition default: one per local core (driver-local testing).
+
+    On a cluster, override via SPARK_GRAFT_SHUFFLE_PARTITIONS or session conf
+    to ~2-3× total executor cores so AQE has room to coalesce downward.
+    """
+    env = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+    if env:
+        return int(env)
+    return os.cpu_count() or 8
+
+
+def get_spark(app_name: str = "mric_bak_etl_spark", master: str | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession with scale-aware defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (all cores if the
+    env var is unset); on a real cluster pass ``None`` and let
+    spark-submit/cluster manager supply the master.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(default_parallelism()))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for key, value in _RUNTIME_CONFS.items():
+        builder = builder.config(key, value)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    # getOrCreate may have returned a pre-existing session with other confs.
+    return ensure_runtime_confs(spark)

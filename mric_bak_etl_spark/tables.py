@@ -1,0 +1,67 @@
+"""Canonical loaders for the testdata star schema.
+
+Tables (TPC-H-ish + events/documents/embeddings, see FIXTURES.md):
+``region nation customer supplier part orders lineitem events documents
+embeddings`` — one parquet file per table under a scale-factor directory.
+
+The only normalization applied is the ``events.ts`` column: the driver's
+parquet stores it as INT64 TIMESTAMP(NANOS), which Spark reads as a plain
+long under ``spark.sql.legacy.parquet.nanosAsLong``; we convert to
+TIMESTAMP_NTZ at microsecond precision — exactly what DuckDB's
+``ts::TIMESTAMP`` yields, so oracle comparisons line up.
+
+100 TB posture: these are plain ``spark.read.parquet`` scans, so column
+pruning and predicate pushdown reach the parquet reader for free. At scale
+the same loader works over a directory of many files / a partitioned layout;
+nothing assumes a single file.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mric_bak_etl_spark.session import ensure_runtime_confs
+
+TABLE_NAMES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table, normalizing types for cross-engine parity."""
+    ensure_runtime_confs(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # ns since epoch → µs → TIMESTAMP_NTZ (matches DuckDB ts::TIMESTAMP).
+        # Integer division: ns epoch values exceed 2^53, so a double-typed
+        # `/ 1000` loses µs precision (off-by-one on ~10% of rows).
+        df = df.withColumn(
+            "ts", F.expr("timestamp_micros(ts div 1000)").cast("timestamp_ntz")
+        )
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every table as a temp view (SQL entry point, SURVEY §2B Q1)."""
+    dfs = load_all(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs
