@@ -1,1 +1,165 @@
-"""Placeholder — populated in a later milestone (see SURVEY.md §7 build plan)."""
+"""Driver-verified catalog entries for the pipeline operators (SURVEY §2A).
+
+Each query routes through the REAL pipeline stage functions (manifest/state/
+unzip/snapshot modules) so the driver exercises engine code paths, with
+inputs derived deterministically from the standard tables (or fixed bytes),
+keeping them DuckDB-oracle-checkable.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import tempfile
+import zipfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mric_bak_etl_spark.catalog import register
+from mric_bak_etl_spark.pipeline import manifest, state, unzip
+from mric_bak_etl_spark.pipeline.snapshot import overwrite_snapshot
+from mric_bak_etl_spark.tables import load_table
+
+
+@register(
+    "s2_file_manifest",
+    oracle=None,  # listing carries absolute paths/mtimes → env-dependent
+    doc="S2/R1: manifest scan over the scale-factor directory via the "
+    "binaryFile source, metadata columns only (no content read).",
+    tags=("pipeline", "source"),
+)
+def file_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = manifest.manifest_from_directory(spark, sf_dir, glob="*.parquet")
+    return m.select("name", "length").orderBy("name")
+
+
+@register(
+    "r2_listing_parse_latest",
+    oracle="""
+    WITH listing AS (
+      SELECT 'INFO: snapshot_' || lpad(CAST(o_orderkey AS VARCHAR), 10, '0')
+             || CASE WHEN o_orderstatus = 'P' THEN '.tmp' ELSE '.zip' END
+             || '; Content Length: ' || CAST(o_orderkey AS VARCHAR) AS value
+      FROM orders
+    ),
+    names AS (SELECT string_split(value, ';')[1][7:] AS name FROM listing)
+    SELECT max(name) AS name FROM names WHERE contains(name, '.zip')
+    """,
+    doc="R2+R3+R5+R6 end-to-end: azcopy-style listing lines (synthesized "
+    "deterministically from orders) → split/substring parse → .zip filter "
+    "→ lexicographic-max latest-pick; the reference's discovery phase "
+    "(src/bak_unload.ps1:22-52) as one declarative plan.",
+    tags=("pipeline", "reference-fidelity"),
+)
+def listing_parse_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    lines = o.select(
+        F.concat(
+            F.lit("INFO: snapshot_"),
+            F.lpad(F.col("o_orderkey").cast("string"), 10, "0"),
+            F.when(F.col("o_orderstatus") == "P", ".tmp").otherwise(".zip"),
+            F.lit("; Content Length: "),
+            F.col("o_orderkey").cast("string"),
+        ).alias("value")
+    )
+    names = manifest.filter_snapshots(manifest.parse_listing_lines(lines))
+    return manifest.latest_snapshot(names)
+
+
+@register(
+    "r7_state_antijoin",
+    oracle="""
+    WITH candidates AS (
+      SELECT DISTINCT 'snapshot_' || lpad(CAST(o_orderkey AS VARCHAR), 10, '0') || '.zip' AS name
+      FROM orders
+    ),
+    processed AS (
+      SELECT DISTINCT 'snapshot_' || lpad(CAST(o_orderkey AS VARCHAR), 10, '0') || '.zip' AS name
+      FROM orders WHERE o_orderstatus = 'F'
+    )
+    SELECT name FROM candidates c
+    WHERE NOT EXISTS (SELECT 1 FROM processed p WHERE p.name = c.name)
+    ORDER BY name
+    """,
+    doc="R7: already-imported skip as a broadcast left anti-join of "
+    "candidate snapshot names vs the processed-state table "
+    "(src/bak_unload.ps1:57-65 generalized to N candidates).",
+    tags=("pipeline", "reference-fidelity"),
+)
+def state_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    name = F.concat(
+        F.lit("snapshot_"), F.lpad(F.col("o_orderkey").cast("string"), 10, "0"),
+        F.lit(".zip"),
+    ).alias("name")
+    candidates = o.select(name).distinct()
+    processed = o.filter(F.col("o_orderstatus") == "F").select(name).distinct()
+    return state.filter_unprocessed(candidates, processed).orderBy("name")
+
+
+@register(
+    "s3_snapshot_roundtrip",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           round(sum(l_extendedprice), 4) AS total_price
+    FROM lineitem WHERE l_returnflag = 'R'
+    """,
+    doc="S3/R11: snapshot-replace sink round-trip — overwrite-write the "
+    "filtered lineitem as a parquet snapshot (staged replace; readers "
+    "never see a half-written state, unlike the reference's DROP+RESTORE "
+    "gap) and aggregate the read-back.",
+    tags=("pipeline", "sink"),
+)
+def snapshot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    out = os.path.join(tempfile.mkdtemp(prefix="snapshot_sink_"), "lineitem_r")
+    overwrite_snapshot(li, out)
+    back = spark.read.parquet(out)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_extendedprice"), 4).alias("total_price"),
+    )
+
+
+def _fixture_zip_bytes() -> list[tuple[str, bytes]]:
+    """Deterministic in-memory archives: the discovery fixture of FIXTURES.md
+    §D — one holds the payload `.bak` plus a decoy, one holds no payload."""
+    archives = []
+    for stem, members in [
+        ("backup_2024_07_01", [("rio_tre.bak", b"BAK-PAYLOAD-2024-07-01"), ("readme.txt", b"decoy")]),
+        ("backup_2024_06_30", [("notes.txt", b"no payload here")]),
+    ]:
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+            for name, data in members:
+                zf.writestr(name, data)
+        archives.append((f"/blobs/{stem}.zip", buf.getvalue()))
+    return archives
+
+
+@register(
+    "x1_unzip_payload",
+    oracle="""
+    SELECT '/blobs/backup_2024_07_01.zip' AS archive_path,
+           'rio_tre.bak'                  AS entry_name,
+           CAST(22 AS BIGINT)             AS entry_size,
+           'BAK-PAYLOAD-2024-07-01'       AS payload_text
+    """,
+    doc="X1/R9+R10: the zip-decompression pandas stage end-to-end — fixed "
+    "in-memory archives → mapInPandas unzip → payload pick (.bak, "
+    "last-match-wins like src/bak_unload.ps1:81-87); oracle is the known "
+    "fixture payload.",
+    tags=("pipeline", "udf"),
+)
+def unzip_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    archives = spark.createDataFrame(
+        _fixture_zip_bytes(), "path string, content binary"
+    )
+    payload = unzip.pick_payload(unzip.unzip_entries(archives), ".bak")
+    return payload.select(
+        "archive_path",
+        "entry_name",
+        "entry_size",
+        F.decode("entry_bytes", "UTF-8").alias("payload_text"),
+    )
