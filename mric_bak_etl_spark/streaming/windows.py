@@ -1,1 +1,222 @@
-"""Placeholder — populated in a later milestone (see SURVEY.md §7 build plan)."""
+"""Streaming-window semantics over the events stream (SURVEY.md §2B T1-T5).
+
+Each operator has two faces:
+
+- a **batch-equivalent** catalog query (driver-verified against DuckDB) —
+  time-window functions run identically over bounded input, so tumbling /
+  sliding / session aggregations are oracle-checkable;
+- a **true streaming** form (``readStream`` + watermark + AvailableNow)
+  exercised in tests/test_streaming.py through :func:`stream_events`, since
+  arrival-order semantics (late-data drop, within-watermark dedup) have no
+  SQL oracle.
+
+Scale notes (100 TB/day stream): tumbling/sliding windows are stateless
+per-window hash aggs after the shuffle on (window, keys); session windows
+and dedup keep per-key state bounded by the watermark — the watermark is
+what lets Spark evict state, so T4 is not optional at scale, it IS the
+memory bound. Sliding windows replicate each row size/slide times (4× here)
+— prefer the coarsest slide the product tolerates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mric_bak_etl_spark.catalog import register
+from mric_bak_etl_spark.tables import load_table
+
+
+@register(
+    "t1_tumbling_window",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start,
+           event_type,
+           count(*)             AS n_events,
+           round(sum(value), 4) AS total_value
+    FROM events
+    GROUP BY window_start, event_type
+    ORDER BY window_start, event_type
+    """,
+    doc="T1: tumbling 1-hour window aggregate — groupBy(window(ts, '1 hour')); "
+    "each row lands in exactly one window; plain hash agg after one shuffle.",
+    tags=("streaming",),
+)
+def tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+@register(
+    "t2_sliding_window",
+    oracle="""
+    SELECT ws AS window_start, count(*) AS n_events, round(sum(value), 4) AS total_value
+    FROM (
+      SELECT time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP))
+               - (k * INTERVAL '15 minutes') AS ws,
+             value
+      FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k)
+    )
+    GROUP BY ws
+    ORDER BY ws
+    """,
+    doc="T2: sliding window (1 hour, 15-minute slide) — every event belongs "
+    "to size/slide = 4 windows; Spark expands rows 4× before the agg "
+    "(the oracle makes that replication explicit via unnest).",
+    tags=("streaming",),
+)
+def sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"), "n_events", "total_value"
+        )
+        .orderBy("window_start")
+    )
+
+
+@register(
+    "t3_session_window",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+             CASE WHEN ts - lag(CAST(ts AS TIMESTAMP))
+                         OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL '30 minutes'
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM ordered
+    )
+    SELECT user_id,
+           min(ts)                           AS session_start,
+           max(ts) + INTERVAL '30 minutes'   AS session_end,
+           count(*)                          AS n_events,
+           round(sum(value), 4)              AS total_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_start
+    """,
+    doc="T3: session window (30-minute gap) per user — session_window() "
+    "merges events closer than the gap; Spark's session end = last event "
+    "+ gap, mirrored in the oracle's lag/cumsum sessionization.",
+    tags=("streaming",),
+)
+def session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+@register(
+    "t4_watermark_cutoff",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start,
+           count(*) AS n_events
+    FROM events
+    WHERE CAST(ts AS TIMESTAMP) >
+          (SELECT max(CAST(ts AS TIMESTAMP)) - INTERVAL '10 minutes' FROM events)
+    GROUP BY window_start
+    ORDER BY window_start
+    """,
+    doc="T4 (batch face): the watermark cutoff as a value predicate — rows "
+    "older than max(event_time) - delay are 'late' and dropped. True "
+    "arrival-order semantics (state eviction, append emission) are "
+    "exercised in tests/test_streaming.py with withWatermark(); at scale "
+    "the watermark IS the state bound for T3/T5.",
+    tags=("streaming",),
+)
+def watermark_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = ev.agg(
+        (F.max("ts") - F.expr("INTERVAL 10 MINUTES")).alias("cutoff")
+    )
+    return (
+        ev.join(F.broadcast(cutoff))
+        .filter(F.col("ts") > F.col("cutoff"))
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("window.start").alias("window_start"), "n_events")
+        .orderBy("window_start")
+    )
+
+
+@register(
+    "t5_stateful_dedup",
+    oracle="""
+    SELECT event_type, count(DISTINCT user_id) AS n_unique_users
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="T5: stateful dedup — dropDuplicates on (user_id, event_type) (the "
+    "reference's already-imported skip, src/bak_unload.ps1:57-65, as "
+    "keyed state) then count survivors; streaming face is "
+    "dropDuplicatesWithinWatermark in tests.",
+    tags=("streaming", "reference-fidelity"),
+)
+def stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.dropDuplicates(["user_id", "event_type"])
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_unique_users"))
+        .orderBy("event_type")
+    )
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events as a true stream: readStream over the parquet, ts normalized.
+
+    The parquet stores ts as INT64 TIMESTAMP(NANOS) (read as long under
+    nanosAsLong) → convert with integer division exactly like the batch
+    loader so batch and stream agree row-for-row.
+    """
+    from mric_bak_etl_spark.session import ensure_runtime_confs
+
+    ensure_runtime_confs(spark)
+    # File-source streams need a directory; glob down to the events file.
+    raw = (
+        spark.readStream.schema(
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
