@@ -36,6 +36,11 @@ HEADLINE = [
     "o2_topk",              # TakeOrderedAndProject
     "u2b_except_all",       # multiset set-op
     "f5_arrays",            # higher-order array expressions
+    "t1_tumbling_window",   # streaming window agg (batch face)
+    "l2_minhash_lsh",       # shingle→minhash→band→bucket-join near-dup
+    "l3_cosine_topk",       # vector top-k (broadcast query, zip_with dot)
+    "l4_tokenize_tf",       # tokenize+explode+TF
+    "m2_feature_extract",   # Arrow-batched pandas feature stage
 ]
 
 

@@ -1,1 +1,369 @@
-"""Placeholder — populated in a later milestone (see SURVEY.md §7 build plan)."""
+"""Deduplication family for training-data pipelines (SURVEY.md §2B L1/L2).
+
+Five mechanisms, each the Spark-first shape of a published dedup technique:
+
+- exact dedup: content-hash groupBy (sha2) with deterministic keeper;
+- MinHash + LSH: shingle → k minhashes → band → bucket join → verify
+  (the MMDS banding scheme; cf. C4/RefinedWeb-style corpus dedup);
+- SimHash: sign-aggregated token hashes → hamming-close fingerprints;
+- n-gram Jaccard: exact shingle-overlap self-join (the verifier LSH
+  approximates);
+- embedding cosine near-dup: blocked vector self-join.
+
+The documents table has no natural duplicates, so near-dup queries operate
+on :func:`corpus_with_near_dups` — documents plus deterministic truncated
+variants — making recall measurable and results stable for the oracle.
+
+Scale notes (100 TB): exact dedup shuffles hashes only (narrow rows).
+MinHash-LSH is THE scale path for near-dup: candidate generation touches
+only bucket-colliding pairs (band join), never the O(n²) pair space; band
+count trades recall vs cost. The exact-Jaccard self-join is the verifier —
+run it on LSH survivors only (as l2_minhash_lsh does), or on blocked
+subsets. Embedding near-dup at scale = same banding idea with hyperplane
+sign bits (see llm/similarity.py); the label-blocked exact join here is the
+verifier shape. Skewed shingles (stopword trigrams) salt naturally because
+the doc explode carries doc_id; a hot BUCKET (boilerplate text) is the real
+skew risk — AQE skew-join splitting plus a bucket-size cap (drop buckets
+with > N members as boilerplate) is the standard mitigation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mric_bak_etl_spark.catalog import register
+from mric_bak_etl_spark.llm.text import tokens
+from mric_bak_etl_spark.tables import load_table
+
+N_MINHASHES = 16
+N_BANDS = 4  # 4 rows per band → threshold ≈ (1/4)^(1/4) ≈ 0.71 Jaccard
+SHINGLE_K = 3
+
+
+def corpus_with_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ truncated variants of every 10th doc (deterministic).
+
+    Variant doc_id = original + 1_000_000; text = all but the last 5 tokens
+    — high-Jaccard near-duplicates with known ground truth.
+    """
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    variants = (
+        d.filter(F.col("doc_id") % 10 == 0)
+        .select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.array_join(
+                F.slice(tokens(), 1, F.greatest(F.size(tokens()) - 5, F.lit(1))), " "
+            ).alias("text"),
+        )
+    )
+    return d.unionByName(variants)
+
+
+_CORPUS_ORACLE = """
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id,
+             array_to_string(
+               string_split_regex(text, '\\s+')
+                 [1:greatest(len(string_split_regex(text, '\\s+')) - 5, 1)],
+               ' ') AS text
+      FROM documents WHERE doc_id % 10 = 0
+"""
+
+
+@register(
+    "l1_exact_dedup",
+    oracle=f"""
+    WITH corpus AS ({_CORPUS_ORACLE}),
+         keep AS (
+           SELECT min(doc_id) AS keeper_id, count(*) AS n_copies
+           FROM corpus GROUP BY md5(text)
+         )
+    SELECT count(*)                                    AS n_unique,
+           CAST(sum(n_copies) - count(*) AS BIGINT)    AS n_removed
+    FROM keep
+    """,
+    doc="L1: exact dedup — group by content hash, keep min(doc_id) "
+    "(deterministic keeper, unlike dropDuplicates' arbitrary row); "
+    "shuffles (hash, doc_id) pairs only, never text.",
+    tags=("llm", "dedup"),
+)
+def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = corpus_with_near_dups(spark, sf_dir)
+    keep = corpus.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("keeper_id"), F.count(F.lit(1)).alias("n_copies")
+    )
+    return keep.agg(
+        F.count(F.lit(1)).alias("n_unique"),
+        (F.sum("n_copies") - F.count(F.lit(1))).cast("bigint").alias("n_removed"),
+    )
+
+
+def shingles(text_col: str = "text", k: int = SHINGLE_K) -> Column:
+    """Token k-shingles as an array column (distinct)."""
+    toks = tokens(text_col)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i, k), " "))
+    )
+
+
+def minhash_signatures(corpus: DataFrame, n_hashes: int = N_MINHASHES) -> DataFrame:
+    """doc_id → n_hashes MinHash values: explode shingles once, take the
+    min of each seeded xxhash64 in ONE aggregation pass (no per-seed scans)."""
+    exploded = corpus.select(
+        "doc_id", F.explode(shingles()).alias("shingle")
+    )
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh_{i}")
+        for i in range(n_hashes)
+    ]
+    return exploded.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(signatures: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
+    """Band the signature, hash each band, join within (band, hash) buckets.
+
+    Only bucket-colliding pairs surface — the step that replaces the O(n²)
+    pair space at scale.
+    """
+    rows_per_band = N_MINHASHES // n_bands
+    bands = signatures.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        *[
+                            F.col(f"mh_{b * rows_per_band + r}")
+                            for r in range(rows_per_band)
+                        ]
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band", "band_hash"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def exact_jaccard(corpus: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Verify candidate pairs with exact shingle Jaccard (array ops, no
+    re-explode): |A∩B| / |A∪B| over the distinct shingle sets."""
+    sh = corpus.select("doc_id", shingles().alias("sh"))
+    return (
+        pairs.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
+        .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / F.size(F.array_union("sh_a", "sh_b")),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+
+
+@register(
+    "l2_minhash_lsh",
+    oracle=None,  # MinHash depends on engine hash functions → no SQL oracle;
+    # recall vs exact Jaccard is asserted in tests/test_llm.py
+    doc="L2: MinHash+LSH near-dup — shingle → 16 minhashes (one explode, one "
+    "agg) → 4 bands → bucket join → exact-Jaccard verify ≥ 0.5. The "
+    "banding join is the 100 TB path: only colliding pairs are scored.",
+    tags=("llm", "dedup"),
+)
+def minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = corpus_with_near_dups(spark, sf_dir)
+    pairs = lsh_candidate_pairs(minhash_signatures(corpus))
+    return (
+        exact_jaccard(corpus, pairs)
+        .filter(F.col("jaccard") >= 0.5)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@register(
+    "l2b_ngram_jaccard",
+    oracle=f"""
+    WITH corpus AS ({_CORPUS_ORACLE}),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(string_split_regex(text, '\\s+')) - 2, 1) + 1),
+               i -> array_to_string(string_split_regex(text, '\\s+')[i:i+2], ' ')
+             )) AS sh
+      FROM corpus
+    ),
+    inv AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY doc_a, doc_b
+    )
+    SELECT doc_a, doc_b,
+           round(CAST(n_common AS DOUBLE)
+                 / (len(sa.sh) + len(sb.sh) - n_common), 4) AS jaccard
+    FROM common
+    JOIN sh sa ON sa.doc_id = doc_a
+    JOIN sh sb ON sb.doc_id = doc_b
+    WHERE round(CAST(n_common AS DOUBLE)
+                / (len(sa.sh) + len(sb.sh) - n_common), 4) >= 0.5
+    ORDER BY doc_a, doc_b
+    """,
+    doc="L2: exact n-gram (3-shingle) Jaccard near-dup via inverted-index "
+    "self-join — the ground truth LSH approximates; at scale run only on "
+    "LSH survivors. Inverted index (explode+join on shingle) touches only "
+    "pairs sharing a shingle.",
+    tags=("llm", "dedup"),
+)
+def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = corpus_with_near_dups(spark, sf_dir)
+    inv = corpus.select("doc_id", F.explode(shingles()).alias("shingle"))
+    a = inv.alias("a")
+    b = inv.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sizes = corpus.select("doc_id", F.size(shingles()).alias("n_sh"))
+    jac = (
+        common.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+    return jac.filter(F.col("jaccard") >= 0.5).orderBy("doc_a", "doc_b")
+
+
+N_SIMHASH_BITS = 16  # demo width; production uses 64 — same expression shape
+
+
+def simhash_bits(corpus: DataFrame, n_bits: int = N_SIMHASH_BITS) -> DataFrame:
+    """SimHash: per token hash, each bit votes ±1; fingerprint bit j = sign
+    of the vote sum. One explode + one agg, all JVM expressions."""
+    toks = corpus.select("doc_id", F.explode(tokens()).alias("token")).select(
+        "doc_id", F.xxhash64("token").alias("h")
+    )
+    votes = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"v_{j}")
+            for j in range(n_bits)
+        ]
+    )
+    fingerprint = sum(
+        F.when(F.col(f"v_{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        for j in range(n_bits)
+    )
+    return votes.select("doc_id", fingerprint.cast("bigint").alias("simhash"))
+
+
+@register(
+    "l2c_simhash",
+    oracle=None,  # engine-specific hash → verified structurally in tests
+    doc="L2: SimHash fingerprints + hamming-close pair candidates — "
+    "bit-vote aggregation per doc, then a self-join on bit_count(xor) ≤ 2 "
+    "(at scale: block on fingerprint segments first, Manku et al. style).",
+    tags=("llm", "dedup"),
+)
+def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = corpus_with_near_dups(spark, sf_dir)
+    fp = simhash_bits(corpus)
+    a = fp.alias("a")
+    b = fp.alias("b")
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 2)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@register(
+    "l2d_embedding_neardup",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_cosine_similarity(a.v, b.v), 4) AS cosine
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.3
+    ORDER BY vec_a, vec_b
+    """,
+    doc="L2: embedding-cosine near-dup, blocked by label — the verifier "
+    "shape; at 100 TB the block key becomes LSH hyperplane sign-buckets "
+    "(llm/similarity.py) instead of a label. Cosine in double on both "
+    "engines (DuckDB computes FLOAT[] cosine in float32 otherwise).",
+    tags=("llm", "dedup", "vector"),
+)
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    a = e.alias("a")
+    b = e.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda side: F.sqrt(  # noqa: E731
+        F.aggregate(F.col(f"{side}.v"), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    cos = F.round(dot / (norm("a") * norm("b")), 4)
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.3)
+        .orderBy("vec_a", "vec_b")
+    )

@@ -1,1 +1,234 @@
-"""Placeholder — populated in a later milestone (see SURVEY.md §7 build plan)."""
+"""Multimodal columns: opaque binary payloads + typed metadata (north star).
+
+Pattern: media lives as a ``binary`` column (here synthesized
+deterministically from document text — no image/audio libs ship in this
+environment) with a typed metadata struct beside it; decode / feature-
+extract / frame-sample run as Arrow-batched ``mapInPandas`` stages so the
+bytes never leave the executors. The real codec call is stubbed behind
+:func:`decode_media` (clearly-marked NotImplementedError) with a
+deterministic fake featurizer taking its place; the Spark-side contract —
+schema, batch iteration, fan-out shape, partitioning — is real and tested.
+
+Scale notes (100 TB of media): binary columns ride normal parquet row
+groups, so filters on the *metadata* columns prune scans without touching
+payload bytes (column pruning keeps `content` unread until the UDF stage).
+The mapInPandas stages are per-partition streaming — one Arrow batch in
+flight per task, no driver involvement; frame-sampling fan-out multiplies
+rows executor-side, before any shuffle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mric_bak_etl_spark.catalog import register
+from mric_bak_etl_spark.tables import load_table
+
+_MEDIA_TYPES = ["image", "audio", "video"]
+
+
+def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → synthetic media rows: payload = utf-8 bytes of the text,
+    media_type assigned deterministically, metadata struct alongside."""
+    d = load_table(spark, sf_dir, "documents")
+    media_type = F.element_at(
+        F.array(*[F.lit(t) for t in _MEDIA_TYPES]), (F.col("doc_id") % 3 + 1).cast("int")
+    )
+    return d.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("content"),
+        F.struct(
+            media_type.alias("media_type"),
+            F.octet_length(F.encode("text", "UTF-8")).alias("n_bytes"),
+            (F.col("n_chars") % 640 + 1).cast("int").alias("width"),
+            (F.col("n_chars") % 480 + 1).cast("int").alias("height"),
+        ).alias("meta"),
+    )
+
+
+@register(
+    "m1_multimodal_metadata",
+    oracle="""
+    SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio'
+                ELSE 'video' END                          AS media_type,
+           count(*)                                       AS n_items,
+           CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+           round(avg(n_chars % 640 + 1), 4)               AS avg_width
+    FROM documents
+    GROUP BY media_type
+    ORDER BY media_type
+    """,
+    doc="Multimodal metadata layer: binary payload + typed metadata struct; "
+    "aggregations touch ONLY metadata columns, so the parquet scan prunes "
+    "the payload bytes entirely (ReadSchema excludes `content`).",
+    tags=("llm", "multimodal"),
+)
+def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = media_table(spark, sf_dir)
+    return (
+        m.groupBy(F.col("meta.media_type").alias("media_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("meta.n_bytes").cast("bigint").alias("total_bytes"),
+            F.round(F.avg("meta.width"), 4).alias("avg_width"),
+        )
+        .orderBy("media_type")
+    )
+
+
+def decode_media(content: bytes, media_type: str) -> object:
+    """Real codec hook — image/audio/video libraries are not available in
+    this environment. STUB: raises until a codec dependency is wired in.
+
+    The deterministic fake featurizer below stands in so the surrounding
+    Spark plumbing (schema, batching, fan-out) is fully exercised.
+    """
+    raise NotImplementedError(
+        f"no codec available for media_type={media_type!r}; "
+        "install pillow/torchaudio/pyav and route decode_media to it"
+    )
+
+
+_FEATURE_DIM = 8
+FEATURE_SCHEMA = (
+    "media_id long, media_type string, n_bytes long, "
+    "mean_byte double, features array<double>"
+)
+
+
+def _fake_features(payload: bytes) -> list[float]:
+    """Deterministic stand-in for a decoded-media embedding: byte-histogram
+    moments over _FEATURE_DIM equal slices. Pure bytes math — stable across
+    runs, engines, and partitionings."""
+    n = max(len(payload), 1)
+    step = max(n // _FEATURE_DIM, 1)
+    out = []
+    for i in range(_FEATURE_DIM):
+        chunk = payload[i * step : (i + 1) * step] or b"\x00"
+        out.append(round(sum(chunk) / len(chunk) / 255.0, 6))
+    return out
+
+
+def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = {k: [] for k in ("media_id", "media_type", "n_bytes", "mean_byte", "features")}
+        for mid, content, mtype in zip(pdf["media_id"], pdf["content"], pdf["media_type"]):
+            payload = bytes(content)
+            rows["media_id"].append(mid)
+            rows["media_type"].append(mtype)
+            rows["n_bytes"].append(len(payload))
+            rows["mean_byte"].append(
+                round(sum(payload) / max(len(payload), 1) / 255.0, 6)
+            )
+            rows["features"].append(_fake_features(payload))
+        yield pd.DataFrame(rows)
+
+
+@register(
+    "m2_feature_extract",
+    oracle=None,  # pandas-UDF stage; deterministic, but bytes math has no
+    # tractable SQL mirror — structurally verified in tests/test_llm.py
+    doc="Multimodal feature extraction: mapInPandas over (payload, "
+    "metadata) → fixed-dim feature vectors; Arrow-batched, executor-"
+    "local, schema-contracted. Real codec stubbed (decode_media), "
+    "deterministic byte-moment featurizer exercises the plumbing.",
+    tags=("llm", "multimodal", "udf"),
+)
+def feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = media_table(spark, sf_dir).select(
+        "media_id", "content", F.col("meta.media_type").alias("media_type")
+    )
+    feats = m.mapInPandas(_extract_batches, schema=FEATURE_SCHEMA)
+    return feats.select(
+        "media_id",
+        "media_type",
+        "n_bytes",
+        "mean_byte",
+        F.round(F.aggregate("features", F.lit(0.0), lambda a, x: a + x), 4).alias(
+            "feature_sum"
+        ),
+    ).orderBy("media_id")
+
+
+_FRAME_SCHEMA = "media_id long, frame_no int, frame_bytes long"
+_FRAME_SIZE = 64  # bytes per fake "frame"
+_FRAME_STRIDE = 4  # sample every 4th frame
+
+
+def _sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out = {"media_id": [], "frame_no": [], "frame_bytes": []}
+        for mid, content in zip(pdf["media_id"], pdf["content"]):
+            payload = bytes(content)
+            n_frames = max(len(payload) // _FRAME_SIZE, 1)
+            for frame_no in range(0, n_frames, _FRAME_STRIDE):
+                chunk = payload[frame_no * _FRAME_SIZE : (frame_no + 1) * _FRAME_SIZE]
+                out["media_id"].append(mid)
+                out["frame_no"].append(frame_no)
+                out["frame_bytes"].append(len(chunk))
+        yield pd.DataFrame(out)
+
+
+@register(
+    "m3_frame_sample",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(ceil(greatest(octet_length(encode(text)) // 64, 1) / 4.0) AS BIGINT)
+             AS n_sampled_frames
+    FROM documents
+    ORDER BY media_id
+    """,
+    doc="Multimodal frame sampling: mapInPandas fan-out — one 'video' row "
+    "explodes to every 4th 64-byte frame (UDTF shape); count per media "
+    "checked against the closed-form oracle. At scale the fan-out happens "
+    "executor-side before any shuffle.",
+    tags=("llm", "multimodal", "udf"),
+)
+def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = media_table(spark, sf_dir).select("media_id", "content")
+    frames = m.mapInPandas(_sample_frames, schema=_FRAME_SCHEMA)
+    return (
+        frames.groupBy("media_id")
+        .agg(F.count(F.lit(1)).alias("n_sampled_frames"))
+        .orderBy("media_id")
+    )
+
+
+@register(
+    "x2_grouped_pandas_agg",
+    oracle="""
+    SELECT lang,
+           round(sum(n_chars * CAST(doc_id + 1 AS DOUBLE))
+                 / sum(CAST(doc_id + 1 AS DOUBLE)), 4) AS weighted_chars
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    doc="X2: user-defined aggregate via applyInPandas — per-group pandas "
+    "weighted mean (one row out per group), the UDAF escape hatch when "
+    "built-in aggregates can't express the math; oracle-checked against "
+    "the closed-form SQL.",
+    tags=("llm", "udf"),
+)
+def grouped_pandas_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("lang", "doc_id", "n_chars")
+
+    def weighted(pdf: pd.DataFrame) -> pd.DataFrame:
+        w = (pdf["doc_id"] + 1).astype("float64")
+        return pd.DataFrame(
+            {
+                "lang": [pdf["lang"].iloc[0]],
+                "weighted_chars": [round((pdf["n_chars"] * w).sum() / w.sum(), 4)],
+            }
+        )
+
+    return (
+        d.groupBy("lang")
+        .applyInPandas(weighted, schema="lang string, weighted_chars double")
+        .orderBy("lang")
+    )

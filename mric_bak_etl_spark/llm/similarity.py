@@ -1,1 +1,187 @@
-"""Placeholder — populated in a later milestone (see SURVEY.md §7 build plan)."""
+"""Vector similarity search over embedding columns (SURVEY.md §2B L3).
+
+Two strategies over ``array<float>`` embeddings:
+
+- **brute-force cosine top-k** — exact; one pass, zip_with dot product +
+  TakeOrderedAndProject. The baseline and the verifier.
+- **LSH-bucketed ANN** — sign-bit bucketing (random-hyperplane LSH where
+  the hyperplanes are axis-aligned dimension picks, fully deterministic and
+  engine-independent, so it IS oracle-checkable): search only the query's
+  bucket. The 100 TB shape: bucket = shuffle key, query side broadcast.
+
+Scale notes: brute force at 100 TB is a full scan per query — fine for
+batch scoring (it pipelines, no shuffle), wrong for interactive lookup.
+The bucketed variant prunes to ~n/2^b candidates; production systems add
+multi-probe (flip one bit) to recover recall, which is `a9`-style union of
+hamming-1 buckets — the probe list is tiny and broadcast. An IVF variant
+(k-means centroids → nearest-centroid bucket) has the same join shape;
+centroid fitting is out of scope here (no MLlib dependency), the bucketed
+path demonstrates the physical plan that matters.
+
+All cosine math is done in DOUBLE on both engines (DuckDB computes FLOAT[]
+cosine in float32 otherwise — off by ~1e-7, which breaks value hashes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mric_bak_etl_spark.catalog import register
+from mric_bak_etl_spark.tables import load_table
+
+QUERY_VEC_ID = 0  # deterministic query: the embedding of vec_id 0
+TOP_K = 10
+SIGN_DIMS = (0, 13, 27, 41)  # axis-aligned "hyperplanes" for the LSH demo
+
+
+def _as_double(col: str = "embedding") -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _cosine(v_a: Column, v_b: Column) -> Column:
+    dot = F.aggregate(
+        F.zip_with(v_a, v_b, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    n_a = F.sqrt(F.aggregate(v_a, F.lit(0.0), lambda a, x: a + x * x))
+    n_b = F.sqrt(F.aggregate(v_b, F.lit(0.0), lambda a, x: a + x * x))
+    return dot / (n_a * n_b)
+
+
+def brute_force_topk(
+    embeddings: DataFrame, query: DataFrame, k: int = TOP_K
+) -> DataFrame:
+    """Exact cosine top-k: broadcast the 1-row query against the corpus —
+    no shuffle of the big side; TakeOrderedAndProject keeps k per partition.
+    """
+    joined = embeddings.crossJoin(F.broadcast(query.select(F.col("v").alias("qv"))))
+    return (
+        joined.select(
+            "vec_id",
+            F.round(_cosine(F.col("v"), F.col("qv")), 4).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(k)
+    )
+
+
+@register(
+    "l3_cosine_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         q AS (SELECT v AS qv FROM e WHERE vec_id = {QUERY_VEC_ID})
+    SELECT e.vec_id, round(list_cosine_similarity(e.v, q.qv), 4) AS cosine
+    FROM e, q
+    WHERE e.vec_id <> {QUERY_VEC_ID}
+    ORDER BY cosine DESC, e.vec_id ASC
+    LIMIT {TOP_K}
+    """,
+    doc="L3: brute-force cosine top-k (query = embedding of vec_id 0) — "
+    "broadcast 1-row query, zip_with dot product, TakeOrderedAndProject; "
+    "exact baseline every ANN variant is measured against.",
+    tags=("llm", "vector"),
+)
+def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double().alias("v")
+    )
+    query = e.filter(F.col("vec_id") == QUERY_VEC_ID)
+    corpus = e.filter(F.col("vec_id") != QUERY_VEC_ID)
+    return brute_force_topk(corpus, query)
+
+
+def sign_bucket(v: Column, dims: tuple[int, ...] = SIGN_DIMS) -> Column:
+    """LSH bucket id: sign bits of the picked dimensions packed to an int.
+    Deterministic and engine-independent (no hash function involved)."""
+    return sum(
+        F.when(F.element_at(v, d + 1) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        for i, d in enumerate(dims)
+    ).cast("int")
+
+
+@register(
+    "l3b_ann_lsh_bucket",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             (CASE WHEN embedding[{SIGN_DIMS[0] + 1}] > 0 THEN 1 ELSE 0 END
+            + CASE WHEN embedding[{SIGN_DIMS[1] + 1}] > 0 THEN 2 ELSE 0 END
+            + CASE WHEN embedding[{SIGN_DIMS[2] + 1}] > 0 THEN 4 ELSE 0 END
+            + CASE WHEN embedding[{SIGN_DIMS[3] + 1}] > 0 THEN 8 ELSE 0 END) AS bucket
+      FROM embeddings
+    ),
+    q AS (SELECT v AS qv, bucket AS qbucket FROM e WHERE vec_id = {QUERY_VEC_ID})
+    SELECT e.vec_id, round(list_cosine_similarity(e.v, q.qv), 4) AS cosine
+    FROM e, q
+    WHERE xor(e.bucket, q.qbucket) IN (0, 1, 2, 4, 8)
+      AND e.vec_id <> {QUERY_VEC_ID}
+    ORDER BY cosine DESC, e.vec_id ASC
+    LIMIT {TOP_K}
+    """,
+    doc="L3: ANN via sign-bit LSH bucketing with multi-probe — candidates "
+    "pruned to the query's bucket plus its hamming-1 neighbors (5 of 16 "
+    "buckets) before exact scoring; the bucket id is the shuffle/"
+    "partition key at scale, and the probe list is tiny + broadcast. "
+    "Recall vs brute force asserted in tests.",
+    tags=("llm", "vector"),
+)
+def ann_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double().alias("v")
+    ).withColumn("bucket", sign_bucket(F.col("v")))
+    query = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("v").alias("qv"), F.col("bucket").alias("qbucket")
+    )
+    # Multi-probe: query bucket + every hamming-1 bucket (flip one sign bit).
+    probes = [0] + [1 << i for i in range(len(SIGN_DIMS))]
+    candidates = e.join(
+        F.broadcast(query),
+        F.col("bucket").bitwiseXOR(F.col("qbucket")).isin(probes),
+    ).filter(F.col("vec_id") != QUERY_VEC_ID)
+    return (
+        candidates.select(
+            "vec_id", F.round(_cosine(F.col("v"), F.col("qv")), 4).alias("cosine")
+        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(TOP_K)
+    )
+
+
+@register(
+    "l3c_grouped_centroids",
+    oracle="""
+    WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    dims AS (SELECT label, unnest(v) AS x,
+                    generate_subscripts(v, 1) AS dim
+             FROM e)
+    SELECT label, CAST(count(DISTINCT dim) AS INTEGER) AS dim_count,
+           round(avg(CASE WHEN dim = 1 THEN x END), 4) AS centroid_d1,
+           round(avg(x), 4) AS mean_component
+    FROM dims
+    GROUP BY label
+    ORDER BY label
+    """,
+    doc="L3 support: per-label centroid statistics — element-wise vector "
+    "mean via posexplode+groupBy, the building block for IVF centroid "
+    "assignment; shuffle carries (label, dim) partial sums only.",
+    tags=("llm", "vector"),
+)
+def grouped_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "label", _as_double().alias("v")
+    )
+    dims = e.select("label", F.posexplode("v").alias("dim0", "x"))
+    per_dim = dims.groupBy("label", "dim0").agg(
+        F.avg("x").alias("dim_mean"), F.count(F.lit(1)).alias("n")
+    )
+    return (
+        per_dim.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("dim_count"),
+            F.round(
+                F.sum(F.when(F.col("dim0") == 0, F.col("dim_mean")).otherwise(0.0)), 4
+            ).alias("centroid_d1"),
+            F.round(F.avg("dim_mean"), 4).alias("mean_component"),
+        )
+        .orderBy("label")
+    )

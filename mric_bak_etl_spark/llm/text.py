@@ -1,1 +1,268 @@
-"""Placeholder — populated in a later milestone (see SURVEY.md §7 build plan)."""
+"""Text analysis for training-data pipelines (SURVEY.md §2B L4/L5 + the
+north-star text suite: language-ID, quality scoring, token counting,
+fingerprinting).
+
+Everything is built from codegen'd Catalyst expressions — split/explode/
+higher-order array functions/regexp — no Python in any hot path; these are
+exactly the ops that must stay JVM-side when the documents table is 100 TB.
+
+Scale notes: tokenize+explode multiplies rows by ~tokens/doc before the TF
+aggregation — partial aggregation absorbs most of it map-side, but for
+vocabulary-scale outputs (not top-k) expect the shuffle to carry one row
+per (partition, term). Per-document scores (quality, langid, fingerprint,
+token counts) are embarrassingly parallel projections: no shuffle at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mric_bak_etl_spark.catalog import register
+from mric_bak_etl_spark.tables import load_table
+
+# Tiny built-in marker lexicons for the language-ID heuristic. Deliberately
+# small and deterministic — the mechanism (token-overlap scoring) is what
+# scales; swap lexicons for real fastText-style models via the multimodal
+# UDF path when available.
+_LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "is"],
+    "es": ["el", "la", "de", "que", "y"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "est"],
+}
+
+_STOPWORDS = ["the", "a", "of", "and", "is", "to", "in"]
+
+# BPE-ish pre-tokenization: letter runs, digit runs, single punctuation —
+# the GPT-2-style pre-split shape, minus unicode categories.
+_BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokens(col: str | Column = "text") -> Column:
+    """Whitespace tokenization as a reusable expression."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(c, r"\s+")
+
+
+def _marker_score(toks: Column, markers: list[str]) -> Column:
+    arr = F.array(*[F.lit(m) for m in markers])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+
+@register(
+    "l4_tokenize_tf",
+    oracle="""
+    SELECT term, count(*) AS tf
+    FROM (SELECT unnest(string_split_regex(text, '\\s+')) AS term FROM documents)
+    WHERE term <> ''
+    GROUP BY term
+    ORDER BY tf DESC, term ASC
+    LIMIT 20
+    """,
+    doc="L4: tokenize → explode → term-frequency, top-20 — split+explode+"
+    "groupBy with map-side partial agg; term ASC tiebreak keeps top-k "
+    "deterministic.",
+    tags=("llm", "text"),
+)
+def tokenize_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(tokens()).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .orderBy(F.col("tf").desc(), F.col("term").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "l5_slice_stats",
+    oracle="""
+    SELECT lang, source,
+           count(*)                                            AS n_docs,
+           round(avg(n_chars), 4)                              AS avg_chars,
+           CAST(sum(len(string_split_regex(text, '\\s+'))) AS BIGINT) AS total_tokens
+    FROM documents
+    GROUP BY lang, source
+    ORDER BY lang, source
+    """,
+    doc="L5: corpus slice statistics by (lang, source) — the partition-"
+    "health view a curation pipeline watches; one narrow shuffle.",
+    tags=("llm", "text"),
+)
+def slice_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.sum(F.size(tokens())).cast("bigint").alias("total_tokens"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+@register(
+    "tx_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(string_split_regex(text, '\\s+')) AS INTEGER)      AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '{_BPE_RE}')) AS INTEGER) AS bpe_tokens
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="Token counting: whitespace tokens and a BPE-ish regex pre-"
+    "tokenization count (letter runs / digit runs / punctuation) — the "
+    "budget estimator for training-data sizing; pure projection, no "
+    "shuffle.",
+    tags=("llm", "text"),
+)
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            F.size(tokens()).alias("ws_tokens"),
+            F.size(F.regexp_extract_all("text", F.lit(_BPE_RE), 0)).alias("bpe_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _langid_cases() -> tuple[Column, Column]:
+    toks = tokens()
+    scores = {
+        lang: _marker_score(toks, markers) for lang, markers in _LANG_MARKERS.items()
+    }
+    # CJK presence trumps token markers (matches the oracle's CASE order);
+    # then argmax over marker scores with fixed en>es>de>fr precedence.
+    best = F.greatest(*scores.values())
+    detected = (
+        F.when(F.col("text").rlike(r"[一-鿿]"), "zh")
+        .when(best == 0, "unknown")
+        .when(scores["en"] == best, "en")
+        .when(scores["es"] == best, "es")
+        .when(scores["de"] == best, "de")
+        .otherwise("fr")
+    )
+    return detected, best
+
+
+@register(
+    "tx_langid",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, lang AS labeled_lang, text,
+             len(list_filter(string_split_regex(text, '\\s+'),
+                 t -> list_contains(['the','a','of','and','is'], t)))  AS s_en,
+             len(list_filter(string_split_regex(text, '\\s+'),
+                 t -> list_contains(['el','la','de','que','y'], t)))   AS s_es,
+             len(list_filter(string_split_regex(text, '\\s+'),
+                 t -> list_contains(['der','die','und','das','ist'], t))) AS s_de,
+             len(list_filter(string_split_regex(text, '\\s+'),
+                 t -> list_contains(['le','la','et','les','est'], t))) AS s_fr
+      FROM documents
+    )
+    SELECT doc_id, labeled_lang,
+           CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+                WHEN greatest(s_en, s_es, s_de, s_fr) = 0 THEN 'unknown'
+                WHEN s_en = greatest(s_en, s_es, s_de, s_fr) THEN 'en'
+                WHEN s_es = greatest(s_en, s_es, s_de, s_fr) THEN 'es'
+                WHEN s_de = greatest(s_en, s_es, s_de, s_fr) THEN 'de'
+                ELSE 'fr' END AS detected_lang,
+           CAST(greatest(s_en, s_es, s_de, s_fr) AS INTEGER) AS marker_hits
+    FROM scored
+    ORDER BY doc_id
+    """,
+    doc="Language-ID: n-gram/stopword-marker scoring with deterministic "
+    "argmax + CJK charset short-circuit. The lexicons are demo-sized; the "
+    "shape (token-overlap scores → argmax, zero Python) is the 100 TB "
+    "mechanism.",
+    tags=("llm", "text"),
+)
+def langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    detected, best = _langid_cases()
+    return (
+        d.select(
+            "doc_id",
+            F.col("lang").alias("labeled_lang"),
+            detected.alias("detected_lang"),
+            best.cast("int").alias("marker_hits"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "tx_quality_score",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split_regex(text, '\\s+')) AS INTEGER) AS n_tokens,
+           round(CAST(length(text) AS DOUBLE)
+                 / len(string_split_regex(text, '\\s+')), 4)      AS mean_token_len,
+           round(CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                       t -> list_contains(['the','a','of','and','is','to','in'], t)))
+                 AS DOUBLE) / len(string_split_regex(text, '\\s+')), 4) AS stopword_ratio,
+           round(CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))
+                 AS DOUBLE) / length(text), 4)                    AS punct_ratio
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="Quality scoring: token count, mean token length, stopword ratio, "
+    "punctuation ratio — the standard cheap heuristics (Gopher/C4-style "
+    "rules) as pure projections; threshold downstream with a filter.",
+    tags=("llm", "text"),
+)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens()
+    n_tokens = F.size(toks)
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    return (
+        d.select(
+            "doc_id",
+            n_tokens.alias("n_tokens"),
+            F.round(F.length("text").cast("double") / n_tokens, 4).alias(
+                "mean_token_len"
+            ),
+            F.round(
+                F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+                .cast("double")
+                / n_tokens,
+                4,
+            ).alias("stopword_ratio"),
+            F.round(
+                F.length(F.regexp_replace("text", r"[a-zA-Z0-9\s]", "")).cast("double")
+                / F.length("text"),
+                4,
+            ).alias("punct_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "tx_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(
+               string_split_regex(text, '\\s+'))), ' ')) AS fingerprint
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="Document fingerprinting: canonicalize (distinct sorted tokens) → "
+    "md5 — an order-insensitive content fingerprint for fast exact-ish "
+    "dedup joins; both engines agree on md5 so this is oracle-exact.",
+    tags=("llm", "text"),
+)
+def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    canonical = F.array_join(F.array_sort(F.array_distinct(tokens())), " ")
+    return (
+        d.select("doc_id", F.md5(canonical).alias("fingerprint"))
+        .orderBy("doc_id")
+    )

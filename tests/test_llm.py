@@ -1,0 +1,99 @@
+"""LLM-operator checks DuckDB can't arbitrate (SURVEY.md §5.2):
+MinHash-LSH recall vs exact Jaccard, SimHash near-dup behavior, ANN bucket
+recall vs brute force, and the multimodal pandas-stage contract."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mric_bak_etl_spark.llm.dedup import (
+    corpus_with_near_dups,
+    exact_jaccard,
+    lsh_candidate_pairs,
+    minhash_lsh,
+    minhash_signatures,
+    ngram_jaccard,
+    simhash_pairs,
+)
+from mric_bak_etl_spark.llm.multimodal import (
+    decode_media,
+    feature_extract,
+    media_table,
+)
+from mric_bak_etl_spark.llm.similarity import ann_lsh_bucket, cosine_topk
+
+
+def test_corpus_injects_known_near_dups(spark, sf_dir):
+    corpus = corpus_with_near_dups(spark, sf_dir)
+    n_docs = corpus.filter(F.col("doc_id") < 1_000_000).count()
+    n_variants = corpus.filter(F.col("doc_id") >= 1_000_000).count()
+    assert n_variants == spark.range(0).count() + (n_docs + 9) // 10
+
+
+def test_minhash_lsh_recall_vs_exact(spark, sf_dir):
+    # Every injected variant pair (doc, doc+1M) has Jaccard ≳ 0.8; with
+    # 4 bands × 4 rows the collision probability at j=0.8 is
+    # 1-(1-0.8^4)^4 ≈ 0.93 per pair — demand ≥ 80% recall overall, and
+    # require that everything LSH returns is truly ≥ the 0.5 threshold
+    # (precision 1.0 by construction: pairs are exact-verified).
+    lsh = {(r["doc_a"], r["doc_b"]) for r in minhash_lsh(spark, sf_dir).collect()}
+    exact = {(r["doc_a"], r["doc_b"]) for r in ngram_jaccard(spark, sf_dir).collect()}
+    assert lsh <= exact  # verify step guarantees no false positives
+    assert len(exact) > 0
+    recall = len(lsh & exact) / len(exact)
+    assert recall >= 0.8, f"LSH recall {recall:.2f} over {len(exact)} true pairs"
+
+
+def test_minhash_signature_shape(spark, sf_dir):
+    sigs = minhash_signatures(corpus_with_near_dups(spark, sf_dir))
+    assert len([c for c in sigs.columns if c.startswith("mh_")]) == 16
+    # Signatures are deterministic across evaluations.
+    a = sorted(map(tuple, sigs.collect()))
+    b = sorted(map(tuple, sigs.collect()))
+    assert a == b
+
+
+def test_simhash_flags_injected_variants(spark, sf_dir):
+    pairs = simhash_pairs(spark, sf_dir).collect()
+    flagged = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    injected = {
+        (r["doc_a"], r["doc_b"])
+        for r in ngram_jaccard(spark, sf_dir)
+        .filter((F.col("doc_b") - F.col("doc_a") == 1_000_000) & (F.col("jaccard") >= 0.8))
+        .collect()
+    }
+    assert injected, "fixture should contain high-jaccard variant pairs"
+    hit = len(flagged & injected) / len(injected)
+    # 16-bit demo simhash on near-identical token multisets: most variant
+    # pairs land within hamming ≤ 2.
+    assert hit >= 0.6, f"simhash hit-rate {hit:.2f}"
+
+
+def test_ann_bucket_subset_of_brute_force_scores(spark, sf_dir):
+    brute = {r["vec_id"]: r["cosine"] for r in cosine_topk(spark, sf_dir).collect()}
+    ann = {r["vec_id"]: r["cosine"] for r in ann_lsh_bucket(spark, sf_dir).collect()}
+    # ANN scores are exact cosines (pruning only affects candidate set).
+    for vec_id, cos in ann.items():
+        if vec_id in brute:
+            assert abs(brute[vec_id] - cos) < 1e-9
+    # The query's own bucket must recover a decent share of the true top-k.
+    assert len(set(ann) & set(brute)) >= 3
+
+
+def test_media_decode_is_stubbed(spark, sf_dir):
+    with pytest.raises(NotImplementedError):
+        decode_media(b"bytes", "image")
+
+
+def test_feature_extract_contract(spark, sf_dir):
+    m = media_table(spark, sf_dir)
+    assert dict(m.dtypes)["content"] == "binary"
+    feats = feature_extract(spark, sf_dir)
+    rows = feats.collect()
+    assert len(rows) == m.count()
+    # Deterministic across runs (no RNG, no partition dependence).
+    again = feature_extract(spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    r0 = next(r for r in rows if r["media_id"] == 0)
+    assert 0.0 <= r0["mean_byte"] <= 1.0
