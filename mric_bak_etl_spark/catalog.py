@@ -62,6 +62,7 @@ def register(
 def _load_modules() -> None:
     """Import every module that registers queries (idempotent)."""
     import mric_bak_etl_spark.operators.aggregates  # noqa: F401
+    import mric_bak_etl_spark.operators.projection  # noqa: F401
     import mric_bak_etl_spark.operators.joins  # noqa: F401
     import mric_bak_etl_spark.operators.setops  # noqa: F401
     import mric_bak_etl_spark.operators.sort  # noqa: F401

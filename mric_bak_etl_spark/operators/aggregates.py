@@ -186,6 +186,38 @@ def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a4c_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 4) AS qty_O,
+           round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 4) AS qty_F
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="A4: pivot — wide-format aggregation; with explicit pivot values "
+    "Spark plans ONE aggregate pass (no second value-discovery job), which "
+    "is the only acceptable form at scale.",
+    tags=("agg",),
+)
+def pivot_quantities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    pivoted = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])  # explicit values: single pass
+        .agg(F.round(F.sum("l_quantity"), 4))
+    )
+    return (
+        pivoted.select(
+            "l_returnflag",
+            F.col("O").alias("qty_O"),
+            F.col("F").alias("qty_F"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
     "a5_global_agg_guard",
     oracle="""
     SELECT count(*)                                        AS n_rows,

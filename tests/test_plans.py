@@ -1,0 +1,87 @@
+"""Physical-plan audit (SURVEY.md §4.2 / the 100 TB posture).
+
+Correctness tests prove the answers are right; these prove the PLANS are
+right — the properties that decide whether an operator survives a 100×
+scale-up: filters pushed to the parquet reader, projections pruned into
+ReadSchema, dimension joins broadcast, no Python in JVM-only pipelines,
+top-k compiled to TakeOrderedAndProject rather than a global sort.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from mric_bak_etl_spark.catalog import all_specs
+from mric_bak_etl_spark.operators.joins import broadcast_dims
+from mric_bak_etl_spark.operators.projection import filter_predicates, parquet_scan
+from mric_bak_etl_spark.operators.sort import topk_orders
+from mric_bak_etl_spark.operators.aggregates import pricing_summary
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_filter_pushdown_reaches_parquet(spark, sf_dir):
+    plan = plan_of(filter_predicates(spark, sf_dir))
+    assert "PushedFilters: [" in plan
+    # At least the sargable conjuncts arrive at the scan.
+    assert "GreaterThanOrEqual(p_size,10)" in plan
+    assert "In(p_brand" in plan
+    assert "IsNotNull(p_retailprice)" in plan
+
+
+def test_column_pruning_shrinks_read_schema(spark, sf_dir):
+    plan = plan_of(parquet_scan(spark, sf_dir))
+    # 11-column lineitem, 1 referenced column: ReadSchema carries only it.
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_shipdate" in read_schema
+    assert "l_extendedprice" not in read_schema
+    assert "l_orderkey" not in read_schema
+
+
+def test_dimension_joins_are_broadcast(spark, sf_dir):
+    plan = plan_of(broadcast_dims(spark, sf_dir))
+    # Both dimension joins broadcast (tree + detail sections each mention
+    # the node, so count the tree lines), and nothing fell back to SMJ.
+    tree = plan.split("(1) Scan")[0]
+    assert tree.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_topk_is_take_ordered_not_global_sort(spark, sf_dir):
+    plan = plan_of(topk_orders(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_flagship_is_whole_stage_codegen_and_partial_agg(spark, sf_dir):
+    simple = plan_of(pricing_summary(spark, sf_dir), "simple")
+    # Two-phase hash aggregation: partial (map-side) combine before the
+    # exchange — the property that keeps the shuffle proportional to group
+    # count, not row count. (Codegen markers only appear in the post-AQE
+    # final plan, so partial_sum is the reliable static signal.)
+    assert "partial_sum" in simple
+    tree = plan_of(pricing_summary(spark, sf_dir)).split("(1) Scan")[0]
+    assert tree.count("HashAggregate") == 2
+    assert "Exchange" in tree
+
+
+def test_no_python_udfs_outside_declared_pandas_stages(spark, sf_dir):
+    # Every catalog query except the declared pandas stages must stay
+    # JVM-side: no BatchEvalPython / ArrowEvalPython in the plan.
+    pandas_ok = {"x1_unzip_payload", "m2_feature_extract", "m3_frame_sample",
+                 "x2_grouped_pandas_agg"}
+    offenders = []
+    for name, spec in sorted(all_specs().items()):
+        if name in pandas_ok:
+            continue
+        plan = plan_of(spec.builder(spark, sf_dir))
+        if "EvalPython" in plan or "MapInPandas" in plan or "FlatMapGroupsInPandas" in plan:
+            offenders.append(name)
+    assert not offenders, f"Python crept into JVM-only queries: {offenders}"
