@@ -57,8 +57,12 @@ def main() -> None:
     specs = all_specs()
     names = [n for n in HEADLINE if n in specs]
 
-    # Warm-up: JVM JIT, codegen cache, parquet footer reads.
-    materialize(specs[names[0]].builder(spark, sf_dir))
+    # Warm-up: one untimed pass over every query — JVM JIT, per-query
+    # codegen, parquet footers, and the Python worker pool (the pandas
+    # stages otherwise pay ~2 s of worker spin-up in the measured run).
+    # Steady-state is what a long-lived cluster session observes.
+    for name in names:
+        materialize(specs[name].builder(spark, sf_dir))
 
     timings: dict[str, float] = {}
     for name in names:

@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 
 from mric_bak_etl_spark.catalog import register
 from mric_bak_etl_spark.llm.text import tokens
-from mric_bak_etl_spark.tables import load_table
+from mric_bak_etl_spark.tables import load_table, spread
 
 N_MINHASHES = 16
 N_BANDS = 4  # 4 rows per band → threshold ≈ (1/4)^(1/4) ≈ 0.71 Jaccard
@@ -57,7 +57,11 @@ def corpus_with_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("text"),
         )
     )
-    return d.unionByName(variants)
+    # Hash-spread on doc_id: the corpus files are single-row-group parquet,
+    # so without this every downstream shingle/minhash stage runs as one
+    # task (tables.spread); doc_id keying lets per-doc aggregations reuse
+    # the exchange.
+    return spread(d.unionByName(variants), "doc_id")
 
 
 _CORPUS_ORACLE = """
@@ -109,11 +113,33 @@ def shingles(text_col: str = "text", k: int = SHINGLE_K) -> Column:
     )
 
 
+def shingle_hashes(text_col: str = "text", k: int = SHINGLE_K) -> Column:
+    """Token k-shingles hashed straight to int64 (distinct).
+
+    MinHash and the Jaccard verify only ever consume shingle *identity*,
+    so materializing each shingle as a string (k-token join per position)
+    buys nothing — hashing the k tokens directly skips ~|tokens| string
+    allocations per document, and downstream set ops compare longs, not
+    strings. Collision odds at 64 bits are negligible next to the MinHash
+    approximation itself. `l2b_ngram_jaccard` keeps the string form, where
+    the DuckDB oracle needs real shingles.
+    """
+    toks = tokens(text_col)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.xxhash64(*[F.try_element_at(toks, i + j) for j in range(k)]),
+        )
+    )
+
+
 def minhash_signatures(corpus: DataFrame, n_hashes: int = N_MINHASHES) -> DataFrame:
-    """doc_id → n_hashes MinHash values: explode shingles once, take the
-    min of each seeded xxhash64 in ONE aggregation pass (no per-seed scans)."""
+    """doc_id → n_hashes MinHash values: explode shingle hashes once, take
+    the min of each seeded xxhash64 in ONE aggregation pass (no per-seed
+    scans)."""
     exploded = corpus.select(
-        "doc_id", F.explode(shingles()).alias("shingle")
+        "doc_id", F.explode(shingle_hashes()).alias("shingle")
     )
     aggs = [
         F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh_{i}")
@@ -122,11 +148,20 @@ def minhash_signatures(corpus: DataFrame, n_hashes: int = N_MINHASHES) -> DataFr
     return exploded.groupBy("doc_id").agg(*aggs)
 
 
-def lsh_candidate_pairs(signatures: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
-    """Band the signature, hash each band, join within (band, hash) buckets.
+def lsh_candidate_pairs(
+    signatures: DataFrame, n_bands: int = N_BANDS, max_bucket: int = 10_000
+) -> DataFrame:
+    """Band the signature, hash each band, pair up docs within each
+    (band, hash) bucket.
 
     Only bucket-colliding pairs surface — the step that replaces the O(n²)
-    pair space at scale.
+    pair space at scale. Pairing is done by grouping the bucket's members
+    and expanding i<j combinations JVM-side (collect_list + nested
+    transform), not by self-joining the banded table: a self-join would
+    evaluate the whole signature DAG twice, and its shuffle carries the
+    banded rows two times. ``max_bucket`` drops degenerate buckets
+    (boilerplate text colliding everywhere) — the standard cap that bounds
+    the per-bucket O(b²) expansion; sized far above anything in testdata.
     """
     rows_per_band = N_MINHASHES // n_bands
     bands = signatures.select(
@@ -145,26 +180,45 @@ def lsh_candidate_pairs(signatures: DataFrame, n_bands: int = N_BANDS) -> DataFr
             )
         ).alias("band", "band_hash"),
     )
-    a = bands.alias("a")
-    b = bands.alias("b")
+    buckets = (
+        bands.groupBy("band", "band_hash")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
+    )
+    pair_structs = F.filter(
+        F.flatten(
+            F.transform(
+                "ids",
+                lambda a: F.transform(
+                    "ids", lambda b: F.struct(a.alias("doc_a"), b.alias("doc_b"))
+                ),
+            )
+        ),
+        lambda p: p["doc_a"] < p["doc_b"],
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
 
 
 def exact_jaccard(corpus: DataFrame, pairs: DataFrame) -> DataFrame:
     """Verify candidate pairs with exact shingle Jaccard (array ops, no
-    re-explode): |A∩B| / |A∪B| over the distinct shingle sets."""
-    sh = corpus.select("doc_id", shingles().alias("sh"))
+    re-explode): |A∩B| / |A∪B| over the distinct shingle sets.
+
+    Sets are hashed shingles (int64), so the intersect/union compares
+    longs, not strings; Jaccard is identical modulo 64-bit collisions.
+
+    The pair side is small (LSH survivors), so both joins broadcast it and
+    the corpus is never shuffled. Shingle sets are recomputed per side
+    here — a deliberate local-mode trade: pruning the corpus to candidate
+    docs first (semi-join on the pair ids) re-plans the whole candidate
+    pipeline under each branch and costs more than the narrow re-hash. At
+    cluster scale, persist() the candidate-id set and semi-join-prune
+    before re-shingling — survivors are a sliver of a 100 TB corpus.
+    """
+    sh = corpus.select("doc_id", shingle_hashes().alias("sh"))
     return (
         pairs.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
         .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
@@ -266,7 +320,13 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jac.filter(F.col("jaccard") >= 0.5).orderBy("doc_a", "doc_b")
 
 
-N_SIMHASH_BITS = 16  # demo width; production uses 64 — same expression shape
+N_SIMHASH_BITS = 32  # production uses 64 — same expression shape
+SIMHASH_MAX_HAMMING = 2
+# Manku et al. pigeonhole blocking: split the fingerprint into
+# (max_hamming + 1) segments; any pair within hamming distance d must agree
+# EXACTLY on at least one segment, so joining per-segment finds every such
+# pair while touching only segment-colliding candidates.
+_N_SEGMENTS = SIMHASH_MAX_HAMMING + 1
 
 
 def simhash_bits(corpus: DataFrame, n_bits: int = N_SIMHASH_BITS) -> DataFrame:
@@ -291,29 +351,64 @@ def simhash_bits(corpus: DataFrame, n_bits: int = N_SIMHASH_BITS) -> DataFrame:
     return votes.select("doc_id", fingerprint.cast("bigint").alias("simhash"))
 
 
+def _segment(col: Column, seg: int) -> Column:
+    """Bits [seg*w, (seg+1)*w) of the fingerprint, w = n_bits/segments."""
+    width = N_SIMHASH_BITS // _N_SEGMENTS + 1
+    return F.shiftright(col, seg * width).bitwiseAND(F.lit((1 << width) - 1))
+
+
 @register(
     "l2c_simhash",
     oracle=None,  # engine-specific hash → verified structurally in tests
-    doc="L2: SimHash fingerprints + hamming-close pair candidates — "
-    "bit-vote aggregation per doc, then a self-join on bit_count(xor) ≤ 2 "
-    "(at scale: block on fingerprint segments first, Manku et al. style).",
+    doc="L2: SimHash near-dup — bit-vote fingerprints, then Manku-style "
+    "segment blocking: pairs within hamming ≤ 2 must share one of 3 exact "
+    "fingerprint segments (pigeonhole), so candidates come from per-"
+    "segment buckets (same grouped-pairing shape as MinHash-LSH, no O(n²) "
+    "cross join) and only candidates pay the bit_count verify.",
     tags=("llm", "dedup"),
 )
 def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = corpus_with_near_dups(spark, sf_dir)
     fp = simhash_bits(corpus)
-    a = fp.alias("a")
-    b = fp.alias("b")
-    return (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.bit_count(
-                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-            ).alias("hamming"),
+    segs = fp.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(*[_segment(F.col("simhash"), s) for s in range(_N_SEGMENTS)])
+        ).alias("seg", "seg_val"),
+    )
+    buckets = (
+        segs.groupBy("seg", "seg_val")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("doc_id", "simhash"))
+            ).alias("members")
         )
-        .filter(F.col("hamming") <= 2)
+        .filter(F.size("members") > 1)
+    )
+    pair_structs = F.filter(
+        F.flatten(
+            F.transform(
+                "members",
+                lambda a: F.transform(
+                    "members",
+                    lambda b: F.struct(
+                        a["doc_id"].alias("doc_a"),
+                        b["doc_id"].alias("doc_b"),
+                        F.bit_count(
+                            a["simhash"].bitwiseXOR(b["simhash"])
+                        ).alias("hamming"),
+                    ),
+                ),
+            )
+        ),
+        lambda p: (p["doc_a"] < p["doc_b"])
+        & (p["hamming"] <= SIMHASH_MAX_HAMMING),
+    )
+    return (
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select("p.doc_a", "p.doc_b", "p.hamming")
+        .distinct()
         .orderBy("doc_a", "doc_b")
     )
 

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mric_bak_etl_spark.catalog import register
-from mric_bak_etl_spark.tables import load_table
+from mric_bak_etl_spark.tables import load_table, spread
 
 _MEDIA_TYPES = ["image", "audio", "video"]
 
@@ -143,7 +143,10 @@ def feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = media_table(spark, sf_dir).select(
         "media_id", "content", F.col("meta.media_type").alias("media_type")
     )
-    feats = m.mapInPandas(_extract_batches, schema=FEATURE_SCHEMA)
+    # spread before the Python stage: repartitioning ahead of an expensive
+    # UDF is the canonical cluster idiom, and the single-row-group input
+    # would otherwise featurize in one task (tables.spread).
+    feats = spread(m).mapInPandas(_extract_batches, schema=FEATURE_SCHEMA)
     return feats.select(
         "media_id",
         "media_type",
@@ -191,7 +194,8 @@ def _sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 )
 def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = media_table(spark, sf_dir).select("media_id", "content")
-    frames = m.mapInPandas(_sample_frames, schema=_FRAME_SCHEMA)
+    # spread: same rationale as m2 — parallelize the Python fan-out stage.
+    frames = spread(m, "media_id").mapInPandas(_sample_frames, schema=_FRAME_SCHEMA)
     return (
         frames.groupBy("media_id")
         .agg(F.count(F.lit(1)).alias("n_sampled_frames"))

@@ -28,7 +28,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mric_bak_etl_spark.catalog import register
-from mric_bak_etl_spark.tables import load_table
+from mric_bak_etl_spark.tables import load_table, spread
 
 QUERY_VEC_ID = 0  # deterministic query: the embedding of vec_id 0
 TOP_K = 10
@@ -86,7 +86,9 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", _as_double().alias("v")
     )
     query = e.filter(F.col("vec_id") == QUERY_VEC_ID)
-    corpus = e.filter(F.col("vec_id") != QUERY_VEC_ID)
+    # spread: single-row-group input scores every vector in one task
+    # otherwise (tables.spread); at scale input splits provide this.
+    corpus = spread(e.filter(F.col("vec_id") != QUERY_VEC_ID))
     return brute_force_topk(corpus, query)
 
 

@@ -19,7 +19,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mric_bak_etl_spark.catalog import register
-from mric_bak_etl_spark.tables import load_table
+from mric_bak_etl_spark.tables import load_table, spread
 
 # Tiny built-in marker lexicons for the language-ID heuristic. Deliberately
 # small and deterministic — the mechanism (token-overlap scoring) is what
@@ -66,7 +66,9 @@ def _marker_score(toks: Column, markers: list[str]) -> Column:
     tags=("llm", "text"),
 )
 def tokenize_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    # spread: single-row-group input would otherwise tokenize+explode the
+    # whole corpus in one task (tables.spread).
+    d = spread(load_table(spark, sf_dir, "documents").select("text"))
     return (
         d.select(F.explode(tokens()).alias("term"))
         .filter(F.col("term") != "")

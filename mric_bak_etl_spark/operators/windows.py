@@ -111,15 +111,19 @@ def lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(avg(l_extendedprice) OVER (w ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4)
              AS moving_avg_price
     FROM lineitem
-    WINDOW w AS (PARTITION BY l_returnflag
+    WINDOW w AS (PARTITION BY l_returnflag, year(l_shipdate)
                  ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey,
                           l_suppkey, l_quantity, l_extendedprice, l_discount,
                           l_tax, l_linestatus)
     ORDER BY l_returnflag, l_shipdate, l_orderkey, l_linenumber
     """,
     doc="W3: frame specs — running total (unbounded preceding) and 4-row "
-    "moving average; incremental frame evaluation, one sort per "
-    "partition key.",
+    "moving average, per (returnflag, ship-year); incremental frame "
+    "evaluation, one sort per partition key. The composite key is the "
+    "hot-window-key mitigation: returnflag alone has 3 values, so 1/3 of "
+    "the table would sort in ONE task at any scale — restarting the frame "
+    "on a natural sub-key (year) is how running totals stay parallel at "
+    "100 TB.",
     tags=("window",),
 )
 def frames(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -127,7 +131,7 @@ def frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (l_orderkey, l_linenumber) is NOT unique in the synthetic data; the
     # window ORDER BY must be a total order (all columns — no full-row dups
     # exist) or ROWS-frame results are tie-order-dependent.
-    w = Window.partitionBy("l_returnflag").orderBy(
+    w = Window.partitionBy("l_returnflag", F.year("l_shipdate")).orderBy(
         "l_shipdate", "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
         "l_quantity", "l_extendedprice", "l_discount", "l_tax", "l_linestatus",
     )

@@ -23,7 +23,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mric_bak_etl_spark.session import ensure_runtime_confs
+from mric_bak_etl_spark.session import default_parallelism, ensure_runtime_confs
 
 TABLE_NAMES: tuple[str, ...] = (
     "region",
@@ -53,6 +53,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             "ts", F.expr("timestamp_micros(ts div 1000)").cast("timestamp_ntz")
         )
     return df
+
+
+def spread(df: DataFrame, *cols: str) -> DataFrame:
+    """Repartition to engine parallelism ahead of CPU-dense per-row work.
+
+    Parquet map-side parallelism is bounded by row-group count; a file
+    written as one row group scans as ONE task no matter how many cores
+    exist. Before compute-heavy stages (shingling, minhash, vector math,
+    pandas UDFs) an explicit repartition decouples compute parallelism
+    from input-split granularity — the same idiom used on real clusters
+    before expensive UDF stages, where the shuffled bytes are trivial
+    next to the per-row CPU they unlock. Pass key columns to make the
+    exchange hash-partitioned (reusable by a downstream groupBy/join on
+    the same keys); otherwise round-robin.
+    """
+    n = default_parallelism()
+    return df.repartition(n, *[F.col(c) for c in cols]) if cols else df.repartition(n)
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -65,7 +65,7 @@ def test_simhash_flags_injected_variants(spark, sf_dir):
     }
     assert injected, "fixture should contain high-jaccard variant pairs"
     hit = len(flagged & injected) / len(injected)
-    # 16-bit demo simhash on near-identical token multisets: most variant
+    # 32-bit simhash on near-identical token multisets: most variant
     # pairs land within hamming ≤ 2.
     assert hit >= 0.6, f"simhash hit-rate {hit:.2f}"
 
