@@ -64,12 +64,15 @@ def _load_modules() -> None:
     import mric_bak_etl_spark.operators.aggregates  # noqa: F401
     import mric_bak_etl_spark.operators.projection  # noqa: F401
     import mric_bak_etl_spark.operators.joins  # noqa: F401
+    import mric_bak_etl_spark.operators.subqueries  # noqa: F401
+    import mric_bak_etl_spark.operators.tpch  # noqa: F401
     import mric_bak_etl_spark.operators.setops  # noqa: F401
     import mric_bak_etl_spark.operators.sort  # noqa: F401
     import mric_bak_etl_spark.operators.windows  # noqa: F401
     import mric_bak_etl_spark.functions.scalar  # noqa: F401
     import mric_bak_etl_spark.pipeline.queries  # noqa: F401
     import mric_bak_etl_spark.streaming.windows  # noqa: F401
+    import mric_bak_etl_spark.streaming.stateful  # noqa: F401
     import mric_bak_etl_spark.llm.dedup  # noqa: F401
     import mric_bak_etl_spark.llm.similarity  # noqa: F401
     import mric_bak_etl_spark.llm.text  # noqa: F401

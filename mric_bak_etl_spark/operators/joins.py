@@ -346,3 +346,49 @@ def cross_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load_table(spark, sf_dir, "region").select("r_name")
     n = load_table(spark, sf_dir, "nation").select("n_name")
     return r.crossJoin(n).orderBy("r_name", "n_name")
+
+
+N_SALTS = 8
+
+
+@register(
+    "j8_salted_skew_join",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*)                    AS n_lines,
+           round(sum(l_quantity), 4)   AS total_qty
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="J8: skew-salted equi-join — the manual mitigation when one join "
+    "key dominates and even AQE skew-splitting can't keep a partition in "
+    "memory. Fact side gets salt = pmod(hash(row), N); the other side is "
+    "replicated N ways (explode over the salt range); the join key becomes "
+    "(key, salt), spreading one hot key over N partitions. Result is "
+    "IDENTICAL to the plain join (the oracle is the unsalted SQL); cost is "
+    "replicating the smaller side N-fold - use per-hot-key salting (salt "
+    "only keys above a frequency threshold) when N-fold replication is too "
+    "much. AQE's skewJoin handles the common case automatically; this "
+    "operator is the explicit form for the pathological tail.",
+    tags=("join", "scale"),
+)
+def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "salt",
+        F.pmod(
+            F.xxhash64("l_orderkey", "l_linenumber", "l_partkey"), F.lit(N_SALTS)
+        ).cast("int"),
+    )
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(N_SALTS - 1)))
+    )
+    return (
+        li.join(o, (li.l_orderkey == o.o_orderkey) & (li.salt == o.salt))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum("l_quantity"), 4).alias("total_qty"),
+        )
+        .orderBy("o_orderpriority")
+    )

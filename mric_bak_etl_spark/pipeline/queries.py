@@ -122,6 +122,86 @@ def snapshot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "s4_partitioned_snapshot",
+    oracle="""
+    SELECT CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+           count(*)                          AS n_rows,
+           round(sum(l_quantity), 4)         AS total_qty
+    FROM lineitem
+    WHERE year(l_shipdate) IN (1996, 1997)
+    GROUP BY ship_year
+    ORDER BY ship_year
+    """,
+    doc="S4: partitioned snapshot sink — overwrite-write lineitem "
+    "partitioned by ship year, read back with a partition filter. The "
+    "read-back scan lists ONLY the two matching partition directories "
+    "(partition pruning, asserted on the plan in tests/test_plans.py) — "
+    "at 100 TB this is the difference between scanning 2 years and 25.",
+    tags=("pipeline", "sink"),
+)
+def partitioned_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "ship_year", F.year("l_shipdate").cast("int")
+    )
+    out = os.path.join(tempfile.mkdtemp(prefix="snapshot_part_"), "lineitem_by_year")
+    overwrite_snapshot(li, out, partition_by=["ship_year"])
+    back = spark.read.parquet(out).filter(F.col("ship_year").isin(1996, 1997))
+    return (
+        back.groupBy("ship_year")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_quantity"), 4).alias("total_qty"),
+        )
+        .select(F.col("ship_year").cast("int").alias("ship_year"), "n_rows", "total_qty")
+        .orderBy("ship_year")
+    )
+
+
+@register(
+    "s5_format_roundtrip",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*)                     AS n_orders,
+           round(sum(o_totalprice), 4)  AS total_price
+    FROM orders
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    doc="S5: multi-format source/sink — the urgent-orders slice written as "
+    "CSV (header) and JSON-lines, read back through each format's parser "
+    "with an explicit schema (schema inference is a full extra pass — "
+    "never at scale), results unioned and deduplicated to prove the "
+    "round-trips agree. Text formats are the interchange path; parquet "
+    "remains the scale path (columnar, statistics, splittable).",
+    tags=("pipeline", "sink", "source"),
+)
+def format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    base = tempfile.mkdtemp(prefix="format_rt_")
+    csv_path, json_path = os.path.join(base, "csv"), os.path.join(base, "json")
+    # Raw doubles: Spark prints shortest-round-trip decimals, so CSV/JSON
+    # text round-trips bit-exactly; rounding happens once, at the end.
+    slim = o.select("o_orderkey", "o_orderstatus", "o_totalprice")
+    slim.write.mode("overwrite").option("header", True).csv(csv_path)
+    slim.write.mode("overwrite").json(json_path)
+    schema = "o_orderkey long, o_orderstatus string, o_totalprice double"
+    from_csv = spark.read.schema(schema).option("header", True).csv(csv_path)
+    from_json = spark.read.schema(schema).json(json_path)
+    both = from_csv.unionByName(from_json).dropDuplicates(["o_orderkey"])
+    return (
+        both.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 def _fixture_zip_bytes() -> list[tuple[str, bytes]]:
     """Deterministic in-memory archives: the discovery fixture of FIXTURES.md
     §D — one holds the payload `.bak` plus a decoy, one holds no payload."""

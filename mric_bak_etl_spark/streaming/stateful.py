@@ -1,0 +1,119 @@
+"""Custom stateful streaming operator via ``applyInPandasWithState``
+(SURVEY.md §2B T-family extension; the escape hatch when built-in
+windows/dedup can't express the state machine).
+
+The operator: per-user running totals — state = (n_events, total_value),
+updated per micro-batch, emitting the refreshed totals for every user seen
+in the batch. This is the minimal shape of real curation state machines
+(per-source quota tracking, per-user rate limits, incremental corpus
+counters).
+
+The catalog entry drives the REAL streaming query (readStream → grouped
+state → memory sink, Trigger.AvailableNow) to completion inside the
+builder, then returns the sink contents. Over bounded input the final
+emission per user equals the batch aggregate, which is the DuckDB oracle.
+Arrival-order behavior across multiple micro-batches (state carried
+between batches) is exercised separately in tests/test_streaming.py.
+
+Scale notes (100 TB/day): state lives in the state store, partitioned by
+the grouping key — the shuffle is on user_id and state size is
+O(distinct users), not O(events). Without a timeout, state never expires;
+production configs set GroupStateTimeout (processing/event time) exactly
+like a watermark bounds T3/T5 — unbounded key cardinality with no timeout
+is the OOM path. The pandas function sees one Arrow batch iterator per key
+per micro-batch: no driver involvement, no per-row Python crossing.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from mric_bak_etl_spark.catalog import register
+
+OUTPUT_SCHEMA = "user_id long, n_events long, total_value double"
+STATE_SCHEMA = "n long, total double"
+
+
+def running_totals(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """State update function: fold the batch into (n, total), emit totals."""
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in batches:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 4)]}
+    )
+
+
+def stateful_running_totals(events_stream: DataFrame) -> DataFrame:
+    """Wire the state machine over a streaming events frame."""
+    return (
+        events_stream.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            running_totals,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+@register(
+    "t6_stateful_custom",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 4)     AS total_value
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    doc="T6: custom stateful operator — applyInPandasWithState per-user "
+    "running totals, driven through a REAL streaming query "
+    "(readStream → grouped state → memory sink, AvailableNow) inside the "
+    "builder; the final per-user emission over bounded input equals the "
+    "batch aggregate (the oracle). State is keyed by user_id in the state "
+    "store; at scale a GroupStateTimeout bounds it like a watermark.",
+    tags=("streaming", "udf", "stateful"),
+)
+def stateful_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mric_bak_etl_spark.streaming.windows import stream_events
+
+    out = stateful_running_totals(stream_events(spark, sf_dir))
+    ckpt = tempfile.mkdtemp(prefix="t6_ckpt_")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t6_sink")
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(ckpt, "state"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # Multiple micro-batches re-emit a user with refreshed totals; the last
+    # emission (max n_events) per user is the final state.
+    sink = spark.table("t6_sink")
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        sink.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events", "total_value")
+        .orderBy("user_id")
+    )

@@ -72,11 +72,52 @@ def test_flagship_is_whole_stage_codegen_and_partial_agg(spark, sf_dir):
     assert "Exchange" in tree
 
 
+def test_partitioned_snapshot_prunes_partitions(spark, sf_dir):
+    from mric_bak_etl_spark.pipeline.queries import partitioned_snapshot
+
+    plan = plan_of(partitioned_snapshot(spark, sf_dir))
+    pf = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    # The year filter is a partition filter (directory pruning), not a data
+    # filter: the scan never opens 1995/1998+ files.
+    assert "ship_year" in pf and "1996" in pf and "1997" in pf
+
+
+def test_exists_subquery_decorrelates_to_semi_join(spark, sf_dir):
+    from mric_bak_etl_spark.operators.subqueries import exists_correlated
+
+    plan = plan_of(exists_correlated(spark, sf_dir))
+    # Catalyst rewrote the correlated EXISTS into a semi join — Spark has
+    # no per-row subquery re-execution, so this is what "supports EXISTS"
+    # means physically.
+    assert "LeftSemi" in plan
+
+
+def test_lateral_limit_decorrelates_to_window(spark, sf_dir):
+    from mric_bak_etl_spark.operators.subqueries import lateral_topk
+
+    plan = plan_of(lateral_topk(spark, sf_dir))
+    tree = plan.split("(1) ")[0]
+    assert "Window" in tree
+    assert "BroadcastNestedLoopJoin" not in tree  # would be O(n*m) at scale
+
+
+def test_tpch_q5_dimension_joins_all_broadcast(spark, sf_dir):
+    from mric_bak_etl_spark.operators.tpch import local_supplier_volume
+
+    plan = plan_of(local_supplier_volume(spark, sf_dir))
+    tree = plan.split("(1) ")[0]
+    # Every dimension join (customer/supplier/nation/region) broadcasts;
+    # no dimension ever shuffles the fact side. (At test scale even
+    # orders⋈lineitem broadcasts — at 100 TB it becomes the one SMJ.)
+    assert tree.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in tree
+
+
 def test_no_python_udfs_outside_declared_pandas_stages(spark, sf_dir):
     # Every catalog query except the declared pandas stages must stay
     # JVM-side: no BatchEvalPython / ArrowEvalPython in the plan.
     pandas_ok = {"x1_unzip_payload", "m2_feature_extract", "m3_frame_sample",
-                 "x2_grouped_pandas_agg"}
+                 "x2_grouped_pandas_agg", "t6_stateful_custom"}
     offenders = []
     for name, spec in sorted(all_specs().items()):
         if name in pandas_ok:

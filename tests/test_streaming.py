@@ -74,6 +74,53 @@ def test_streaming_dedup_within_watermark(spark, sf_dir):
     assert n_stream == n_batch
 
 
+def test_stateful_running_totals_carry_state_across_batches(spark, tmp_path):
+    """applyInPandasWithState: state persists between micro-batches — a
+    user's totals in batch 2 include batch 1's rows."""
+    import os
+
+    from mric_bak_etl_spark.streaming.stateful import stateful_running_totals
+
+    d = str(tmp_path / "stateful_in")
+    os.makedirs(d)
+    schema = "user_id long, value double"
+    spark.createDataFrame([(1, 10.0), (1, 5.0), (2, 1.0)], schema).write.mode(
+        "append"
+    ).parquet(d)
+
+    def run_round(qname: str):
+        emitted: dict[int, tuple[int, float]] = {}
+        raw = spark.readStream.schema(schema).parquet(d)
+        q = (
+            stateful_running_totals(raw)
+            .writeStream.foreachBatch(
+                lambda df, _e: emitted.update(
+                    {
+                        r["user_id"]: (r["n_events"], r["total_value"])
+                        for r in df.collect()
+                    }
+                )
+            )
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return emitted
+
+    first = run_round("t6_round1")
+    assert first == {1: (2, 15.0), 2: (1, 1.0)}
+    # Batch 2 arrives after the first query finished; same checkpoint → the
+    # restarted query restores state and folds the new rows on top.
+    spark.createDataFrame([(1, 1.0), (3, 7.0)], schema).write.mode(
+        "append"
+    ).parquet(d)
+    second = run_round("t6_round2")
+    assert second[1] == (3, 16.0)  # batch-1 state carried, not recomputed
+    assert second[3] == (1, 7.0)
+
+
 def test_streaming_late_rows_dropped(spark, tmp_path):
     """Arrival-order watermark semantics: a row older than the watermark,
     arriving in a later micro-batch, is dropped from the aggregation."""
