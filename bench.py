@@ -36,6 +36,11 @@ HEADLINE = [
     "o2_topk",              # TakeOrderedAndProject
     "u2b_except_all",       # multiset set-op
     "f5_arrays",            # higher-order array expressions
+    "h3_shipping_priority", # TPC-H Q3 composite (3-way join + agg + top-k)
+    "h5_local_supplier_volume",  # TPC-H Q5 composite (6-way join)
+    "h18_large_volume_customer", # TPC-H Q18 (semi-filter + re-aggregate)
+    "sq2_scalar_correlated",     # decorrelated scalar subquery (Q17 shape)
+    "j8_salted_skew_join",       # manual skew salting
     "t1_tumbling_window",   # streaming window agg (batch face)
     "l2_minhash_lsh",       # shingle→minhash→band→bucket-join near-dup
     "l3_cosine_topk",       # vector top-k (broadcast query, zip_with dot)

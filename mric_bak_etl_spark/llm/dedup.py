@@ -253,10 +253,10 @@ def minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "l2b_ngram_jaccard",
-    oracle=f"""
-    WITH corpus AS ({_CORPUS_ORACLE}),
+# Shared CTE body: the exact-Jaccard near-dup pair set (the l2b result
+# before ordering) — also the edge set for the duplicate-cluster oracle.
+_PAIRS_ORACLE = f"""
+    corpus AS ({_CORPUS_ORACLE}),
     sh AS (
       SELECT doc_id,
              list_distinct(list_transform(
@@ -270,15 +270,25 @@ def minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
       FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY doc_a, doc_b
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b,
+             round(CAST(n_common AS DOUBLE)
+                   / (len(sa.sh) + len(sb.sh) - n_common), 4) AS jaccard
+      FROM common
+      JOIN sh sa ON sa.doc_id = doc_a
+      JOIN sh sb ON sb.doc_id = doc_b
+      WHERE round(CAST(n_common AS DOUBLE)
+                  / (len(sa.sh) + len(sb.sh) - n_common), 4) >= 0.5
     )
-    SELECT doc_a, doc_b,
-           round(CAST(n_common AS DOUBLE)
-                 / (len(sa.sh) + len(sb.sh) - n_common), 4) AS jaccard
-    FROM common
-    JOIN sh sa ON sa.doc_id = doc_a
-    JOIN sh sb ON sb.doc_id = doc_b
-    WHERE round(CAST(n_common AS DOUBLE)
-                / (len(sa.sh) + len(sb.sh) - n_common), 4) >= 0.5
+"""
+
+
+@register(
+    "l2b_ngram_jaccard",
+    oracle=f"""
+    WITH {_PAIRS_ORACLE}
+    SELECT doc_a, doc_b, jaccard FROM pairs
     ORDER BY doc_a, doc_b
     """,
     doc="L2: exact n-gram (3-shingle) Jaccard near-dup via inverted-index "
@@ -461,4 +471,103 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cosine") >= 0.3)
         .orderBy("vec_a", "vec_b")
+    )
+
+
+MAX_LP_ITERATIONS = 20
+
+
+def connected_components(edges: DataFrame, max_iterations: int = MAX_LP_ITERATIONS) -> DataFrame:
+    """Min-label propagation: (node, cluster_id = min doc_id reachable).
+
+    The distributed union-find for dedup clustering: every near-dup pair is
+    an edge; a duplicate GROUP is a connected component; the keeper is the
+    component's min id. Each iteration joins labels to neighbors and takes
+    the elementwise min — label sums decrease monotonically, so an
+    unchanged sum is convergence (one cheap scalar action per round, no
+    full-frame compare). Iterations are O(component diameter); near-dup
+    graphs are shallow (stars around a popular document), so a handful of
+    rounds suffice even at corpus scale.
+
+    Scale notes (100 TB): lineage is truncated every round with
+    localCheckpoint() — the canonical guard against iterative-plan blowup
+    (a cluster deployment would use reliable checkpoint() on durable
+    storage). The join partitions by node id each round; a pathological
+    high-degree node is the skew case AQE splits.
+    """
+    both = edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    both = both.unionByName(
+        edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    labels = (
+        both.select(F.col("src").alias("doc_id")).distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(max_iterations):
+        nbr_min = (
+            both.join(labels, both.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        labels = (
+            labels.join(nbr_min, labels.doc_id == nbr_min.src, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        new_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    return labels.withColumnRenamed("label", "cluster_id")
+
+
+@register(
+    "l2e_dup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_PAIRS_ORACLE},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    reach(node, root) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    labels AS (SELECT node AS doc_id, min(root) AS cluster_id
+               FROM reach GROUP BY node)
+    SELECT cluster_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           max(doc_id)              AS max_member
+    FROM labels
+    GROUP BY cluster_id
+    ORDER BY cluster_id
+    """,
+    doc="L2e: duplicate clustering — iterative min-label propagation "
+    "(distributed union-find) over the exact near-dup pair graph; a "
+    "cluster = one duplicate group, cluster_id = the keeper (min doc_id). "
+    "Convergence via monotone label-sum check; lineage truncated per "
+    "round with localCheckpoint. Oracle: DuckDB recursive-CTE transitive "
+    "closure over the same edges.",
+    tags=("llm", "dedup", "iterative"),
+)
+def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    labels = connected_components(edges)
+    return (
+        labels.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.max("doc_id").alias("max_member"),
+        )
+        .orderBy("cluster_id")
     )
