@@ -76,6 +76,7 @@ def _load_modules() -> None:
     import mric_bak_etl_spark.llm.dedup  # noqa: F401
     import mric_bak_etl_spark.llm.similarity  # noqa: F401
     import mric_bak_etl_spark.llm.text  # noqa: F401
+    import mric_bak_etl_spark.llm.sampling  # noqa: F401
     import mric_bak_etl_spark.llm.multimodal  # noqa: F401
 
 

@@ -262,3 +262,37 @@ def max_as_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("earliest_ts"),
         F.max("event_id").alias("max_event_id"),
     )
+
+
+@register(
+    "a7_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+           round(median(l_extendedprice), 4)              AS p50,
+           round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+           round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="A7: exact percentiles/median per group — linear-interpolation "
+    "quantiles (Spark percentile == DuckDB quantile_cont). Exact "
+    "percentile buffers each group's values; at 100 TB use "
+    "approx_percentile (t-digest sketch, bounded memory, mergeable "
+    "map-side) — a3 demonstrates the approx family's plan shape.",
+    tags=("agg",),
+)
+def percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    pct = lambda q: F.round(F.percentile("l_extendedprice", F.lit(q)), 4)  # noqa: E731
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            pct(0.25).alias("p25"),
+            F.round(F.median("l_extendedprice"), 4).alias("p50"),
+            pct(0.75).alias("p75"),
+            pct(0.99).alias("p99"),
+        )
+        .orderBy("l_returnflag")
+    )

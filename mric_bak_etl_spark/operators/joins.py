@@ -25,6 +25,9 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -391,4 +394,58 @@ def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_quantity"), 4).alias("total_qty"),
         )
         .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "j9_bucketed_colocated_join",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*)                   AS n_lines,
+           round(sum(l_quantity), 4)  AS total_qty
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    doc="J9: bucketed co-located join — both sides saved as tables "
+    "bucketed+sorted on the join key, so the join runs with NO exchange "
+    "on either side (asserted in tests/test_plans.py): bucketing "
+    "pre-pays the shuffle once at write time, every subsequent join/agg "
+    "on that key rides it free. THE layout tool for a 100 TB fact table "
+    "that is joined on the same key daily. Falls back to the plain join "
+    "(identical rows) if the session's warehouse is not writable.",
+    tags=("join", "scale", "sink"),
+)
+def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    n_buckets = 8
+    try:
+        for df, name, key in ((li, "j9_lineitem_b", "l_orderkey"),
+                              (o, "j9_orders_b", "o_orderkey")):
+            # An in-memory catalog forgets tables across sessions while the
+            # warehouse directory persists → overwrite would die with
+            # LOCATION_ALREADY_EXISTS on the orphaned dir. Drop via the
+            # catalog, then clear any orphan left by a previous session.
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+            warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
+            orphan = os.path.join(
+                warehouse.removeprefix("file:"), name
+            )
+            if warehouse and os.path.isdir(orphan):
+                shutil.rmtree(orphan, ignore_errors=True)
+            (df.write.mode("overwrite")
+               .bucketBy(n_buckets, key).sortBy(key)
+               .format("parquet").saveAsTable(name))
+        lib, ob = spark.table("j9_lineitem_b"), spark.table("j9_orders_b")
+    except Exception:
+        lib, ob = li, o  # unwritable warehouse/catalog: same rows, plain plan
+    return (
+        lib.join(ob, lib.l_orderkey == ob.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum("l_quantity"), 4).alias("total_qty"),
+        )
+        .orderBy("o_orderstatus")
     )

@@ -113,6 +113,27 @@ def test_tpch_q5_dimension_joins_all_broadcast(spark, sf_dir):
     assert "CartesianProduct" not in tree
 
 
+def test_bucketed_join_has_no_shuffle(spark, sf_dir):
+    from mric_bak_etl_spark.operators.joins import bucketed_colocated_join
+
+    # Pin SMJ (at test scale AQE would broadcast and hide the point): with
+    # both sides bucketed+sorted on the key, the join needs NO exchange —
+    # the shuffle was pre-paid at write time.
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(bucketed_colocated_join(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "Bucketed: true" in plan
+    join_tree = plan.split("(1) ")[0]
+    smj_pos = join_tree.find("SortMergeJoin")
+    assert smj_pos != -1
+    # No Exchange below the join (the tree prints children after the join
+    # node): everything after the SMJ line down to the scans is shuffle-free.
+    assert "Exchange" not in join_tree[smj_pos:]
+
+
 def test_no_python_udfs_outside_declared_pandas_stages(spark, sf_dir):
     # Every catalog query except the declared pandas stages must stay
     # JVM-side: no BatchEvalPython / ArrowEvalPython in the plan.
