@@ -1,0 +1,81 @@
+"""Generate COVERAGE.md — the operator inventory, from the catalog itself.
+
+``python -m mric_bak_etl_spark.coverage > COVERAGE.md``
+
+The inventory is derived from the registry at import time, so it cannot
+drift from what the driver actually verifies: every row IS a
+``queries()`` entry, and the oracle column reflects whether the driver
+runs a full value-hash compare or a rows-only check.
+"""
+
+from __future__ import annotations
+
+from collections import OrderedDict
+
+from mric_bak_etl_spark.catalog import all_specs
+
+_FAMILIES = OrderedDict(
+    [
+        ("s", "Sources / sinks / snapshot lifecycle"),
+        ("r", "Reference-pipeline fidelity (mric-bak-etl stages)"),
+        ("dq", "Data-quality gates"),
+        ("p", "Projection / filter"),
+        ("j", "Joins"),
+        ("a", "Aggregation"),
+        ("w", "Window functions"),
+        ("o", "Sort / top-k"),
+        ("u", "Set operations"),
+        ("f", "Scalar function families"),
+        ("sq", "Subqueries"),
+        ("h", "TPC-H-shaped composites"),
+        ("q", "SQL entry point"),
+        ("t", "Streaming semantics"),
+        ("l", "LLM-data-pipeline (dedup / similarity / text / sampling)"),
+        ("tx", "Text analysis"),
+        ("m", "Multimodal columns"),
+        ("x", "UDF surface"),
+    ]
+)
+
+
+def _family(name: str) -> str:
+    prefix = name.split("_", 1)[0]
+    alpha = prefix.rstrip("0123456789bcde")
+    return alpha if alpha in _FAMILIES else prefix
+
+
+def main() -> None:
+    specs = all_specs()
+    by_family: dict[str, list] = {k: [] for k in _FAMILIES}
+    for name in sorted(specs):
+        by_family.setdefault(_family(name), []).append(specs[name])
+
+    n_oracle = sum(1 for s in specs.values() if s.oracle is not None)
+    print("# COVERAGE — driver-verified operator inventory")
+    print()
+    print(f"{len(specs)} catalog queries, {n_oracle} with full DuckDB value")
+    print("oracles (the rest are rows-only: engine-specific hashes, local")
+    print("paths, or pandas byte-math with no tractable SQL mirror).")
+    print("Generated from the registry by `python -m")
+    print("mric_bak_etl_spark.coverage`; every row is a `queries()` entry the")
+    print("driver runs. Cross-reference: SURVEY.md §2.")
+    print()
+    for key, title in _FAMILIES.items():
+        rows = by_family.get(key, [])
+        if not rows:
+            continue
+        print(f"## {title}")
+        print()
+        print("| query | oracle | summary |")
+        print("|---|---|---|")
+        for s in rows:
+            summary = " ".join(s.doc.split())
+            if len(summary) > 140:
+                summary = summary[:137] + "..."
+            oracle = "value-hash" if s.oracle is not None else "rows-only"
+            print(f"| `{s.name}` | {oracle} | {summary} |")
+        print()
+
+
+if __name__ == "__main__":
+    main()

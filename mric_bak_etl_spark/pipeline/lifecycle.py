@@ -1,0 +1,234 @@
+"""Snapshot-lifecycle operators: diff/CDC, data-quality gates, schema
+evolution, small-file compaction.
+
+The reference replaces the whole database once per day from a full
+snapshot (`src/bak_unload.ps1:92-103`) — these are the operators a real
+snapshot cadence grows into: knowing WHAT changed between snapshots,
+refusing bad loads, surviving column additions, and keeping the file
+layout healthy.
+
+Scale notes (100 TB): snapshot diff is one full-outer join on the business
+key — shuffle both sides once; at scale both snapshots are bucketed on the
+key (j9) so the diff is exchange-free. Quality gates are aggregations
+(map-side partials); run them ON the diff, not the full snapshot, once
+diffs exist. Compaction is a repartition-rewrite — the file-count knob is
+the shuffle width.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mric_bak_etl_spark.catalog import register
+from mric_bak_etl_spark.tables import load_table
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame, key: str, payload: list[str]) -> DataFrame:
+    """Row-level change detection between consecutive snapshots.
+
+    Full outer join on the business key; change class per row:
+    inserted (key only in new), deleted (key only in old), updated (both
+    sides, any payload column differs), unchanged. The md5-of-payload
+    compare keeps the join narrow when payloads are wide — hash first,
+    compare one column.
+    """
+    def fingerprint(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(key).alias("k"),
+            F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in payload])).alias("fp"),
+        )
+
+    o = fingerprint(old).withColumnRenamed("fp", "fp_old")
+    n = fingerprint(new).withColumnRenamed("fp", "fp_new")
+    j = o.join(n, "k", "full")
+    return j.select(
+        "k",
+        F.when(F.col("fp_old").isNull(), "inserted")
+        .when(F.col("fp_new").isNull(), "deleted")
+        .when(F.col("fp_old") != F.col("fp_new"), "updated")
+        .otherwise("unchanged")
+        .alias("change"),
+    )
+
+
+@register(
+    "r16_snapshot_diff",
+    oracle="""
+    WITH old AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+                 WHERE o_orderkey % 10 <> 0),
+         new AS (SELECT o_orderkey,
+                        CASE WHEN o_orderkey % 7 = 0 THEN 'X' ELSE o_orderstatus END
+                          AS o_orderstatus,
+                        o_totalprice
+                 FROM orders WHERE o_orderkey % 10 <> 1),
+         j AS (
+           SELECT coalesce(o.o_orderkey, n.o_orderkey) AS k,
+                  CASE WHEN o.o_orderkey IS NULL THEN 'inserted'
+                       WHEN n.o_orderkey IS NULL THEN 'deleted'
+                       WHEN o.o_orderstatus <> n.o_orderstatus
+                         OR o.o_totalprice <> n.o_totalprice THEN 'updated'
+                       ELSE 'unchanged' END AS change
+           FROM old o FULL JOIN new n ON o.o_orderkey = n.o_orderkey
+         )
+    SELECT change, count(*) AS n_rows
+    FROM j GROUP BY change ORDER BY change
+    """,
+    doc="R16: snapshot diff / change detection — what the reference's "
+    "daily full-replace cadence grows into: old/new snapshots (derived "
+    "deterministically from orders) full-outer-joined on the business "
+    "key, rows classed inserted/deleted/updated/unchanged via payload "
+    "fingerprints. One shuffle; exchange-free when both snapshots are "
+    "bucketed on the key.",
+    tags=("pipeline", "reference-fidelity"),
+)
+def snapshot_diff_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    old = o.filter(F.col("o_orderkey") % 10 != 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    new = o.filter(F.col("o_orderkey") % 10 != 1).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 7 == 0, "X")
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+        "o_totalprice",
+    )
+    d = snapshot_diff(old, new, "o_orderkey", ["o_orderstatus", "o_totalprice"])
+    return (
+        d.groupBy("change")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy("change")
+    )
+
+
+@register(
+    "dq1_quality_gate",
+    oracle="""
+    SELECT
+      count(*)                                                  AS n_rows,
+      CAST(sum(CASE WHEN l_quantity IS NULL OR l_extendedprice IS NULL
+               THEN 1 ELSE 0 END) AS BIGINT)                    AS null_violations,
+      CAST(sum(CASE WHEN l_quantity <= 0 OR l_quantity > 50
+               THEN 1 ELSE 0 END) AS BIGINT)                    AS range_violations,
+      CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 1
+               THEN 1 ELSE 0 END) AS BIGINT)                    AS discount_violations,
+      (SELECT count(*) FROM (
+         SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey
+         FROM lineitem
+         GROUP BY l_orderkey, l_linenumber, l_partkey, l_suppkey
+         HAVING count(*) > 1))                                  AS duplicate_keys,
+      (SELECT count(*) FROM lineitem l
+       WHERE NOT EXISTS (SELECT 1 FROM orders o
+                         WHERE o.o_orderkey = l.l_orderkey))    AS orphan_lines
+    FROM lineitem
+    """,
+    doc="DQ1: load-time quality gate — the checks a snapshot load runs "
+    "BEFORE the swap (the reference loads blind): null/range/domain "
+    "violations in one aggregation pass, duplicate business keys via a "
+    "grouped HAVING, referential orphans via an anti-join. All "
+    "map-side-partial aggregations; at scale run on the snapshot diff, "
+    "not the full table.",
+    tags=("pipeline", "quality"),
+)
+def quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    checks = li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            (F.col("l_quantity").isNull() | F.col("l_extendedprice").isNull()).cast("int")
+        ).cast("bigint").alias("null_violations"),
+        F.sum(
+            ((F.col("l_quantity") <= 0) | (F.col("l_quantity") > 50)).cast("int")
+        ).cast("bigint").alias("range_violations"),
+        F.sum(
+            ((F.col("l_discount") < 0) | (F.col("l_discount") > 1)).cast("int")
+        ).cast("bigint").alias("discount_violations"),
+    )
+    dup_keys = (
+        li.groupBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(F.count(F.lit(1)).alias("duplicate_keys"))
+    )
+    orphans = (
+        li.join(o, li.l_orderkey == o.o_orderkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("orphan_lines"))
+    )
+    return checks.crossJoin(dup_keys).crossJoin(orphans)
+
+
+@register(
+    "s6_schema_evolution",
+    oracle="""
+    WITH v1 AS (SELECT o_orderkey, o_totalprice FROM orders
+                WHERE o_orderkey % 2 = 0),
+         v2 AS (SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+                WHERE o_orderkey % 2 = 1)
+    SELECT CAST(count(*) AS BIGINT)                        AS n_rows,
+           CAST(count(o_orderpriority) AS BIGINT)          AS n_with_priority,
+           round(sum(o_totalprice), 4)                     AS total_price
+    FROM (SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority FROM v1
+          UNION ALL
+          SELECT * FROM v2)
+    """,
+    doc="S6: schema evolution on read — two snapshot generations written "
+    "with different schemas (a column added between releases) read as ONE "
+    "dataset via mergeSchema; old rows surface NULL for the new column. "
+    "The alternative at scale is a metastore schema + explicit casts; "
+    "mergeSchema costs a footer read per file, so pin the merged schema "
+    "once evolution stabilizes.",
+    tags=("pipeline", "source"),
+)
+def schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    base = tempfile.mkdtemp(prefix="schema_evo_")
+    v1 = o.filter(F.col("o_orderkey") % 2 == 0).select("o_orderkey", "o_totalprice")
+    v2 = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    v1.write.mode("overwrite").parquet(os.path.join(base, "gen=1"))
+    v2.write.mode("overwrite").parquet(os.path.join(base, "gen=2"))
+    merged = spark.read.option("mergeSchema", True).parquet(
+        os.path.join(base, "gen=1"), os.path.join(base, "gen=2")
+    )
+    return merged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.count("o_orderpriority").cast("bigint").alias("n_with_priority"),
+        F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+    )
+
+
+@register(
+    "s7_compaction",
+    oracle="""
+    SELECT count(*)                      AS n_rows,
+           round(sum(l_quantity), 4)     AS total_qty
+    FROM lineitem
+    WHERE l_returnflag = 'A'
+    """,
+    doc="S7: small-file compaction — the returned-lines slice written as "
+    "64 fragment files (the many-small-files failure mode of incremental "
+    "ingestion), then compacted with a repartition-rewrite to 4 files and "
+    "read back. File count IS the shuffle width at rewrite; the builder "
+    "asserts the layout change, the oracle checks the data survived.",
+    tags=("pipeline", "sink"),
+)
+def compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "A")
+    base = tempfile.mkdtemp(prefix="compaction_")
+    frag, compact = os.path.join(base, "frag"), os.path.join(base, "compact")
+    li.repartition(64).write.mode("overwrite").parquet(frag)
+    n_frag = len([f for f in os.listdir(frag) if f.endswith(".parquet")])
+    spark.read.parquet(frag).repartition(4).write.mode("overwrite").parquet(compact)
+    n_compact = len([f for f in os.listdir(compact) if f.endswith(".parquet")])
+    assert n_frag == 64 and n_compact == 4, (n_frag, n_compact)
+    back = spark.read.parquet(compact)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_quantity"), 4).alias("total_qty"),
+    )
