@@ -364,30 +364,67 @@ N_SALTS = 8
     GROUP BY o_orderpriority
     ORDER BY o_orderpriority
     """,
-    doc="J8: skew-salted equi-join — the manual mitigation when one join "
-    "key dominates and even AQE skew-splitting can't keep a partition in "
-    "memory. Fact side gets salt = pmod(hash(row), N); the other side is "
-    "replicated N ways (explode over the salt range); the join key becomes "
-    "(key, salt), spreading one hot key over N partitions. Result is "
-    "IDENTICAL to the plain join (the oracle is the unsalted SQL); cost is "
-    "replicating the smaller side N-fold - use per-hot-key salting (salt "
-    "only keys above a frequency threshold) when N-fold replication is too "
-    "much. AQE's skewJoin handles the common case automatically; this "
-    "operator is the explicit form for the pathological tail.",
+    doc="J8: skew-salted equi-join, hot-key form — the manual mitigation "
+    "when one join key dominates and even AQE skew-splitting can't keep a "
+    "partition in memory. A sampled frequency pass identifies hot keys "
+    "(estimated rows above SKEW_THRESHOLD); ONLY those keys are salted: "
+    "the probe side gets salt = pmod(hash(row), N), the build side "
+    "replicates N ways for hot keys alone, and the cold majority joins "
+    "plain. Hot and cold paths union before the aggregate, so the result "
+    "is IDENTICAL to the plain join (the oracle is the unsalted SQL). "
+    "Full-table N-fold replication — the naive salting recipe — is never "
+    "paid; with no hot keys this degrades to the plain join plus one "
+    "cheap sampled agg. AQE's skewJoin handles the common case "
+    "automatically; this operator is the explicit form for the "
+    "pathological tail (a key too hot for any single executor).",
     tags=("join", "scale"),
 )
 def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem").withColumn(
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_quantity"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    # Hot-key detection on a 1% sample: estimated full count = sample
+    # count / rate; hot = estimate above what one task comfortably holds.
+    # Production threshold is task capacity (millions of rows); the
+    # fixtures are uniform (~7 lines/order), so this low cutoff marks the
+    # sampled tail hot purely to keep BOTH paths executing under test.
+    rate, threshold = 0.01, 50
+    hot = (
+        li.sample(fraction=rate, seed=42)
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > threshold * rate)
+        .select(F.col("l_orderkey").alias("hot_key"))
+    )
+    li = li.join(
+        F.broadcast(hot), li.l_orderkey == F.col("hot_key"), "left"
+    ).withColumn("is_hot", F.col("hot_key").isNotNull())
+    o = o.join(
+        F.broadcast(hot), o.o_orderkey == F.col("hot_key"), "left"
+    ).withColumn("is_hot", F.col("hot_key").isNotNull())
+
+    cold = li.filter(~F.col("is_hot")).join(
+        o.filter(~F.col("is_hot")).select("o_orderkey", "o_orderpriority"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    ).select("o_orderpriority", "l_quantity")
+    hot_li = li.filter(F.col("is_hot")).withColumn(
         "salt",
         F.pmod(
             F.xxhash64("l_orderkey", "l_linenumber", "l_partkey"), F.lit(N_SALTS)
         ).cast("int"),
     )
-    o = load_table(spark, sf_dir, "orders").withColumn(
-        "salt", F.explode(F.sequence(F.lit(0), F.lit(N_SALTS - 1)))
+    hot_o = (
+        o.filter(F.col("is_hot"))
+        .select("o_orderkey", "o_orderpriority")
+        .withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(N_SALTS - 1))))
     )
+    hot_join = hot_li.join(
+        hot_o,
+        (hot_li.l_orderkey == hot_o.o_orderkey) & (hot_li.salt == hot_o.salt),
+    ).select("o_orderpriority", "l_quantity")
     return (
-        li.join(o, (li.l_orderkey == o.o_orderkey) & (li.salt == o.salt))
+        cold.unionByName(hot_join)
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_lines"),

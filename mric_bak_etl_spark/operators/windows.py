@@ -123,7 +123,8 @@ def lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     "hot-window-key mitigation: returnflag alone has 3 values, so 1/3 of "
     "the table would sort in ONE task at any scale — restarting the frame "
     "on a natural sub-key (year) is how running totals stay parallel at "
-    "100 TB.",
+    "100 TB. No global output sort: that would range-partition the full "
+    "result for presentation only (o1 demonstrates global sort).",
     tags=("window",),
 )
 def frames(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -148,5 +149,4 @@ def frames(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.avg("l_extendedprice").over(w.rowsBetween(-3, 0)), 4
             ).alias("moving_avg_price"),
         )
-        .orderBy("l_returnflag", "l_shipdate", "l_orderkey", "l_linenumber")
     )
