@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mric_bak_etl_spark.catalog import register
+from mric_bak_etl_spark.llm.text import CHUNK_ORACLE as _CHUNK_ORACLE_REF
 from mric_bak_etl_spark.tables import load_table, spread
 
 _MEDIA_TYPES = ["image", "audio", "video"]
@@ -235,4 +236,48 @@ def grouped_pandas_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.groupBy("lang")
         .applyInPandas(weighted, schema="lang string, weighted_chars double")
         .orderBy("lang")
+    )
+
+
+@register(
+    "x3_python_udtf",
+    oracle=_CHUNK_ORACLE_REF,
+    doc="X3: Python UDTF (Spark 4 @udtf) — the table-function escape "
+    "hatch: one input row fans out to N output rows from Python, invoked "
+    "via LATERAL join in SQL. Same chunking semantics as l7_chunking "
+    "(which stays JVM-side and is the production path); this verifies the "
+    "UDTF plumbing — registration, lateral correlation, Arrow batching — "
+    "against the identical DuckDB oracle.",
+    tags=("llm", "udf"),
+)
+def python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+    import re as _re
+
+    from pyspark.sql.functions import udtf
+
+    from mric_bak_etl_spark.llm.text import CHUNK_STRIDE, CHUNK_TOKENS
+
+    @udtf(returnType="chunk_no int, chunk_text string, n_chunk_tokens long", useArrow=True)
+    class ChunkUDTF:
+        def eval(self, text: str):
+            toks = _re.split(r"\s+", text)
+            n = len(toks)
+            n_chunks = (
+                1 if n <= CHUNK_TOKENS
+                else math.ceil((n - CHUNK_TOKENS) / CHUNK_STRIDE) + 1
+            )
+            for i in range(n_chunks):
+                chunk = toks[i * CHUNK_STRIDE : i * CHUNK_STRIDE + CHUNK_TOKENS]
+                yield i, " ".join(chunk), len(chunk)
+
+    spark.udtf.register("x3_chunk_udtf", ChunkUDTF)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    spread(d).createOrReplaceTempView("x3_docs")
+    return spark.sql(
+        """
+        SELECT doc_id, c.chunk_no, c.chunk_text, c.n_chunk_tokens
+        FROM x3_docs, LATERAL x3_chunk_udtf(text) c
+        ORDER BY doc_id, chunk_no
+        """
     )

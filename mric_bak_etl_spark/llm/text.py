@@ -268,3 +268,85 @@ def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", F.md5(canonical).alias("fingerprint"))
         .orderBy("doc_id")
     )
+
+
+# Fixed-size token chunking with overlap — the LLM-training preprocessing
+# step that turns documents into model-context-sized windows. Shared by the
+# JVM-side operator (l7) and the Python-UDTF variant (x3, multimodal.py).
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 24  # 8-token overlap between consecutive chunks
+
+# DuckDB mirror of the chunk fan-out (list slicing is 1-based, end-inclusive;
+# Spark's slice(start, length) clamps the same way at the tail).
+CHUNK_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id,
+             string_split_regex(text, '\\s+') AS t,
+             len(string_split_regex(text, '\\s+')) AS n
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, t,
+             CASE WHEN n <= 32 THEN 1
+                  ELSE CAST(ceil((n - 32) / 24.0) AS INT) + 1 END AS n_chunks
+      FROM toks
+    )
+    SELECT doc_id,
+           CAST(chunk_no AS INT) AS chunk_no,
+           array_to_string(t[chunk_no * 24 + 1 : chunk_no * 24 + 32], ' ')
+             AS chunk_text,
+           CAST(len(t[chunk_no * 24 + 1 : chunk_no * 24 + 32]) AS BIGINT)
+             AS n_chunk_tokens
+    FROM c, LATERAL (SELECT unnest(range(n_chunks)) AS chunk_no) g
+    ORDER BY doc_id, chunk_no
+"""
+
+
+def chunk_documents(d: DataFrame) -> DataFrame:
+    """tokens → chunk count (closed form) → explode → slice — all codegen'd.
+
+    Chunk i covers tokens [i*stride+1, i*stride+CHUNK]; the last chunk is
+    the clamped tail. No Python, no shuffle: a pure per-row fan-out
+    projection, the 100 TB-safe shape (explode multiplies rows ~n/stride×
+    before any exchange).
+    """
+    t = d.select(
+        "doc_id", tokens().alias("toks")
+    ).withColumn("n", F.size("toks"))
+    t = t.withColumn(
+        "n_chunks",
+        F.when(F.col("n") <= CHUNK_TOKENS, F.lit(1)).otherwise(
+            F.ceil((F.col("n") - CHUNK_TOKENS) / float(CHUNK_STRIDE)).cast("int") + 1
+        ),
+    )
+    exploded = t.select(
+        "doc_id",
+        "toks",
+        F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias("chunk_no"),
+    )
+    sliced = F.slice(
+        F.col("toks"), F.col("chunk_no") * CHUNK_STRIDE + 1, F.lit(CHUNK_TOKENS)
+    )
+    return exploded.select(
+        "doc_id",
+        F.col("chunk_no").cast("int").alias("chunk_no"),
+        F.array_join(sliced, " ").alias("chunk_text"),
+        F.size(sliced).cast("bigint").alias("n_chunk_tokens"),
+    )
+
+
+@register(
+    "l7_chunking",
+    oracle=CHUNK_ORACLE,
+    doc="L7: document chunking — fixed 32-token windows, stride 24 (8-token "
+    "overlap), the context-window packing step of a training-data "
+    "pipeline. Entirely built-in expressions (split/sequence/explode/"
+    "slice/array_join): per-row fan-out with no Python and no shuffle; "
+    "chunk boundaries are closed-form so the fan-out is exact on both "
+    "engines. See x3_python_udtf for the same semantics via the UDTF "
+    "escape hatch.",
+    tags=("llm", "text"),
+)
+def chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    return chunk_documents(d).orderBy("doc_id", "chunk_no")
