@@ -220,3 +220,66 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(sf_dir)
     )
     return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def attribution_join(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
+    """click→purchase pairs: same user, purchase within 1 hour of the click.
+
+    Equi on user_id with the time range as residual; in streaming form both
+    sides carry watermarks and the range condition is what lets Spark bound
+    join state (clicks older than max(purchase ts) - 1 h are evictable).
+    """
+    return clicks.join(
+        purchases,
+        (clicks.user_id == purchases.p_user)
+        & (purchases.p_ts >= clicks.click_ts)
+        & (purchases.p_ts < clicks.click_ts + F.expr("INTERVAL 1 HOUR")),
+    )
+
+
+def split_click_purchase(ev: DataFrame) -> tuple[DataFrame, DataFrame]:
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"), "value"
+    )
+    return clicks, purchases
+
+
+@register(
+    "t7_stream_stream_join",
+    oracle="""
+    SELECT c.user_id,
+           CAST(count(*) AS BIGINT) AS n_attributed,
+           round(sum(p.value), 4)   AS attributed_value
+    FROM events c
+    JOIN events p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts
+     AND p.ts <  c.ts + INTERVAL 1 HOUR
+    WHERE c.event_type = 'click'
+      AND p.event_type = 'purchase'
+    GROUP BY c.user_id
+    ORDER BY c.user_id
+    """,
+    doc="T7: stream-stream interval join (attribution) — every purchase "
+    "within 1 hour after a same-user click, aggregated per user. Batch "
+    "face here (equi join on user_id, time range as residual); the true "
+    "two-stream form (dual watermarks + time-bounded condition, which is "
+    "what lets Spark EVICT join state — unbounded otherwise) runs in "
+    "tests/test_streaming.py via stream_events twice + AvailableNow.",
+    tags=("streaming", "join"),
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    clicks, purchases = split_click_purchase(ev)
+    return (
+        attribution_join(clicks, purchases)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_attributed"),
+            F.round(F.sum("value"), 4).alias("attributed_value"),
+        )
+        .orderBy("user_id")
+    )

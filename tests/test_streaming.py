@@ -171,3 +171,47 @@ def test_streaming_late_rows_dropped(spark, tmp_path):
     # The 10:00 window is never updated to 2: the late row did not enter it.
     assert ("2024-01-01 10:00:00", 1) in updates
     assert ("2024-01-01 10:00:00", 2) not in updates
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir):
+    """T7 true-streaming face: two readStreams (clicks, purchases), dual
+    watermarks, time-bounded inner join driven AvailableNow — the emitted
+    pair set must equal the batch-face join exactly (inner joins emit only
+    matched pairs, so on bounded input streaming == batch)."""
+    from mric_bak_etl_spark.streaming.windows import (
+        attribution_join,
+        split_click_purchase,
+        stream_events,
+    )
+    from mric_bak_etl_spark.tables import load_table
+
+    c_s, p_s = split_click_purchase(stream_events(spark, sf_dir))
+    pairs = attribution_join(
+        c_s.withWatermark("click_ts", "2 hours"),
+        p_s.withWatermark("p_ts", "2 hours"),
+    )
+    q = (
+        pairs.writeStream.format("memory")
+        .queryName("t7_pairs")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = (
+        spark.table("t7_pairs")
+        .groupBy("user_id")
+        .count()
+        .orderBy("user_id")
+        .collect()
+    )
+    c_b, p_b = split_click_purchase(load_table(spark, sf_dir, "events"))
+    want = (
+        attribution_join(c_b, p_b)
+        .groupBy("user_id")
+        .count()
+        .orderBy("user_id")
+        .collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    assert len(got) > 0
