@@ -310,3 +310,36 @@ def sql_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY l_returnflag, l_linestatus
         """
     )
+
+
+@register(
+    "f8_string_distance",
+    oracle="""
+    SELECT p_brand,
+           round(avg(levenshtein(p_name, p_type)), 4) AS avg_name_type_dist,
+           CAST(min(levenshtein(p_name, p_brand)) AS INT) AS min_name_brand_dist
+    FROM part
+    GROUP BY p_brand
+    ORDER BY p_brand
+    """,
+    doc="F8: string-distance functions — levenshtein edit distance as a "
+    "codegen'd expression (fuzzy-matching / dedup-blocking primitive), "
+    "aggregated per brand. Quadratic per-pair in string length but "
+    "embarrassingly parallel across rows; at scale run on LSH-blocked "
+    "candidates, never the cross product.",
+    tags=("function", "string"),
+)
+def string_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.groupBy("p_brand")
+        .agg(
+            F.round(F.avg(F.levenshtein("p_name", "p_type")), 4).alias(
+                "avg_name_type_dist"
+            ),
+            F.min(F.levenshtein("p_name", "p_brand")).cast("int").alias(
+                "min_name_brand_dist"
+            ),
+        )
+        .orderBy("p_brand")
+    )

@@ -350,3 +350,55 @@ def chunk_documents(d: DataFrame) -> DataFrame:
 def chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     return chunk_documents(d).orderBy("doc_id", "chunk_no")
+
+
+@register(
+    "l8_tfidf",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM tok WHERE term <> '' GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT doc_id, term, tf,
+           round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+    FROM tf JOIN df USING (term), n
+    ORDER BY tfidf DESC, doc_id, term
+    LIMIT 20
+    """,
+    doc="L8: TF-IDF — term frequency per (doc, term), document frequency "
+    "derived FROM the tf relation (one tokenize pass, not two), idf as a "
+    "broadcast-joined per-term weight, top-20 by score. Two shuffles "
+    "total: (doc_id, term) and term; the doc-count scalar broadcasts. At "
+    "corpus scale the df table is vocabulary-sized — broadcast while it "
+    "fits, else it shares the term partitioning with the tf side.",
+    tags=("llm", "text"),
+)
+def tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    n_docs = d.count()  # driver-side scalar: one cheap count action
+    tf = (
+        d.select("doc_id", F.explode(tokens()).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        tf.join(F.broadcast(df), "term")
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            F.round(
+                F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+        .orderBy(F.desc("tfidf"), "doc_id", "term")
+        .limit(20)
+    )

@@ -296,3 +296,71 @@ def percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "a8_stats_corr_covar",
+    oracle="""
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 4)       AS corr_qty_price,
+           round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price,
+           round(stddev_samp(l_extendedprice), 2)            AS sd_price,
+           round(var_samp(l_discount), 6)                    AS var_discount
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="A8: statistical aggregates — correlation, sample covariance, "
+    "stddev, variance per group; all single-pass streaming moments "
+    "(Welford-style partials combine associatively), so they cost the "
+    "same one shuffle as sum/count at any scale.",
+    tags=("aggregate",),
+)
+def stats_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+                "covar_qty_price"
+            ),
+            F.round(F.stddev_samp("l_extendedprice"), 2).alias("sd_price"),
+            F.round(F.var_samp("l_discount"), 6).alias("var_discount"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "a4d_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(grouping(l_returnflag) + 2 * grouping(l_linestatus) AS BIGINT)
+             AS gid,
+           CAST(count(*) AS BIGINT)    AS n_rows,
+           round(sum(l_quantity), 4)   AS total_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    ORDER BY gid, l_returnflag, l_linestatus
+    """,
+    doc="A4d: explicit GROUPING SETS through the SQL entry point with "
+    "grouping() disambiguation of NULL-as-ALL vs NULL-as-data — the "
+    "general form rollup/cube specialize; one Expand + one hash agg, "
+    "row multiplication = number of sets (3 here).",
+    tags=("aggregate", "sql"),
+)
+def grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("a4d_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping(l_returnflag) + 2 * grouping(l_linestatus) AS BIGINT)
+                 AS gid,
+               CAST(count(*) AS BIGINT)    AS n_rows,
+               round(sum(l_quantity), 4)   AS total_qty
+        FROM a4d_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        ORDER BY gid, l_returnflag, l_linestatus
+        """
+    )
