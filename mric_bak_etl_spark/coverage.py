@@ -10,6 +10,7 @@ runs a full value-hash compare or a rows-only check.
 
 from __future__ import annotations
 
+import re
 from collections import OrderedDict
 
 from mric_bak_etl_spark.catalog import all_specs
@@ -30,6 +31,7 @@ _FAMILIES = OrderedDict(
         ("h", "TPC-H-shaped composites"),
         ("q", "SQL entry point"),
         ("t", "Streaming semantics"),
+        ("e", "Event analytics (funnel / retention)"),
         ("l", "LLM-data-pipeline (dedup / similarity / text / sampling)"),
         ("tx", "Text analysis"),
         ("m", "Multimodal columns"),
@@ -40,7 +42,8 @@ _FAMILIES = OrderedDict(
 
 def _family(name: str) -> str:
     prefix = name.split("_", 1)[0]
-    alpha = prefix.rstrip("0123456789bcde")
+    m = re.match(r"[a-z]+", prefix)
+    alpha = m.group(0) if m else prefix
     return alpha if alpha in _FAMILIES else prefix
 
 
@@ -49,6 +52,8 @@ def main() -> None:
     by_family: dict[str, list] = {k: [] for k in _FAMILIES}
     for name in sorted(specs):
         by_family.setdefault(_family(name), []).append(specs[name])
+    orphans = set(by_family) - set(_FAMILIES)
+    assert not orphans, f"queries outside known families (add to _FAMILIES): {orphans}"
 
     n_oracle = sum(1 for s in specs.values() if s.oracle is not None)
     print("# COVERAGE — driver-verified operator inventory")

@@ -1,0 +1,133 @@
+"""Event-analytics composites over the events stream: conversion funnel,
+cohort retention.
+
+These are the bronze→gold queries an event pipeline (the reference's
+downstream, `README.md:5`) actually serves. Both are pure relational
+compositions — sequenced conditional minima and a distinct-count lattice —
+no sessionization state needed (t3 covers session windows).
+
+Scale notes (100 TB of events): every stage below aggregates to the
+user grain FIRST (per-user minima / first-event), so the expensive
+relations shrink from events-sized to users-sized before any join; the
+step tables then broadcast or share the user_id partitioning. Funnel
+steps chain K small joins, not one K-way self-join of the raw stream.
+Retention's distinct-count shuffles (cohort, week, user) pairs — already
+deduped map-side — never raw events.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mric_bak_etl_spark.catalog import register
+from mric_bak_etl_spark.tables import load_table
+
+
+def _step_min(ev: DataFrame, etype: str, after: DataFrame | None, ts_col: str) -> DataFrame:
+    """Per-user min(ts) of `etype` events at-or-after the prior step."""
+    e = ev.filter(F.col("event_type") == etype)
+    if after is not None:
+        e = e.join(F.broadcast(after), "user_id").filter(
+            F.col("ts") >= F.col(after.columns[1])
+        )
+    return e.groupBy("user_id").agg(F.min("ts").alias(ts_col))
+
+
+@register(
+    "e1_funnel",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, min(ts) AS t0 FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(ts) AS t1
+      FROM events e JOIN s USING (user_id)
+      WHERE event_type = 'click' AND ts >= s.t0
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(ts) AS t2
+      FROM events e JOIN c USING (user_id)
+      WHERE event_type = 'purchase' AND ts >= c.t1
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT count(*) FROM s) AS n_signup,
+           (SELECT count(*) FROM c) AS n_click_after_signup,
+           (SELECT count(*) FROM p) AS n_purchase_after_click
+    """,
+    doc="E1: conversion funnel signup→click→purchase — ordered steps as "
+    "chained per-user conditional minima: each step aggregates to the "
+    "user grain, then the (small) step table broadcasts into the next "
+    "filter. Events are touched once per step with a pushed event_type "
+    "predicate; no self-join of raw events ever happens.",
+    tags=("events", "composite"),
+)
+def funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s = _step_min(ev, "signup", None, "t0")
+    c = _step_min(ev, "click", s, "t1")
+    p = _step_min(ev, "purchase", c, "t2")
+    counts = [
+        df.agg(F.count(F.lit(1)).alias(alias))
+        for df, alias in (
+            (s, "n_signup"),
+            (c, "n_click_after_signup"),
+            (p, "n_purchase_after_click"),
+        )
+    ]
+    return counts[0].crossJoin(counts[1]).crossJoin(counts[2])
+
+
+@register(
+    "e2_cohort_retention",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             CAST(datediff('day', f.cohort_week,
+                           date_trunc('week', e.ts)) // 7 AS BIGINT)
+               AS week_offset
+      FROM events e JOIN first_seen f USING (user_id)
+    )
+    SELECT cohort_week, week_offset,
+           CAST(count(*) AS BIGINT) AS n_active_users
+    FROM activity
+    GROUP BY cohort_week, week_offset
+    ORDER BY cohort_week, week_offset
+    """,
+    doc="E2: cohort retention — users bucketed by first-seen week, "
+    "activity counted per (cohort, week-offset). first_seen is a "
+    "users-grain aggregate that broadcasts back onto events; the "
+    "distinct on (user, cohort, offset) dedupes map-side before the "
+    "final count shuffle. The classic retention triangle, two shuffles "
+    "end to end.",
+    tags=("events", "composite"),
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = (
+        ev.join(F.broadcast(first_seen), "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            F.floor(
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week")) / 7
+            )
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    return (
+        activity.groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_active_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
