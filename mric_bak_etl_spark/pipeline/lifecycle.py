@@ -232,3 +232,45 @@ def compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.round(F.sum("l_quantity"), 4).alias("total_qty"),
     )
+
+
+@register(
+    "s8_dynamic_partition_pruning",
+    oracle="""
+    SELECT CAST(year(l_shipdate) AS INT) AS ship_year,
+           CAST(count(*) AS BIGINT)      AS n_rows,
+           round(sum(l_extendedprice), 4) AS total_price
+    FROM lineitem
+    WHERE year(l_shipdate) IN (1996, 1997)
+    GROUP BY ship_year
+    ORDER BY ship_year
+    """,
+    doc="S8: dynamic partition pruning — the fact snapshot written "
+    "partitioned by ship year, joined to a dimension whose filter "
+    "(non-partition attribute) only resolves at runtime; Spark reuses the "
+    "broadcast to prune fact PARTITIONS before scanning them "
+    "(dynamicpruningexpression in the scan's PartitionFilters — asserted "
+    "in tests/test_plans.py). THE mechanism that makes star-schema "
+    "date-range queries touch 2 of 2000 partitions at 100 TB.",
+    tags=("pipeline", "source", "scale"),
+)
+def dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "ship_year", F.year("l_shipdate").cast("int")
+    )
+    base = tempfile.mkdtemp(prefix="dpp_")
+    li.write.mode("overwrite").partitionBy("ship_year").parquet(base)
+    fact = spark.read.parquet(base)
+    dim = spark.createDataFrame(
+        [(y, "keep" if y in (1996, 1997) else "drop") for y in range(1995, 2002)],
+        "y int, tag string",
+    ).filter(F.col("tag") == "keep")
+    return (
+        fact.join(F.broadcast(dim), fact.ship_year == dim.y)
+        .groupBy("ship_year")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.round(F.sum("l_extendedprice"), 4).alias("total_price"),
+        )
+        .orderBy("ship_year")
+    )

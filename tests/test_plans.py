@@ -148,3 +148,12 @@ def test_no_python_udfs_outside_declared_pandas_stages(spark, sf_dir):
         if "EvalPython" in plan or "MapInPandas" in plan or "FlatMapGroupsInPandas" in plan:
             offenders.append(name)
     assert not offenders, f"Python crept into JVM-only queries: {offenders}"
+
+
+def test_dynamic_partition_pruning_in_plan(spark, sf_dir):
+    # The s8 fact scan must carry a runtime pruning predicate on the
+    # partition column — proof the dim filter cuts partitions, not rows.
+    from mric_bak_etl_spark.pipeline.lifecycle import dynamic_partition_pruning
+
+    plan = plan_of(dynamic_partition_pruning(spark, sf_dir))
+    assert "dynamicpruning" in plan.lower()
