@@ -274,3 +274,100 @@ def dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ship_year")
     )
+
+
+def merge_apply(base: DataFrame, changes: DataFrame, key: str) -> DataFrame:
+    """Upsert/delete application: MERGE INTO semantics as one full outer join.
+
+    ``changes`` rows carry ``op`` ∈ {upsert, delete}. Result = base rows
+    untouched by changes + upserted rows; deletes drop. One shuffle on the
+    key (exchange-free when base and changes are bucketed on it, j9); at
+    scale this is the copy-on-write MERGE a lakehouse table format runs,
+    expressed directly.
+    """
+    b = base.select(F.col(key).alias("k"), F.struct(*base.columns).alias("b_row"))
+    c = changes.select(
+        F.col(key).alias("k"), "op", F.struct(*[c for c in changes.columns if c != "op"]).alias("c_row")
+    )
+    j = b.join(c, "k", "full")
+    kept = j.filter(
+        (F.col("op").isNull())                # untouched base row
+        | (F.col("op") == "upsert")           # insert or update
+    )
+    return kept.select(
+        F.when(F.col("op") == "upsert", F.col("c_row")).otherwise(F.col("b_row")).alias("row")
+    ).select("row.*")
+
+
+@register(
+    "r17_merge_apply",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      WHERE o_orderkey % 10 <> 0
+    ),
+    changes AS (
+      -- deletes: every 7th key; upserts: every 5th key (status rewritten),
+      -- including keys NOT in base (inserts)
+      SELECT o_orderkey, 'delete' AS op, NULL AS o_orderstatus,
+             CAST(NULL AS DOUBLE) AS o_totalprice
+      FROM orders WHERE o_orderkey % 7 = 0
+      UNION ALL
+      SELECT o_orderkey, 'upsert' AS op, 'U' AS o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 5 = 0 AND o_orderkey % 7 <> 0
+    ),
+    merged AS (
+      SELECT coalesce(c.o_orderkey, b.o_orderkey) AS o_orderkey,
+             CASE WHEN c.op = 'upsert' THEN c.o_orderstatus
+                  ELSE b.o_orderstatus END AS o_orderstatus,
+             CASE WHEN c.op = 'upsert' THEN c.o_totalprice
+                  ELSE b.o_totalprice END AS o_totalprice
+      FROM base b FULL JOIN changes c ON b.o_orderkey = c.o_orderkey
+      WHERE c.op IS NULL OR c.op = 'upsert'
+    )
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT)      AS n_rows,
+           round(sum(o_totalprice), 4)   AS total_price
+    FROM merged
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus NULLS FIRST
+    """,
+    doc="R17: MERGE/upsert application — the incremental successor to the "
+    "reference's full drop-and-restore (src/bak_unload.ps1:92-103): a "
+    "change set (upserts incl. inserts, deletes) applied to the base "
+    "snapshot in ONE full outer join on the business key. "
+    "Copy-on-write MERGE semantics without a table format; bucketing "
+    "both sides (j9) makes it exchange-free at 100 TB.",
+    tags=("pipeline", "reference-fidelity"),
+)
+def merge_apply_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    base = o.filter(F.col("o_orderkey") % 10 != 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    deletes = o.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        F.lit("delete").alias("op"),
+        F.lit(None).cast("string").alias("o_orderstatus"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+    )
+    upserts = o.filter(
+        (F.col("o_orderkey") % 5 == 0) & (F.col("o_orderkey") % 7 != 0)
+    ).select(
+        "o_orderkey",
+        F.lit("upsert").alias("op"),
+        F.lit("U").alias("o_orderstatus"),
+        "o_totalprice",
+    )
+    changes = deletes.unionByName(upserts).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "op"
+    )
+    merged = merge_apply(base, changes, "o_orderkey")
+    return (
+        merged.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+        )
+        .orderBy(F.col("o_orderstatus").asc_nulls_first())
+    )
