@@ -187,3 +187,86 @@ def grouped_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+CENTROID_MOD = 97  # coarse codebook = vectors with vec_id % 97 == 1
+
+
+@register(
+    "l3d_ivf_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % {CENTROID_MOD} = 1),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = {QUERY_VEC_ID}),
+    assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC,
+                          c.cid ASC) AS rn
+        FROM e, c) WHERE rn = 1
+    ),
+    probe AS (
+      SELECT cid FROM (
+        SELECT cid, row_number() OVER (ORDER BY cs DESC, cid ASC) AS rn
+        FROM (SELECT c.cid,
+                     round(list_cosine_similarity(c.cv, q.qv), 6) AS cs
+              FROM c, q)) WHERE rn <= 2
+    )
+    SELECT e.vec_id, round(list_cosine_similarity(e.v, q.qv), 4) AS cosine
+    FROM e JOIN assign USING (vec_id) JOIN probe USING (cid), q
+    WHERE e.vec_id <> {QUERY_VEC_ID}
+    ORDER BY cosine DESC, vec_id ASC
+    LIMIT {TOP_K}
+    """,
+    doc="L3d: IVF ANN — coarse quantization: a deterministic codebook "
+    "(every 97th vector), each vector assigned to its nearest centroid "
+    "(cosine rounded to 6dp + cid tiebreak so assignment is "
+    "engine-stable), query probes the 2 nearest cells, exact scoring on "
+    "cell members only. At scale the assignment is a broadcast "
+    "(codebook) map-side pass done ONCE at ingest and stored as a "
+    "partition column — probing then reads 2/N of the corpus; nprobe is "
+    "the recall/cost dial. Complements l3b (LSH): IVF groups by data "
+    "geometry, LSH by random projection.",
+    tags=("llm", "vector"),
+)
+def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double().alias("v")
+    )
+    cents = e.filter(F.col("vec_id") % CENTROID_MOD == 1).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(F.col("v").alias("qv"))
+    # Assignment: corpus × broadcast codebook, keep nearest cell per vector.
+    scored = spread(e).crossJoin(F.broadcast(cents)).select(
+        "vec_id", "v", "cid",
+        F.round(_cosine(F.col("v"), F.col("cv")), 6).alias("cs"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cs").desc(), F.col("cid").asc())
+    assign = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", "cid")
+    )
+    probe = (
+        cents.crossJoin(F.broadcast(q))
+        .select("cid", F.round(_cosine(F.col("cv"), F.col("qv")), 6).alias("cs"))
+        .orderBy(F.col("cs").desc(), F.col("cid").asc())
+        .limit(2)
+        .select("cid")
+    )
+    candidates = assign.join(F.broadcast(probe), "cid").filter(
+        F.col("vec_id") != QUERY_VEC_ID
+    )
+    return (
+        candidates.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id", F.round(_cosine(F.col("v"), F.col("qv")), 4).alias("cosine")
+        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(TOP_K)
+    )

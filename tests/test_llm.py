@@ -97,3 +97,16 @@ def test_feature_extract_contract(spark, sf_dir):
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
     r0 = next(r for r in rows if r["media_id"] == 0)
     assert 0.0 <= r0["mean_byte"] <= 1.0
+
+
+def test_ivf_scores_consistent_with_brute_force(spark, sf_dir):
+    from mric_bak_etl_spark.llm.similarity import ivf_topk
+
+    brute = {r["vec_id"]: r["cosine"] for r in cosine_topk(spark, sf_dir).collect()}
+    ivf = {r["vec_id"]: r["cosine"] for r in ivf_topk(spark, sf_dir).collect()}
+    # Any vector IVF returns that brute force also ranked must carry the
+    # identical exact score (IVF prunes candidates, never rescores).
+    for vec_id, cos in ivf.items():
+        if vec_id in brute:
+            assert abs(brute[vec_id] - cos) < 1e-9
+    assert len(ivf) == 10
