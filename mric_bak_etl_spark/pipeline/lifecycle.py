@@ -371,3 +371,99 @@ def merge_apply_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("o_orderstatus").asc_nulls_first())
     )
+
+
+@register(
+    "r18_scd2_history",
+    oracle="""
+    WITH old AS (
+      SELECT o_orderkey AS k, o_orderstatus AS v FROM orders
+      WHERE o_orderkey % 10 <> 0
+    ),
+    new AS (
+      SELECT o_orderkey AS k,
+             CASE WHEN o_orderkey % 7 = 0 THEN 'X' ELSE o_orderstatus END AS v
+      FROM orders WHERE o_orderkey % 10 <> 1
+    ),
+    j AS (SELECT coalesce(o.k, n.k) AS k, o.v AS v_old, n.v AS v_new,
+                 o.k IS NOT NULL AS in_old, n.k IS NOT NULL AS in_new
+          FROM old o FULL JOIN new n ON o.k = n.k),
+    hist AS (
+      -- closed-out rows (value replaced or key deleted in gen 2)
+      SELECT k, v_old AS v, 1 AS valid_from, 2 AS valid_to, FALSE AS is_current
+      FROM j WHERE in_old AND (NOT in_new OR v_old <> v_new)
+      UNION ALL
+      -- still-current rows carried from gen 1
+      SELECT k, v_old, 1, NULL, TRUE FROM j WHERE in_old AND in_new AND v_old = v_new
+      UNION ALL
+      -- rows opened in gen 2 (insert or new value)
+      SELECT k, v_new, 2, NULL, TRUE FROM j WHERE in_new AND (NOT in_old OR v_old <> v_new)
+    )
+    SELECT v AS status, valid_from, valid_to, is_current,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM hist
+    GROUP BY status, valid_from, valid_to, is_current
+    ORDER BY status, valid_from, valid_to NULLS FIRST, is_current
+    """,
+    doc="R18: SCD Type-2 history — two snapshot generations (the "
+    "reference's daily full replaces) folded into dimension history rows "
+    "with validity intervals: changed/deleted values close out "
+    "(valid_to = gen 2), new/changed values open as current. One full "
+    "outer join on the business key + a per-row fan-out (array+explode, "
+    "no extra shuffle); the standard warehouse answer to 'what did this "
+    "row say last month?'. Bucketed generations (j9) make the join "
+    "exchange-free at scale.",
+    tags=("pipeline", "reference-fidelity"),
+)
+def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    old = o.filter(F.col("o_orderkey") % 10 != 0).select(
+        F.col("o_orderkey").alias("k"), F.col("o_orderstatus").alias("v_old")
+    )
+    new = o.filter(F.col("o_orderkey") % 10 != 1).select(
+        F.col("o_orderkey").alias("k"),
+        F.when(F.col("o_orderkey") % 7 == 0, "X")
+        .otherwise(F.col("o_orderstatus"))
+        .alias("v_new"),
+    )
+    j = old.join(new, "k", "full").select(
+        "k", "v_old", "v_new",
+        F.col("v_old").isNotNull().alias("in_old"),
+        F.col("v_new").isNotNull().alias("in_new"),
+    )
+    # Each key emits 1-2 history rows: build them as an array of structs
+    # and explode — per-row fan-out, no union of three re-scans.
+    row = lambda v, vf, vt, cur: F.struct(  # noqa: E731
+        v.alias("v"), F.lit(vf).alias("valid_from"),
+        (F.lit(vt).cast("int")).alias("valid_to"), F.lit(cur).alias("is_current"),
+    )
+    changed = F.col("in_old") & F.col("in_new") & (F.col("v_old") != F.col("v_new"))
+    hist = j.select(
+        F.explode(
+            F.concat(
+                # closed-out gen-1 row
+                F.when(
+                    F.col("in_old") & (~F.col("in_new") | changed),
+                    F.array(row(F.col("v_old"), 1, 2, False)),
+                ).otherwise(F.array()),
+                # carried-forward current row
+                F.when(
+                    F.col("in_old") & F.col("in_new") & (F.col("v_old") == F.col("v_new")),
+                    F.array(row(F.col("v_old"), 1, None, True)),
+                ).otherwise(F.array()),
+                # opened gen-2 row
+                F.when(
+                    F.col("in_new") & (~F.col("in_old") | changed),
+                    F.array(row(F.col("v_new"), 2, None, True)),
+                ).otherwise(F.array()),
+            )
+        ).alias("h")
+    )
+    return (
+        hist.select("h.*")
+        .groupBy(F.col("v").alias("status"), "valid_from", "valid_to", "is_current")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+        .orderBy(
+            "status", "valid_from", F.col("valid_to").asc_nulls_first(), "is_current"
+        )
+    )
