@@ -402,3 +402,70 @@ def tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("tfidf"), "doc_id", "term")
         .limit(20)
     )
+
+
+SHARD_TOKENS = 512  # target token budget per training shard
+
+
+@register(
+    "l9_sequence_packing",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang,
+             len(list_filter(string_split_regex(text, '\\s+'),
+                             x -> x <> '')) AS n_tok
+      FROM documents
+    ),
+    packed AS (
+      SELECT lang, doc_id, n_tok,
+             CAST(floor(coalesce(sum(n_tok) OVER (
+               PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512.0)
+               AS BIGINT) AS shard
+      FROM t
+    )
+    SELECT lang, shard,
+           CAST(count(*) AS BIGINT)  AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens
+    FROM packed
+    GROUP BY lang, shard
+    ORDER BY lang, shard
+    """,
+    doc="L9: sequence packing — documents greedily packed into ~512-token "
+    "training shards: shard id = floor(running-token-total / budget), a "
+    "running-sum window partitioned BY LANGUAGE so packing parallelizes "
+    "(one global cumulative sum would serialize the corpus into a single "
+    "task at any scale — the partition key is the packing domain). "
+    "Deterministic doc_id order makes shard assignment reproducible "
+    "across runs/engines.",
+    tags=("llm", "text"),
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = spread(load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text"))
+    t = d.select(
+        "doc_id",
+        "lang",
+        F.size(F.filter(tokens(), lambda x: x != "")).alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = t.select(
+        "lang",
+        "n_tok",
+        F.floor(F.coalesce(F.sum("n_tok").over(w), F.lit(0)) / float(SHARD_TOKENS))
+        .cast("bigint")
+        .alias("shard"),
+    )
+    return (
+        packed.groupBy("lang", "shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        )
+        .orderBy("lang", "shard")
+    )
