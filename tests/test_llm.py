@@ -110,3 +110,29 @@ def test_ivf_scores_consistent_with_brute_force(spark, sf_dir):
         if vec_id in brute:
             assert abs(brute[vec_id] - cos) < 1e-9
     assert len(ivf) == 10
+
+
+def test_chunking_edge_cases(spark):
+    """Chunk fan-out on boundary inputs: single token, exactly one chunk,
+    exactly chunk+1 tokens, and a multi-chunk tail shorter than stride."""
+    from mric_bak_etl_spark.llm.text import CHUNK_STRIDE, CHUNK_TOKENS, chunk_documents
+
+    rows = [
+        (1, "solo"),
+        (2, " ".join(f"w{i}" for i in range(CHUNK_TOKENS))),      # exactly 1 chunk
+        (3, " ".join(f"w{i}" for i in range(CHUNK_TOKENS + 1))),  # spills into 2nd
+        (4, " ".join(f"w{i}" for i in range(CHUNK_TOKENS + CHUNK_STRIDE * 2 + 3))),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["chunk_no"]): r["n_chunk_tokens"]
+        for r in chunk_documents(d).collect()
+    }
+    assert got[(1, 0)] == 1 and (1, 1) not in got
+    assert got[(2, 0)] == CHUNK_TOKENS and (2, 1) not in got
+    assert got[(3, 0)] == CHUNK_TOKENS and got[(3, 1)] == CHUNK_TOKENS + 1 - CHUNK_STRIDE
+    # doc 4: 83 tokens → 4 chunks; 0-2 full, 3 = clamped 11-token tail
+    n4 = CHUNK_TOKENS + CHUNK_STRIDE * 2 + 3
+    assert got[(4, 0)] == got[(4, 1)] == got[(4, 2)] == CHUNK_TOKENS
+    assert got[(4, 3)] == n4 - 3 * CHUNK_STRIDE
+    assert (4, 4) not in got
