@@ -343,3 +343,26 @@ def string_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+@register(
+    "f9_hashing",
+    oracle="""
+    SELECT CAST(count(DISTINCT md5(text)) AS BIGINT)    AS n_md5,
+           CAST(count(DISTINCT sha256(text)) AS BIGINT) AS n_sha256,
+           min(md5(text))                               AS min_md5
+    FROM documents
+    """,
+    doc="F9: cryptographic hash functions — md5/sha2 as codegen'd "
+    "expressions, the content-addressing primitives under exact dedup "
+    "(l1) and snapshot fingerprinting (r16). Engine-independent outputs "
+    "(unlike xxhash64), hence directly oracle-comparable.",
+    tags=("function", "string"),
+)
+def hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.agg(
+        F.countDistinct(F.md5("text")).cast("bigint").alias("n_md5"),
+        F.countDistinct(F.sha2("text", 256)).cast("bigint").alias("n_sha256"),
+        F.min(F.md5("text")).alias("min_md5"),
+    )

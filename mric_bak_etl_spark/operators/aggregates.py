@@ -364,3 +364,36 @@ def grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY gid, l_returnflag, l_linestatus
         """
     )
+
+
+@register(
+    "a10_min_by_max_by",
+    oracle="""
+    SELECT o_orderpriority,
+           arg_max(o_orderkey, o_totalprice) AS biggest_order,
+           round(max(o_totalprice), 4)       AS biggest_price,
+           arg_min(o_orderkey, o_totalprice) AS smallest_order,
+           round(min(o_totalprice), 4)       AS smallest_price
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="A10: argmin/argmax aggregates — min_by/max_by carry a companion "
+    "column to the extreme row in ONE pass (no self-join back to find "
+    "'the row with the max'); same single-shuffle cost as min/max. "
+    "Assumes unique extremes (true of o_totalprice at every SF) — with "
+    "ties, pair with a deterministic tiebreak struct.",
+    tags=("aggregate",),
+)
+def min_by_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.max_by("o_orderkey", "o_totalprice").alias("biggest_order"),
+            F.round(F.max("o_totalprice"), 4).alias("biggest_price"),
+            F.min_by("o_orderkey", "o_totalprice").alias("smallest_order"),
+            F.round(F.min("o_totalprice"), 4).alias("smallest_price"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -150,3 +150,41 @@ def frames(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("moving_avg_price"),
         )
     )
+
+
+@register(
+    "w4_range_interval_frame",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           CAST(count(*) OVER w AS BIGINT)     AS n_last_hour,
+           round(sum(value) OVER w, 4)         AS value_last_hour
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    ORDER BY user_id, ts, event_id
+    """,
+    doc="W4: RANGE frame over event time — per-user trailing-1-hour count "
+    "and sum, the time-based frame ROWS can't express (frame membership "
+    "follows the ORDER BY VALUE, so ties and gaps behave correctly; "
+    "rows with equal ts share a frame). Same one-sort-per-partition "
+    "execution as w3; the interval bound is evaluated against the sort "
+    "key, no extra pass.",
+    tags=("window", "streaming"),
+)
+def range_interval_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mric_bak_etl_spark.operators.subqueries import register_views
+
+    register_views(spark, sf_dir)
+    # SQL form: the DataFrame API spells interval ranges awkwardly
+    # (rangeBetween takes longs); windowed interval frames are exactly
+    # what the SQL entry point is for.
+    return spark.sql(
+        """
+        SELECT event_id, user_id, ts,
+               CAST(count(*) OVER w AS BIGINT)     AS n_last_hour,
+               round(sum(value) OVER w, 4)         AS value_last_hour
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        """
+    )
