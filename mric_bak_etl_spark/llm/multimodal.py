@@ -281,3 +281,37 @@ def python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY doc_id, chunk_no
         """
     )
+
+
+@register(
+    "x4_scalar_pandas_udf",
+    oracle="""
+    SELECT doc_id,
+           round(1.0 / (1.0 + exp(-(n_chars - 250.0) / 100.0)), 6) AS length_score
+    FROM documents
+    ORDER BY doc_id
+    LIMIT 100
+    """,
+    doc="X4: scalar pandas UDF — Arrow-batched, vectorized numpy math "
+    "(logistic length score), one batch per Arrow chunk rather than one "
+    "Python call per row. Deterministic closed form, so fully "
+    "oracle-checkable; completes the UDF taxonomy alongside x1 "
+    "(mapInPandas), x2 (grouped agg), x3 (UDTF), t6 (stateful). Use "
+    "ONLY when no built-in expression exists — this exact formula "
+    "would normally stay JVM-side via F.exp.",
+    tags=("llm", "udf"),
+)
+def scalar_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def length_score(n_chars: pd.Series) -> pd.Series:
+        return np.round(1.0 / (1.0 + np.exp(-(n_chars - 250.0) / 100.0)), 6)
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return (
+        d.select("doc_id", length_score("n_chars").alias("length_score"))
+        .orderBy("doc_id")
+        .limit(100)
+    )

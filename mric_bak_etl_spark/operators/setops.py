@@ -98,3 +98,25 @@ def except_all_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     left = o.select("o_custkey")
     right = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
     return left.exceptAll(right).orderBy("o_custkey")
+
+
+@register(
+    "u3_union_distinct",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    UNION
+    SELECT o_custkey FROM orders WHERE o_totalprice > 100000
+    ORDER BY o_custkey
+    """,
+    doc="U3: UNION with distinct semantics (SQL UNION vs UNION ALL) — "
+    "union + dropDuplicates collapses to one hash aggregate over the "
+    "concatenated inputs: a single shuffle on the full row, same cost "
+    "profile as a groupBy on all columns. Prefer UNION ALL + a later "
+    "grouped agg when a downstream aggregation exists anyway.",
+    tags=("setop",),
+)
+def union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    b = o.filter(F.col("o_totalprice") > 100000).select("o_custkey")
+    return a.union(b).distinct().orderBy("o_custkey")

@@ -139,7 +139,7 @@ def test_no_python_udfs_outside_declared_pandas_stages(spark, sf_dir):
     # JVM-side: no BatchEvalPython / ArrowEvalPython in the plan.
     pandas_ok = {"x1_unzip_payload", "m2_feature_extract", "m3_frame_sample",
                  "x2_grouped_pandas_agg", "t6_stateful_custom",
-                 "x3_python_udtf"}
+                 "x3_python_udtf", "x4_scalar_pandas_udf"}
     offenders = []
     for name, spec in sorted(all_specs().items()):
         if name in pandas_ok:
