@@ -270,3 +270,78 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
         .limit(TOP_K)
     )
+
+
+@register(
+    "l10_embedding_hygiene",
+    oracle="""
+    WITH e AS (
+      SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    m AS (
+      SELECT label,
+             sqrt(list_sum(list_transform(v, x -> x * x))) AS norm,
+             list_max(list_transform(v, x -> abs(x)))      AS absmax,
+             v
+      FROM e
+    ),
+    q AS (
+      SELECT label, norm,
+             list_sum(list_transform(
+               v, x -> abs(x - round(x * 127.0 / absmax) * absmax / 127.0)))
+               / len(v) AS quant_err
+      FROM m
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT)   AS n_vectors,
+           round(avg(norm), 6)        AS avg_norm,
+           round(avg(quant_err), 8)   AS avg_int8_err
+    FROM q
+    GROUP BY label
+    ORDER BY label
+    """,
+    doc="L10: embedding hygiene — per-vector L2 norm and symmetric int8 "
+    "quantization error (round-trip |x - dequant(quant(x))|), averaged "
+    "per label: the storage-sizing numbers (norm distribution drives "
+    "cosine-vs-dot choice; quant error drives whether int8 ANN serving "
+    "is safe). Pure higher-order array expressions (transform/"
+    "aggregate) — per-row projection, no Python, no shuffle before the "
+    "small final agg.",
+    tags=("llm", "vector"),
+)
+def embedding_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "label", _as_double().alias("v")
+    )
+    m = e.select(
+        "label",
+        "v",
+        F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x)).alias("norm"),
+        F.aggregate("v", F.lit(0.0), lambda a, x: F.greatest(a, F.abs(x))).alias(
+            "absmax"
+        ),
+    )
+    q = m.select(
+        "label",
+        "norm",
+        (
+            F.aggregate(
+                "v",
+                F.lit(0.0),
+                lambda a, x: a
+                + F.abs(
+                    x - F.round(x * 127.0 / F.col("absmax")) * F.col("absmax") / 127.0
+                ),
+            )
+            / F.size("v")
+        ).alias("quant_err"),
+    )
+    return (
+        q.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+            F.round(F.avg("norm"), 6).alias("avg_norm"),
+            F.round(F.avg("quant_err"), 8).alias("avg_int8_err"),
+        )
+        .orderBy("label")
+    )
