@@ -502,3 +502,54 @@ def sorted_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("l_quantity"), 4).alias("total_qty"),
         F.round(F.avg("l_discount"), 6).alias("avg_discount"),
     )
+
+
+@register(
+    "dq2_volume_anomaly",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', o_orderdate) AS d,
+             CAST(count(*) AS DOUBLE) AS cnt
+      FROM orders GROUP BY d
+    ),
+    scored AS (
+      SELECT d, cnt,
+             (cnt - avg(cnt) OVER ()) / stddev_samp(cnt) OVER () AS z
+      FROM daily
+    )
+    SELECT CAST(count(*) AS BIGINT)                      AS n_days,
+           CAST(sum(CASE WHEN abs(z) > 2 THEN 1 ELSE 0 END) AS BIGINT)
+                                                         AS n_anomalous,
+           round(max(z), 4)                              AS max_z,
+           round(min(z), 4)                              AS min_z
+    FROM scored
+    """,
+    doc="DQ2: ingest-volume anomaly gate — daily row counts z-scored "
+    "against the full history; |z|>2 days are the 'snapshot looks wrong, "
+    "hold the swap' signal the reference's blind daily restore lacks. "
+    "The global window runs over the PRE-AGGREGATED daily relation "
+    "(days-sized, trivially one task) — never over raw rows; the raw "
+    "scan is one map-side-partial count per day.",
+    tags=("pipeline", "quality"),
+)
+def volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.date_trunc("day", "o_orderdate").alias("d")).agg(
+        F.count(F.lit(1)).cast("double").alias("cnt")
+    )
+    w = Window.partitionBy()
+    scored = daily.select(
+        "d",
+        "cnt",
+        ((F.col("cnt") - F.avg("cnt").over(w)) / F.stddev_samp("cnt").over(w)).alias(
+            "z"
+        ),
+    )
+    return scored.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum((F.abs(F.col("z")) > 2).cast("int")).cast("bigint").alias("n_anomalous"),
+        F.round(F.max("z"), 4).alias("max_z"),
+        F.round(F.min("z"), 4).alias("min_z"),
+    )
