@@ -366,3 +366,47 @@ def hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct(F.sha2("text", 256)).cast("bigint").alias("n_sha256"),
         F.min(F.md5("text")).alias("min_md5"),
     )
+
+
+@register(
+    "f10_array_advanced",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      WHERE vec_id < 50
+    )
+    SELECT vec_id,
+           round(list_max(v), 6)                         AS max_elem,
+           round(v[1] + v[64], 6)                        AS ends_sum,
+           list_position(v, list_max(v))                 AS argmax_pos,
+           round(list_sum(list_sort(v)[60:64]), 6)       AS top5_sum
+    FROM e
+    ORDER BY vec_id
+    """,
+    doc="F10: advanced array functions — sort, position/argmax, "
+    "element_at by index, sliced sum-of-top-k over the embedding "
+    "vectors; all codegen'd per-row expressions (the building blocks "
+    "of vector post-processing without any UDF). Per-row cost is "
+    "O(d log d) for the sort — fine at d=64; at large d move top-k "
+    "into an aggregate.",
+    tags=("function", "array"),
+)
+def array_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    return (
+        e.select(
+            "vec_id",
+            F.round(F.array_max("v"), 6).alias("max_elem"),
+            F.round(F.element_at("v", 1) + F.element_at("v", 64), 6).alias("ends_sum"),
+            F.array_position("v", F.array_max("v")).alias("argmax_pos"),
+            F.round(
+                F.aggregate(
+                    F.slice(F.array_sort("v"), 60, 5), F.lit(0.0), lambda a, x: a + x
+                ),
+                6,
+            ).alias("top5_sum"),
+        )
+        .orderBy("vec_id")
+    )

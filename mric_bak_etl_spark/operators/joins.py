@@ -486,3 +486,38 @@ def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "j10_broadcast_nested_loop",
+    oracle="""
+    SELECT r_name, CAST(count(*) AS BIGINT) AS n_suppliers,
+           round(sum(s_acctbal), 4) AS total_bal
+    FROM supplier, region
+    WHERE s_acctbal > CAST(r_regionkey AS DOUBLE) * 1000.0
+    GROUP BY r_name
+    ORDER BY r_name
+    """,
+    doc="J10: pure non-equi join (NO equi conjunct) — physically a "
+    "BroadcastNestedLoopJoin, the only strategy left when no hash key "
+    "exists. Acceptable ONLY with a broadcast-small side (region: 5 "
+    "rows); with two large sides a θ-only join is O(n·m) and the fix is "
+    "banding the continuous predicate into an equi key (j5 shows the "
+    "range+equi form). The explicit broadcast pins the small side.",
+    tags=("join",),
+)
+def broadcast_nested_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        s.join(
+            F.broadcast(r),
+            s.s_acctbal > r.r_regionkey.cast("double") * 1000.0,
+        )
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+            F.round(F.sum("s_acctbal"), 4).alias("total_bal"),
+        )
+        .orderBy("r_name")
+    )
