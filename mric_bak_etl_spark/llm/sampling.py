@@ -77,3 +77,62 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "l11_curation_pipeline",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, lang, source, n_chars, text
+      FROM documents
+      WHERE n_chars BETWEEN 100 AND 2000
+    ),
+    deduped AS (
+      SELECT min(doc_id) AS doc_id, arg_min(lang, doc_id) AS lang,
+             arg_min(source, doc_id) AS source,
+             arg_min(n_chars, doc_id) AS n_chars
+      FROM scored GROUP BY md5(text)
+    ),
+    sampled AS (
+      SELECT * FROM deduped
+      WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'c0000000'
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT)   AS n_docs,
+           round(avg(n_chars), 4)     AS avg_chars,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+    FROM sampled
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    doc="L11: end-to-end curation pipeline — the composed training-data "
+    "path: length gate → exact dedup (keep min doc_id per content hash, "
+    "metadata carried with min_by keyed on the keeper id, deterministic even if duplicates diverge in metadata) → "
+    "deterministic 75% hash-threshold sample → per-language corpus "
+    "stats. One shuffle for the dedup group, one for the final stats; "
+    "the filter and sample are zero-shuffle projections. Each stage is "
+    "individually verified (tx_quality_score, l1, l6, l5); this entry "
+    "verifies their COMPOSITION.",
+    tags=("llm", "sampling", "composite"),
+)
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.filter((F.col("n_chars") >= 100) & (F.col("n_chars") <= 2000))
+    deduped = scored.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min_by("lang", "doc_id").alias("lang"),
+        F.min_by("source", "doc_id").alias("source"),
+        F.min_by("n_chars", "doc_id").alias("n_chars"),
+    )
+    sampled = deduped.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8) < "c0000000"
+    )
+    return (
+        sampled.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.countDistinct("source").cast("bigint").alias("n_sources"),
+        )
+        .orderBy("lang")
+    )

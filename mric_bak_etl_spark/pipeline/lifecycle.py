@@ -553,3 +553,86 @@ def volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("z"), 4).alias("max_z"),
         F.round(F.min("z"), 4).alias("min_z"),
     )
+
+
+@register(
+    "r19_scd2_multi_generation",
+    oracle="""
+    WITH gens AS (
+      SELECT 1 AS gen, o_orderkey AS k, o_orderstatus AS v FROM orders
+      UNION ALL
+      SELECT 2, o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0 THEN 'X' ELSE o_orderstatus END
+      FROM orders
+      UNION ALL
+      SELECT 3, o_orderkey,
+             CASE WHEN o_orderkey % 3 = 0 THEN 'Y'
+                  WHEN o_orderkey % 7 = 0 THEN 'X'
+                  ELSE o_orderstatus END
+      FROM orders
+    ),
+    chg AS (
+      SELECT k, gen, v,
+             CASE WHEN lag(v) OVER w IS NULL OR v <> lag(v) OVER w
+                  THEN 1 ELSE 0 END AS is_chg
+      FROM gens WINDOW w AS (PARTITION BY k ORDER BY gen)
+    ),
+    pts AS (SELECT k, v, gen AS valid_from FROM chg WHERE is_chg = 1),
+    hist AS (
+      SELECT k, v, valid_from,
+             lead(valid_from) OVER (PARTITION BY k ORDER BY valid_from)
+               AS valid_to
+      FROM pts
+    )
+    SELECT v AS status, valid_from, valid_to,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM hist
+    GROUP BY status, valid_from, valid_to
+    ORDER BY status, valid_from, valid_to NULLS FIRST
+    """,
+    doc="R19: SCD2 over N snapshot generations — the general form of r18: "
+    "all generations unioned with a gen column, change points detected "
+    "with ONE lag window per key, validity intervals closed with lead. "
+    "ONE shuffle on the business key regardless of generation count "
+    "(r18's pairwise-join form costs a join per consecutive pair). "
+    "Assumes keys present in every generation (delete/re-insert gaps "
+    "handled by r18's 2-gen form); 3 deterministic generations derived "
+    "from orders.",
+    tags=("pipeline", "reference-fidelity"),
+)
+def scd2_multi_generation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), "o_orderstatus"
+    )
+    g1 = o.select(F.lit(1).alias("gen"), "k", F.col("o_orderstatus").alias("v"))
+    g2 = o.select(
+        F.lit(2).alias("gen"),
+        "k",
+        F.when(F.col("k") % 7 == 0, "X").otherwise(F.col("o_orderstatus")).alias("v"),
+    )
+    g3 = o.select(
+        F.lit(3).alias("gen"),
+        "k",
+        F.when(F.col("k") % 3 == 0, "Y")
+        .when(F.col("k") % 7 == 0, "X")
+        .otherwise(F.col("o_orderstatus"))
+        .alias("v"),
+    )
+    gens = g1.unionByName(g2).unionByName(g3)
+    w = Window.partitionBy("k").orderBy("gen")
+    chg = gens.withColumn(
+        "is_chg",
+        (F.lag("v").over(w).isNull() | (F.col("v") != F.lag("v").over(w))).cast("int"),
+    )
+    pts = chg.filter(F.col("is_chg") == 1).select(
+        "k", "v", F.col("gen").alias("valid_from")
+    )
+    w2 = Window.partitionBy("k").orderBy("valid_from")
+    hist = pts.withColumn("valid_to", F.lead("valid_from").over(w2))
+    return (
+        hist.groupBy(F.col("v").alias("status"), "valid_from", "valid_to")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+        .orderBy("status", "valid_from", F.col("valid_to").asc_nulls_first())
+    )
