@@ -315,3 +315,72 @@ def scalar_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id")
         .limit(100)
     )
+
+
+_RESIZE_FACTOR = 4  # keep every 4th byte — the stand-in for spatial downscale
+
+_RESIZE_SCHEMA = (
+    "media_id long, media_type string, "
+    "orig_bytes long, resized_bytes long, new_width int, new_height int"
+)
+
+
+def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out = {k: [] for k in (
+            "media_id", "media_type", "orig_bytes", "resized_bytes",
+            "new_width", "new_height",
+        )}
+        for mid, content, mtype, width, height in zip(
+            pdf["media_id"], pdf["content"], pdf["media_type"],
+            pdf["width"], pdf["height"],
+        ):
+            payload = bytes(content)
+            # Real path: decode_media() → spatial resample → re-encode.
+            # Deterministic stand-in: stride-subsample the payload bytes and
+            # halve the nominal dimensions, so sizes are closed-form.
+            resized = payload[:: _RESIZE_FACTOR]
+            out["media_id"].append(mid)
+            out["media_type"].append(mtype)
+            out["orig_bytes"].append(len(payload))
+            out["resized_bytes"].append(len(resized))
+            out["new_width"].append(max(int(width) // 2, 1))
+            out["new_height"].append(max(int(height) // 2, 1))
+        yield pd.DataFrame(out)
+
+
+@register(
+    "m4_resize",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio'
+                ELSE 'video' END                                AS media_type,
+           CAST(octet_length(encode(text)) AS BIGINT)           AS orig_bytes,
+           CAST(ceil(octet_length(encode(text)) / 4.0) AS BIGINT) AS resized_bytes,
+           CAST(greatest((n_chars % 640 + 1) // 2, 1) AS INT)   AS new_width,
+           CAST(greatest((n_chars % 480 + 1) // 2, 1) AS INT)   AS new_height
+    FROM documents
+    ORDER BY media_id
+    """,
+    doc="Multimodal resize: mapInPandas over (payload, typed metadata) — "
+    "stride-subsampled bytes + halved nominal dimensions as the "
+    "deterministic stand-in for decode→resample→re-encode "
+    "(decode_media stays the NotImplementedError codec hook). "
+    "Closed-form output sizes make the whole pandas stage "
+    "oracle-checkable; embarrassingly parallel, no shuffle.",
+    tags=("llm", "multimodal", "udf"),
+)
+def resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = media_table(spark, sf_dir).select(
+        "media_id",
+        "content",
+        F.col("meta.media_type").alias("media_type"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+    )
+    return (
+        spread(m, "media_id")
+        .mapInPandas(_resize_batches, schema=_RESIZE_SCHEMA)
+        .orderBy("media_id")
+    )

@@ -138,7 +138,7 @@ def test_no_python_udfs_outside_declared_pandas_stages(spark, sf_dir):
     # Every catalog query except the declared pandas stages must stay
     # JVM-side: no BatchEvalPython / ArrowEvalPython in the plan.
     pandas_ok = {"x1_unzip_payload", "m2_feature_extract", "m3_frame_sample",
-                 "x2_grouped_pandas_agg", "t6_stateful_custom",
+                 "m4_resize", "x2_grouped_pandas_agg", "t6_stateful_custom",
                  "x3_python_udtf", "x4_scalar_pandas_udf"}
     offenders = []
     for name, spec in sorted(all_specs().items()):
