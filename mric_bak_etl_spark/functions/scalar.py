@@ -410,3 +410,44 @@ def array_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+@register(
+    "f11_datetime_advanced",
+    oracle="""
+    SELECT CAST(quarter(o_orderdate) AS INT)            AS q,
+           CAST(count(*) AS BIGINT)                     AS n_orders,
+           CAST(min(last_day(CAST(o_orderdate AS DATE))) AS VARCHAR)
+                                                        AS first_month_end,
+           CAST(max(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH) AS DATE)::VARCHAR
+                                                        AS max_plus_quarter,
+           CAST(sum(CASE WHEN dayofweek(o_orderdate) IN (0, 6)
+                    THEN 1 ELSE 0 END) AS BIGINT)       AS weekend_orders
+    FROM orders
+    GROUP BY q
+    ORDER BY q
+    """,
+    doc="F11: advanced date/time — quarter bucketing, last_day (month-end "
+    "snapping for calendar joins), add_months arithmetic, weekend "
+    "detection. DATE-typed outputs stringified for the cross-engine "
+    "compare; dayofweek normalized (Spark is 1=Sunday, DuckDB "
+    "0=Sunday). All codegen'd; at scale these are the derived columns a "
+    "date dimension table precomputes once.",
+    tags=("function", "datetime"),
+)
+def datetime_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.quarter("o_orderdate").cast("int").alias("q"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.min(F.last_day("o_orderdate")).cast("string").alias("first_month_end"),
+            F.max(F.add_months(F.col("o_orderdate").cast("date"), 3))
+            .cast("string")
+            .alias("max_plus_quarter"),
+            F.sum(F.dayofweek("o_orderdate").isin(1, 7).cast("int"))
+            .cast("bigint")
+            .alias("weekend_orders"),
+        )
+        .orderBy("q")
+    )

@@ -568,3 +568,55 @@ def order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("order_count"))
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "h19_disjunctive_predicates",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_lines,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+             AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+             AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#3'  AND p_size BETWEEN 1 AND 35
+             AND l_quantity BETWEEN 20 AND 30)
+    GROUP BY ALL
+    """,
+    doc="H19 (TPC-H Q19 shape): disjunctive mixed-table predicates — an "
+    "OR-of-ANDs spanning both join sides. Catalyst still extracts the "
+    "common p_partkey equi-key (hash join, never nested-loop) and pushes "
+    "the single-table residuals of each disjunct down to the respective "
+    "scans (brand/size to part, quantity bands to lineitem) before the "
+    "join evaluates the cross-table remainder.",
+    tags=("tpch", "composite"),
+)
+def disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    cond = (
+        (
+            (p.p_brand == "Brand#12")
+            & p.p_size.between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (p.p_brand == "Brand#23")
+            & p.p_size.between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (p.p_brand == "Brand#3")
+            & p.p_size.between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.round(F.sum(_revenue()), 4).alias("revenue"),
+        )
+    )
