@@ -69,13 +69,15 @@ def main() -> None:
     for name in names:
         materialize(specs[name].builder(spark, sf_dir))
 
-    # Two measured passes, per-query MIN: the environment is a shared VM
-    # with visible steal-time noise (observed: identical plans varying
-    # 2-3x run to run); the min is the least-contended — i.e. most
-    # plan-representative — estimate, and is what steady-state profiling
-    # of the same queries reproduces.
+    # Three INTERLEAVED measured sweeps, per-query MIN: the environment is
+    # a shared VM with steal-time noise (observed: identical plans varying
+    # 2-10x run to run). Interleaving separates a query's passes by a full
+    # sweep (~15 s), so a localized host stall lands in different queries
+    # on different passes and the min absorbs it; the min is the
+    # least-contended — i.e. most plan-representative — estimate, matching
+    # steady-state profiling of the same queries.
     timings: dict[str, float] = {}
-    for _ in range(2):
+    for _ in range(3):
         for name in names:
             start = time.perf_counter()
             materialize(specs[name].builder(spark, sf_dir))
