@@ -397,3 +397,40 @@ def min_by_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "a12_filtered_aggregates",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT)                                  AS n_all,
+           CAST(count(*) FILTER (WHERE l_quantity > 25) AS BIGINT)   AS n_bulk,
+           round(sum(l_extendedprice) FILTER (WHERE l_discount > 0.05), 4)
+                                                                     AS discounted_rev,
+           round(avg(l_tax) FILTER (WHERE l_linestatus = 'F'), 6)    AS avg_tax_finished
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="A12: FILTER-clause aggregates through the SQL entry point — "
+    "per-aggregate predicates in ONE grouped pass (the tidy form of "
+    "sum(CASE WHEN...)); still a single shuffle with map-side partials, "
+    "versus the naive N filtered subqueries + join which would scan N "
+    "times.",
+    tags=("aggregate", "sql"),
+)
+def filtered_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("a12_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(count(*) AS BIGINT)                                  AS n_all,
+               CAST(count(*) FILTER (WHERE l_quantity > 25) AS BIGINT)   AS n_bulk,
+               round(sum(l_extendedprice) FILTER (WHERE l_discount > 0.05), 4)
+                                                                         AS discounted_rev,
+               round(avg(l_tax) FILTER (WHERE l_linestatus = 'F'), 6)    AS avg_tax_finished
+        FROM a12_lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+        """
+    )

@@ -180,3 +180,44 @@ def lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
              ) AS top
         ORDER BY n.n_name, top.c_acctbal DESC, top.c_name
     """)
+
+
+@register(
+    "sq6_not_in_null_aware",
+    oracle="""
+    WITH keys AS (
+      SELECT CASE WHEN o_orderkey % 97 = 0 THEN NULL ELSE o_custkey END AS k
+      FROM orders
+    )
+    SELECT
+      (SELECT CAST(count(*) AS BIGINT) FROM customer
+       WHERE c_custkey NOT IN (SELECT k FROM keys))          AS n_not_in,
+      (SELECT CAST(count(*) AS BIGINT) FROM customer c
+       WHERE NOT EXISTS (SELECT 1 FROM keys WHERE k = c.c_custkey))
+                                                             AS n_not_exists
+    """,
+    doc="SQ6: null-aware NOT IN vs NOT EXISTS — with ONE NULL in the "
+    "subquery list, ANSI NOT IN returns UNKNOWN for every row (count 0: "
+    "the classic silent-empty-result footgun), while NOT EXISTS is a "
+    "plain anti-join and still counts unmatched customers. Spark plans "
+    "the former as a null-aware anti join (broadcast-only — at scale "
+    "prefer NOT EXISTS or filter nulls out of the IN-list first); both "
+    "semantics verified against DuckDB in one row.",
+    tags=("subquery",),
+)
+def not_in_null_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH keys AS (
+          SELECT CASE WHEN o_orderkey % 97 = 0 THEN NULL ELSE o_custkey END AS k
+          FROM orders
+        )
+        SELECT
+          (SELECT CAST(count(*) AS BIGINT) FROM customer
+           WHERE c_custkey NOT IN (SELECT k FROM keys))          AS n_not_in,
+          (SELECT CAST(count(*) AS BIGINT) FROM customer c
+           WHERE NOT EXISTS (SELECT 1 FROM keys WHERE k = c.c_custkey))
+                                                                 AS n_not_exists
+        """
+    )
