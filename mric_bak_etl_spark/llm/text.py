@@ -469,3 +469,54 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "shard")
     )
+
+
+@register(
+    "tx_bigram_freq",
+    oracle="""
+    WITH toks AS (
+      SELECT string_split_regex(text, '\\s+') AS t FROM documents
+    ),
+    bigrams AS (
+      SELECT t[i] || ' ' || t[i + 1] AS bigram
+      FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i) g
+      WHERE t[i] <> '' AND t[i + 1] <> ''
+    )
+    SELECT bigram, CAST(count(*) AS BIGINT) AS freq
+    FROM bigrams
+    GROUP BY bigram
+    ORDER BY freq DESC, bigram ASC
+    LIMIT 20
+    """,
+    doc="TX: word-bigram frequencies (language-model prep / collocation "
+    "mining) — adjacent-token pairs built with transform over an index "
+    "sequence + explode (pure codegen, no self-join of exploded tokens, "
+    "which would shuffle the corpus against itself); top-20 with "
+    "deterministic tiebreak. Row fan-out ≈ tokens/doc before the "
+    "map-side-partial count.",
+    tags=("llm", "text"),
+)
+def bigram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load_table(spark, sf_dir, "documents").select("text"))
+    t = d.select(tokens().alias("t"))
+    # Guard 1-token docs: sequence(1, 0) would run DESCENDING in Spark and
+    # index 0 errors; emit no bigrams instead.
+    idx = F.when(
+        F.size("t") > 1, F.sequence(F.lit(1), F.size("t") - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    bigrams = t.select(
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.concat_ws(
+                    " ", F.element_at("t", i), F.element_at("t", i + 1)
+                ),
+            )
+        ).alias("bigram")
+    ).filter(~F.col("bigram").startswith(" ") & ~F.col("bigram").endswith(" "))
+    return (
+        bigrams.groupBy("bigram")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("bigram").asc())
+        .limit(20)
+    )

@@ -188,3 +188,48 @@ def range_interval_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
                      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
         """
     )
+
+
+@register(
+    "w5_forward_fill",
+    oracle="""
+    WITH sparse AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END AS v
+      FROM events
+    )
+    SELECT event_id, user_id, ts, v,
+           last_value(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+    FROM sparse
+    ORDER BY user_id, ts, event_id
+    """,
+    doc="W5: forward fill (last-observation-carried-forward) — "
+    "last_value IGNORE NULLS over an unbounded-preceding frame per user: "
+    "the gap-filling primitive for sparse sensor/metric streams and the "
+    "carry-forward inside the as-of join (j6). One sort per user "
+    "partition, incremental frame evaluation; leading nulls stay null "
+    "(nothing observed yet) on both engines.",
+    tags=("window",),
+)
+def forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    sparse = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_id") % 3 == 0, None).otherwise(F.col("value")).alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return sparse.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "v",
+        F.last("v", ignorenulls=True).over(w).alias("v_filled"),
+    ).orderBy("user_id", "ts", "event_id")
