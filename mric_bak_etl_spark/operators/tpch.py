@@ -620,3 +620,397 @@ def disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(_revenue()), 4).alias("revenue"),
         )
     )
+
+
+@register(
+    "h13_order_distribution",
+    oracle="""
+    WITH c_orders AS (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer
+      LEFT JOIN orders ON c_custkey = o_custkey
+                       AND o_orderpriority <> '4-NOT SPECIFIED'
+      GROUP BY c_custkey
+    )
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    doc="H13 (TPC-H Q13): customer order-count distribution — LEFT OUTER "
+    "join with an extra join-side predicate (pushed to the orders scan, "
+    "NOT a post-filter: customers with only excluded orders must still "
+    "count as zero), then a two-level aggregation: per-customer count, "
+    "then a histogram of counts. The second agg's input is one row per "
+    "customer — tiny; only the first shuffle matters at scale.",
+    tags=("tpch", "composite"),
+)
+def order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "4-NOT SPECIFIED"
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@register(
+    "h9_product_profit",
+    oracle="""
+    SELECT n_name AS nation_name,
+           CAST(year(o_orderdate) AS INT) AS o_year,
+           round(sum(l_extendedprice * (1 - l_discount)
+                     - 0.1 * p_retailprice * l_quantity), 4) AS sum_profit
+    FROM lineitem
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%widget%'
+    GROUP BY n_name, o_year
+    ORDER BY nation_name, o_year DESC
+    """,
+    doc="H9 (TPC-H Q9, adapted: the fixture has no partsupp, so supply "
+    "cost = 0.1 * p_retailprice per unit): product-type profit by nation "
+    "and year. part/supplier/nation broadcast; the p_name LIKE filter "
+    "prunes the fact through the broadcast join's runtime filter; one "
+    "wide shuffle (l_orderkey vs orders) + the final small agg.",
+    tags=("tpch", "composite"),
+)
+def product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(0.1) * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation_name"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(F.round(F.sum(profit), 4).alias("sum_profit"))
+        .orderBy("nation_name", F.desc("o_year"))
+    )
+
+
+@register(
+    "h12_late_line_priority",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= o_orderdate + INTERVAL 30 DAY
+      AND l_shipdate >= DATE '1996-01-01'
+      AND l_shipdate <  DATE '1998-01-01'
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="H12 (TPC-H Q12, adapted: returnflag stands in for shipmode, "
+    "'slow' = shipped 30+ days after order): priority mix of slow lines. "
+    "The cross-table lateness predicate can only run post-join; the "
+    "shipdate range is pushed to the fact scan. Conditional sums fold "
+    "both priority classes into ONE pass (no second join or union).",
+    tags=("tpch", "composite"),
+)
+def late_line_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "h21_waiting_supplier",
+    oracle="""
+    SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM supplier, lineitem l1, orders
+    WHERE s_suppkey = l1.l_suppkey
+      AND o_orderkey = l1.l_orderkey
+      AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    """,
+    doc="H21 (TPC-H Q21, adapted: 'kept waiting' = shipped 60+ days after "
+    "order): suppliers who were the SOLE late supplier on a multi-supplier "
+    "order. Instead of the textbook EXISTS + NOT EXISTS double self-join "
+    "(three passes over the fact), the per-order facts are folded into ONE "
+    "grouped pass — distinct suppliers, distinct late suppliers — and late "
+    "lines join that 1-row-per-order summary: two shuffles total on "
+    "l_orderkey, AQE-coalesced; the order-date side rides the same key.",
+    tags=("tpch", "composite"),
+)
+def waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    s = load_table(spark, sf_dir, "supplier")
+    lo = li.join(o, li.l_orderkey == o.o_orderkey)
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    per_order = lo.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("n_late_supp"),
+    )
+    qualifying = per_order.filter(
+        (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)
+    ).select("l_orderkey")
+    return (
+        lo.filter(late)
+        .join(qualifying, "l_orderkey")
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+    )
+
+
+@register(
+    "h2_min_cost_supplier",
+    oracle="""
+    WITH cost AS (
+      SELECT l_partkey AS pk, l_suppkey AS sk,
+             min(l_extendedprice / l_quantity) AS unit_cost
+      FROM lineitem GROUP BY 1, 2
+    ), eu AS (
+      SELECT s_suppkey, s_name, s_acctbal, n_name
+      FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+    )
+    SELECT s_acctbal AS acctbal, s_name, n_name,
+           p_partkey, p_name, unit_cost AS best_cost
+    FROM part
+    JOIN cost ON pk = p_partkey
+    JOIN eu   ON sk = s_suppkey
+    WHERE p_type = 'STANDARD' AND p_size <= 25
+      AND unit_cost = (
+        SELECT min(c2.unit_cost) FROM cost c2 JOIN eu e2 ON c2.sk = e2.s_suppkey
+        WHERE c2.pk = p_partkey
+      )
+    ORDER BY acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+    doc="H2 (TPC-H Q2, adapted: no partsupp — a supplier's offer price for "
+    "a part is min(l_extendedprice/l_quantity) over its shipped lines): "
+    "cheapest EUROPE supplier per STANDARD part. The correlated min "
+    "decorrelates to a grouped agg over the SAME cost relation joined "
+    "back on p_partkey ('= min' keeps ties, like the spec); supplier⋈"
+    "nation⋈region broadcasts into both branches. The cost relation is "
+    "built once per branch from the same shuffle key (l_partkey).",
+    tags=("tpch", "composite"),
+)
+def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "STANDARD") & (F.col("p_size") <= 25)
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    cost = li.groupBy(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
+    ).agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    eu_cost = cost.join(F.broadcast(eu), F.col("sk") == F.col("s_suppkey"))
+    best = eu_cost.groupBy(F.col("pk").alias("bpk")).agg(
+        F.min("unit_cost").alias("best")
+    )
+    return (
+        eu_cost.join(best, (F.col("pk") == F.col("bpk")) & (F.col("unit_cost") == F.col("best")))
+        .join(F.broadcast(p), F.col("pk") == p.p_partkey)
+        # acctbal/best_cost are exact doubles (parquet value; min of a single
+        # division) — identical bit patterns in both engines, so no rounding:
+        # round(x, 4) would re-introduce half-digit boundary mismatches.
+        .select(
+            F.col("s_acctbal").alias("acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            F.col("unit_cost").alias("best_cost"),
+        )
+        .orderBy(F.desc("acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "h11_important_stock",
+    oracle="""
+    WITH val AS (
+      SELECT l_partkey, sum(l_extendedprice) AS value
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_1'
+      GROUP BY l_partkey
+    )
+    SELECT l_partkey, round(value, 4) AS value
+    FROM val
+    WHERE value > (SELECT 0.01 * sum(value) FROM val)
+    ORDER BY value DESC, l_partkey
+    """,
+    doc="H11 (TPC-H Q11, adapted: stock value = shipped extended price by "
+    "NATION_1 suppliers): parts holding an outsized share of one nation's "
+    "volume. The HAVING threshold is an uncorrelated scalar over the SAME "
+    "grouped relation — computed once as a 1-row aggregate and broadcast "
+    "into the filter, not re-aggregated per row.",
+    tags=("tpch", "composite"),
+)
+def important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
+    val = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("l_partkey")
+        .agg(F.sum("l_extendedprice").alias("value"))
+    )
+    threshold = val.agg((F.lit(0.01) * F.sum("value")).alias("cut"))
+    return (
+        val.crossJoin(F.broadcast(threshold))
+        .filter(F.col("value") > F.col("cut"))
+        .select("l_partkey", F.round("value", 4).alias("value"))
+        .orderBy(F.desc("value"), "l_partkey")
+    )
+
+
+@register(
+    "h16_supplier_part_count",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_type <> 'PROMO'
+      AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+      AND l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000.0
+      )
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    doc="H16 (TPC-H Q16, adapted: the part-supplier relation is the "
+    "distinct (l_partkey, l_suppkey) projection of lineitem): supplier "
+    "variety per (brand, type, size). The NOT IN subquery is null-free "
+    "(s_suppkey is a key) so it plans as a broadcast anti-join; the "
+    "distinct pair projection and the count-distinct agg share the "
+    "l_partkey-side shuffle.",
+    tags=("tpch", "composite"),
+)
+def supplier_part_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35)
+    )
+    bad = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 1000.0
+    ).select("s_suppkey")
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@register(
+    "h20_dominant_supplier",
+    oracle="""
+    WITH shipped AS (
+      SELECT l_partkey AS pk, l_suppkey AS sk, sum(l_quantity) AS qty
+      FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      WHERE p_name LIKE '%widget%'
+        AND l_shipdate >= DATE '1996-01-01'
+        AND l_shipdate <  DATE '1997-01-01'
+      GROUP BY 1, 2
+    ), tot AS (
+      SELECT pk, sum(qty) AS total_qty FROM shipped GROUP BY pk
+    )
+    SELECT s_name, n_name
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE s_suppkey IN (
+      SELECT sk FROM shipped JOIN tot USING (pk) WHERE qty > 0.3 * total_qty
+    )
+    ORDER BY s_name
+    """,
+    doc="H20 (TPC-H Q20, adapted: 'holds excess stock' = shipped >30% of a "
+    "widget part's 1996 volume): suppliers dominating some part. Nested "
+    "semi-join chain — (part,supplier) shipped totals, per-part totals "
+    "derived FROM that relation (no second fact scan, same partitioning), "
+    "the dominance filter, then a semi-join into supplier.",
+    tags=("tpch", "composite"),
+)
+def dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    shipped = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk"))
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    tot = shipped.groupBy(F.col("pk").alias("tpk")).agg(
+        F.sum("qty").alias("total_qty")
+    )
+    dominant = (
+        shipped.join(tot, F.col("pk") == F.col("tpk"))
+        .filter(F.col("qty") > F.lit(0.3) * F.col("total_qty"))
+        .select(F.col("sk").alias("s_suppkey"))
+    )
+    return (
+        s.join(dominant, "s_suppkey", "left_semi")
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    )
