@@ -451,3 +451,90 @@ def datetime_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q")
     )
+
+
+@register(
+    "f12_bitwise",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderkey & 255 AS BIGINT)         AS band,
+           CAST(o_orderkey | 4096 AS BIGINT)        AS bor,
+           CAST(xor(o_orderkey, o_custkey) AS BIGINT) AS bxor,
+           CAST(o_orderkey << 2 AS BIGINT)          AS shl,
+           CAST(o_orderkey >> 3 AS BIGINT)          AS shr,
+           CAST(bit_count(o_orderkey) AS INT)       AS popcount
+    FROM orders
+    WHERE o_orderkey % 13 = 0
+    ORDER BY o_orderkey
+    """,
+    doc="F12: bitwise family — AND/OR/XOR, shifts, popcount: the "
+    "primitives under hash bucketing, bloom probes and bitmask flags "
+    "(SimHash's hamming distance is bit_count(xor(a,b)), llm/dedup.py). "
+    "All codegen'd JVM intrinsics (Long.bitCount etc.), zero shuffle.",
+    tags=("functions",),
+)
+def bitwise_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 13 == 0)
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).cast("bigint").alias("band"),
+        k.bitwiseOR(F.lit(4096)).cast("bigint").alias("bor"),
+        k.bitwiseXOR(F.col("o_custkey")).cast("bigint").alias("bxor"),
+        F.shiftleft(k, 2).cast("bigint").alias("shl"),
+        F.shiftright(k, 3).cast("bigint").alias("shr"),
+        F.bit_count(k).cast("int").alias("popcount"),
+    ).orderBy("o_orderkey")
+
+
+@register(
+    "f13_date_spine",
+    oracle="""
+    WITH days AS (
+      SELECT unnest(generate_series(DATE '1995-01-01', DATE '1995-06-30',
+                                    INTERVAL 1 DAY))::DATE AS d
+    ),
+    cnt AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             count(*) AS n, sum(o_totalprice) AS tot
+      FROM orders GROUP BY 1
+    )
+    SELECT strftime(days.d, '%Y-%m-%d') AS day,
+           CAST(coalesce(n, 0) AS BIGINT) AS n_orders,
+           round(coalesce(tot, 0.0), 4) AS revenue
+    FROM days LEFT JOIN cnt ON days.d = cnt.d
+    ORDER BY day
+    """,
+    doc="F13: date-spine gap fill — a generated calendar (sequence + "
+    "explode, the relational generator: no driver-side loop, no UDF) "
+    "left-joined to daily aggregates so missing days surface as explicit "
+    "zeros; the shape under every time-series report and forward-fill "
+    "(w5). The spine is tiny and broadcasts; dates stringified because "
+    "DATE columns don't round-trip the cross-engine compare.",
+    tags=("functions", "generator"),
+)
+def date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1995-01-01").cast("date"),
+                F.lit("1995-06-30").cast("date"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("d")
+    )
+    cnt = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("o_totalprice").alias("tot"),
+    )
+    return (
+        F.broadcast(spine)
+        .join(cnt, "d", "left")
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n_orders"),
+            F.round(F.coalesce("tot", F.lit(0.0)), 4).alias("revenue"),
+        )
+        .orderBy("day")
+    )

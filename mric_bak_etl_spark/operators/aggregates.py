@@ -434,3 +434,42 @@ def filtered_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY l_returnflag
         """
     )
+
+
+@register(
+    "a13_unpivot",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag,
+             round(sum(l_quantity), 4)      AS sum_qty,
+             round(sum(l_extendedprice), 4) AS sum_price,
+             round(sum(l_discount), 4)      AS sum_disc
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, 'sum_qty'   AS measure, sum_qty   AS val FROM m
+    UNION ALL
+    SELECT l_returnflag, 'sum_price' AS measure, sum_price AS val FROM m
+    UNION ALL
+    SELECT l_returnflag, 'sum_disc'  AS measure, sum_disc  AS val FROM m
+    ORDER BY l_returnflag, measure
+    """,
+    doc="A13: unpivot/melt — wide measure columns reshaped to long "
+    "(measure, value) rows, the inverse of a4c's pivot. DataFrame.unpivot "
+    "is a zero-shuffle Expand (each input row emits k output rows "
+    "locally); the oracle spells it as the classic UNION ALL, which would "
+    "scan the aggregate k times — the Expand form reads it once.",
+    tags=("aggregation", "reshape"),
+)
+def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
+        F.round(F.sum("l_discount"), 4).alias("sum_disc"),
+    )
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["sum_qty", "sum_price", "sum_disc"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    ).orderBy("l_returnflag", "measure")

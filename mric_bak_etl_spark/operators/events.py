@@ -131,3 +131,60 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_active_users"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+@register(
+    "e3_gaps_islands",
+    oracle="""
+    WITH t AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+             CASE WHEN CAST(ts AS TIMESTAMP)
+                       - lag(CAST(ts AS TIMESTAMP)) OVER
+                         (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, ts,
+             sum(is_new) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+      FROM t
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           min(ts) AS session_start,
+           max(ts) AS session_end
+    FROM s
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+    """,
+    doc="E3: gaps-and-islands sessionization — the manual form of t3's "
+    "session_window: a 30-minute-gap flag via lag, then a running sum "
+    "turns flags into session ids, then one grouped pass per session. "
+    "Both window passes and the final agg share ONE shuffle on user_id "
+    "(same partition key, sort reused); event_id tiebreaks equal "
+    "timestamps so island boundaries are deterministic.",
+    tags=("events", "sessionization"),
+)
+def gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn(
+        "is_new",
+        F.when(
+            F.col("ts") - F.lag("ts").over(w) > F.expr("INTERVAL 30 MINUTES"), 1
+        ).otherwise(0),
+    )
+    sessions = flagged.withColumn("session_id", F.sum("is_new").over(w).cast("bigint"))
+    return (
+        sessions.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .orderBy("user_id", "session_id")
+    )

@@ -521,3 +521,64 @@ def broadcast_nested_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_name")
     )
+
+
+@register(
+    "j11_bucketed_range_join",
+    oracle="""
+    WITH iv AS (
+      SELECT o_orderkey AS iv_key,
+             o_orderdate AS start_ts,
+             o_orderdate + INTERVAL 14 DAY AS end_ts
+      FROM orders WHERE o_orderkey % 97 = 0
+    ),
+    pts AS (SELECT o_orderdate AS pt_ts FROM orders)
+    SELECT iv_key, CAST(count(*) AS BIGINT) AS n_in_window
+    FROM iv JOIN pts ON pt_ts >= start_ts AND pt_ts < end_ts
+    GROUP BY iv_key
+    ORDER BY iv_key
+    """,
+    doc="J11: bucketed range join — point-in-interval matching rewritten "
+    "as an EQUI-join: bucket width = interval length (14 days), each "
+    "interval explodes to the <=2 buckets it touches, each point hashes "
+    "to exactly one, and the exact range predicate runs as a residual "
+    "after the hash match. At 100 TB this is THE difference between a "
+    "broadcast-nested-loop (j10's strategy, O(n*m)) and a shuffled hash "
+    "join; the oracle states the naive theta form.",
+    tags=("joins", "range"),
+)
+def bucketed_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    day = lambda c: F.floor(F.unix_timestamp(c) / 86400)  # noqa: E731
+    width = 14
+    iv = (
+        o.filter(F.col("o_orderkey") % 97 == 0)
+        .select(
+            F.col("o_orderkey").alias("iv_key"),
+            F.col("o_orderdate").alias("start_ts"),
+            (F.col("o_orderdate") + F.expr("INTERVAL 14 DAYS")).alias("end_ts"),
+        )
+        .withColumn(
+            "bucket",
+            F.explode(
+                F.sequence(
+                    F.floor(day(F.col("start_ts")) / width),
+                    F.floor(day(F.col("end_ts")) / width),
+                )
+            ),
+        )
+    )
+    pts = o.select(F.col("o_orderdate").alias("pt_ts")).withColumn(
+        "bucket", F.floor(day(F.col("pt_ts")) / width)
+    )
+    return (
+        iv.join(
+            pts,
+            (iv.bucket == pts.bucket)
+            & (pts.pt_ts >= iv.start_ts)
+            & (pts.pt_ts < iv.end_ts),
+        )
+        .groupBy("iv_key")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_in_window"))
+        .orderBy("iv_key")
+    )

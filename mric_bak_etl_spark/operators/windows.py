@@ -233,3 +233,38 @@ def forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v",
         F.last("v", ignorenulls=True).over(w).alias("v_filled"),
     ).orderBy("user_id", "ts", "event_id")
+
+
+@register(
+    "w6_distribution",
+    oracle="""
+    SELECT c_custkey, c_nationkey,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cdist,
+           nth_value(c_name, 2) OVER (
+             PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS second_poorest
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+    ORDER BY c_nationkey, c_custkey
+    """,
+    doc="W6: distribution window functions — percent_rank / cume_dist "
+    "(relative position within the partition) and nth_value with an "
+    "explicit unbounded ROWS frame (the default running frame would make "
+    "the first row's nth_value NULL). All three share ONE sort+shuffle on "
+    "(c_nationkey, c_acctbal, c_custkey); the tiebreak key makes tie "
+    "ranks deterministic across engines.",
+    tags=("windows",),
+)
+def distribution_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.nth_value("c_name", 2).over(w_full).alias("second_poorest"),
+    ).orderBy("c_nationkey", "c_custkey")
