@@ -520,3 +520,244 @@ def bigram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("freq").desc(), F.col("bigram").asc())
         .limit(20)
     )
+
+
+@register(
+    "l13_decontamination",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, array_to_string(toks[i:i+4], ' ') AS gram
+      FROM tok, unnest(generate_series(1, greatest(len(toks) - 4, 0))) AS t(i)
+    ),
+    eval_grams AS (
+      SELECT DISTINCT gram FROM grams WHERE doc_id % 53 = 0
+    )
+    SELECT g.doc_id, CAST(count(DISTINCT gram) AS BIGINT) AS n_shared_grams
+    FROM grams g JOIN eval_grams e USING (gram)
+    WHERE g.doc_id % 53 <> 0
+    GROUP BY g.doc_id
+    ORDER BY n_shared_grams DESC, doc_id
+    LIMIT 50
+    """,
+    doc="L13: benchmark decontamination — training docs sharing any 5-gram "
+    "with the held-out eval slice (doc_id % 53, standing in for a "
+    "benchmark set), ranked by overlap. The GPT-3-style 13-gram filter at "
+    "fixture token lengths. Eval n-grams are DISTINCT'd then broadcast "
+    "(eval sets are tiny vs the corpus); at 100 TB replace the broadcast "
+    "with a bloom filter built from the eval grams — same plan shape, "
+    "no false-negative risk on the hit path.",
+    tags=("llm", "dedup"),
+)
+def decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(split(text, ' ')) - 4, 0)),"
+                " i -> array_join(slice(split(text, ' '), i, 5), ' '))"
+            )
+        ).alias("gram"),
+    )
+    eval_grams = grams.filter(F.col("doc_id") % 53 == 0).select("gram").distinct()
+    return (
+        grams.filter(F.col("doc_id") % 53 != 0)
+        .join(F.broadcast(eval_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("gram").cast("bigint").alias("n_shared_grams"))
+        .orderBy(F.desc("n_shared_grams"), "doc_id")
+        .limit(50)
+    )
+
+
+@register(
+    "l14_pmi_collocations",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    uni AS (
+      SELECT t.tok, count(*) AS c1
+      FROM tok, unnest(toks) AS t(tok)
+      GROUP BY t.tok
+    ),
+    bi AS (
+      SELECT toks[i] AS w1, toks[i+1] AS w2, count(*) AS c2
+      FROM tok, unnest(generate_series(1, greatest(len(toks) - 1, 0))) AS t(i)
+      GROUP BY 1, 2
+    ),
+    n1 AS (SELECT sum(c1) AS total1 FROM uni),
+    n2 AS (SELECT sum(c2) AS total2 FROM bi)
+    SELECT w1, w2, CAST(c2 AS BIGINT) AS pair_count,
+           round(ln((c2 * 1.0 / total2)
+                    / ((u1.c1 * 1.0 / total1) * (u2.c1 * 1.0 / total1))), 4)
+             AS pmi
+    FROM bi
+    JOIN uni u1 ON w1 = u1.tok
+    JOIN uni u2 ON w2 = u2.tok
+    CROSS JOIN n1 CROSS JOIN n2
+    WHERE c2 >= 5
+    ORDER BY pmi DESC, w1, w2
+    LIMIT 30
+    """,
+    doc="L14: PMI collocations — pointwise mutual information over "
+    "adjacent token pairs: log of observed bigram probability vs "
+    "independence. One tokenize pass feeds BOTH count relations (bigrams "
+    "via index-sequence transform, no self-join of the token stream); "
+    "the unigram table broadcasts into the bigram join twice; the corpus "
+    "totals are 1-row broadcast scalars. Collocation mining / tokenizer-"
+    "merge scoring at corpus scale.",
+    tags=("llm", "text"),
+)
+def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    toks = docs.select(F.split("text", " ").alias("toks"))
+    uni = toks.select(F.explode("toks").alias("tok")).groupBy("tok").agg(
+        F.count(F.lit(1)).alias("c1")
+    )
+    bi = (
+        toks.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, greatest(size(toks) - 1, 0)),"
+                    " i -> struct(toks[i-1] AS w1, toks[i] AS w2))"
+                )
+            ).alias("pair")
+        )
+        .select("pair.w1", "pair.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c2"))
+        .filter(F.col("c2") >= 5)
+    )
+    total1 = uni.agg(F.sum("c1").alias("total1"))
+    total2_src = (
+        toks.select(
+            F.greatest(F.size("toks") - 1, F.lit(0)).alias("n")
+        ).agg(F.sum("n").alias("total2"))
+    )
+    u1 = uni.select(F.col("tok").alias("t1"), F.col("c1").alias("c1_w1"))
+    u2 = uni.select(F.col("tok").alias("t2"), F.col("c1").alias("c1_w2"))
+    return (
+        bi.join(F.broadcast(u1), F.col("w1") == F.col("t1"))
+        .join(F.broadcast(u2), F.col("w2") == F.col("t2"))
+        .crossJoin(F.broadcast(total1))
+        .crossJoin(F.broadcast(total2_src))
+        .select(
+            "w1",
+            "w2",
+            F.col("c2").cast("bigint").alias("pair_count"),
+            F.round(
+                F.log(
+                    (F.col("c2") / F.col("total2"))
+                    / ((F.col("c1_w1") / F.col("total1")) * (F.col("c1_w2") / F.col("total1")))
+                ),
+                4,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(30)
+    )
+
+
+@register(
+    "tx_repetition",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, t.tok
+      FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+    ),
+    per AS (
+      SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY doc_id, tok
+    ),
+    doc AS (
+      SELECT doc_id, sum(c) AS n_tok, max(c) AS max_tok,
+             count(*) AS n_distinct
+      FROM per GROUP BY doc_id
+    )
+    SELECT doc_id,
+           round(max_tok * 1.0 / n_tok, 6) AS top_token_share,
+           round(n_distinct * 1.0 / n_tok, 6) AS distinct_ratio
+    FROM doc
+    ORDER BY top_token_share DESC, doc_id
+    LIMIT 100
+    """,
+    doc="TX: repetition detection (Gopher-style repetition filters) — "
+    "per-document top-token share and distinct-token ratio; documents "
+    "dominated by one token or with collapsed vocabulary are generation "
+    "artifacts / boilerplate. Two-level aggregation: (doc, token) counts "
+    "then per-doc moments — both levels partial-aggregate map-side, and "
+    "the second level is keyed on a prefix of the first's key so the "
+    "shuffle is reused.",
+    tags=("llm", "text"),
+)
+def repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    per = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        per.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tok"),
+            F.max("c").alias("max_tok"),
+            F.count(F.lit(1)).alias("n_distinct"),
+        )
+        .select(
+            "doc_id",
+            F.round(F.col("max_tok") / F.col("n_tok"), 6).alias("top_token_share"),
+            F.round(F.col("n_distinct") / F.col("n_tok"), 6).alias("distinct_ratio"),
+        )
+        .orderBy(F.desc("top_token_share"), "doc_id")
+        .limit(100)
+    )
+
+
+@register(
+    "tx_redaction",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) FILTER (WHERE n_hits > 0) AS BIGINT) AS docs_affected,
+           CAST(sum(n_hits) AS BIGINT) AS total_redactions,
+           CAST(sum(len(redacted)) AS BIGINT) AS redacted_chars
+    FROM (
+      SELECT lang,
+             len(regexp_extract_all(text, '\\b(a|the)\\b')) AS n_hits,
+             regexp_replace(text, '\\b(a|the)\\b', '<STOP>', 'g') AS redacted
+      FROM documents
+    )
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    doc="TX: regex redaction/scrubbing — the PII-scrub shape (count "
+    "matches, rewrite in place, audit totals per slice). The fixture "
+    "corpus has no emails/digits, so function words stand in for the "
+    "PII patterns; the plan is the real thing: regexp_count + "
+    "regexp_replace as codegen'd projections (one text pass, no UDF), "
+    "then a tiny grouped audit. Both engines run the same RE on the "
+    "same strings — counts and rewritten lengths must agree exactly.",
+    tags=("llm", "text"),
+)
+def redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("lang", "text")
+    pat = r"\b(a|the)\b"
+    hit = docs.select(
+        "lang",
+        F.regexp_count("text", F.lit(pat)).alias("n_hits"),
+        F.length(F.regexp_replace("text", pat, "<STOP>")).alias("redacted_len"),
+    )
+    return (
+        hit.groupBy("lang")
+        .agg(
+            F.sum(F.when(F.col("n_hits") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("docs_affected"),
+            F.sum("n_hits").cast("bigint").alias("total_redactions"),
+            F.sum("redacted_len").cast("bigint").alias("redacted_chars"),
+        )
+        .orderBy("lang")
+    )
