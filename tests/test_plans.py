@@ -157,3 +157,60 @@ def test_dynamic_partition_pruning_in_plan(spark, sf_dir):
 
     plan = plan_of(dynamic_partition_pruning(spark, sf_dir))
     assert "dynamicpruning" in plan.lower()
+
+
+def test_bucketed_range_join_is_hash_not_nested_loop(spark, sf_dir):
+    # j11's whole point: the bucket key gives Catalyst an equi conjunct, so
+    # the range predicate rides a hash join as a residual — the naive theta
+    # form would be BroadcastNestedLoopJoin (quadratic at scale).
+    from mric_bak_etl_spark.operators.joins import bucketed_range_join
+
+    plan = plan_of(bucketed_range_join(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan) or (
+        "ShuffledHashJoin" in plan
+    )
+
+
+def test_product_profit_single_wide_shuffle(spark, sf_dir):
+    # h9: part/supplier/nation broadcast; only orders⋈lineitem may shuffle.
+    from mric_bak_etl_spark.operators.tpch import product_profit
+
+    plan = plan_of(product_profit(spark, sf_dir))
+    tree = plan.split("(1) Scan")[0]
+    assert tree.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan or tree.count("SortMergeJoin") <= 1
+
+
+def test_decontamination_eval_grams_broadcast(spark, sf_dir):
+    # l13: the eval-set gram table must broadcast — a shuffled join keyed on
+    # gram strings over the full corpus would be the scale failure mode.
+    from mric_bak_etl_spark.llm.text import decontamination
+
+    plan = plan_of(decontamination(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_unpivot_is_expand_no_shuffle_after_agg(spark, sf_dir):
+    # a13: unpivot compiles to Expand (local fan-out), never a union of
+    # re-scans and no extra exchange beyond the aggregate's own.
+    from mric_bak_etl_spark.operators.aggregates import unpivot_measures
+
+    plan = plan_of(unpivot_measures(spark, sf_dir))
+    assert "Expand" in plan
+    assert plan.count("Location: InMemoryFileIndex") == 1
+
+
+def test_gaps_islands_single_user_shuffle(spark, sf_dir):
+    # e3: both window passes and the session aggregate share the user_id
+    # partitioning — exactly one exchange on user_id in the whole plan
+    # (plus the presentation sort's range exchange).
+    from mric_bak_etl_spark.operators.events import gaps_islands
+
+    plan = plan_of(gaps_islands(spark, sf_dir))
+    hash_exchanges = [
+        l
+        for l in plan.splitlines()
+        if l.strip().startswith("Arguments: hashpartitioning")
+    ]
+    assert len(hash_exchanges) == 1, hash_exchanges
