@@ -538,3 +538,44 @@ def date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "f14_variant",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) FILTER (WHERE k IS NOT NULL) AS BIGINT) AS n_with_k,
+           CAST(min(k) AS INT) AS min_k,
+           CAST(max(k) AS INT) AS max_k,
+           round(avg(k), 4) AS avg_k
+    FROM (
+      SELECT event_type, CAST(json_extract(props, '$.k') AS INT) AS k
+      FROM events
+    )
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="F14: VARIANT semi-structured type (Spark 4) — parse_json into the "
+    "binary-encoded VARIANT once, then typed variant_get path extraction; "
+    "unlike f7's get_json_object (string re-parse per access) the parse "
+    "cost is paid once per row however many paths are read, which is the "
+    "semi-structured scale posture. Oracle reads the same paths with "
+    "DuckDB's JSON extraction.",
+    tags=("functions", "variant"),
+)
+def variant_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_type", "props")
+    typed = ev.select(
+        "event_type",
+        F.variant_get(F.parse_json("props"), "$.k", "int").alias("k"),
+    )
+    return (
+        typed.groupBy("event_type")
+        .agg(
+            F.count("k").cast("bigint").alias("n_with_k"),
+            F.min("k").cast("int").alias("min_k"),
+            F.max("k").cast("int").alias("max_k"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+        )
+        .orderBy("event_type")
+    )

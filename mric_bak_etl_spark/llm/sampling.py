@@ -136,3 +136,72 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "l15_mixture_rebalance",
+    oracle="""
+    WITH stats AS (
+      SELECT lang, count(*) AS cnt FROM documents GROUP BY lang
+    ),
+    tot AS (SELECT sum(cnt) AS total, count(*) AS n_langs FROM stats),
+    rates AS (
+      SELECT lang, cnt,
+             least(1.0, (0.5 * total / n_langs) / cnt) AS rate
+      FROM stats, tot
+    ),
+    kept AS (
+      SELECT d.lang, d.doc_id
+      FROM documents d JOIN rates USING (lang)
+      WHERE ((doc_id * 2654435761) % 2147483648) / 2147483648.0 < rate
+    )
+    SELECT r.lang,
+           CAST(r.cnt AS BIGINT) AS n_docs,
+           round(r.rate, 6) AS keep_rate,
+           CAST(count(k.doc_id) AS BIGINT) AS n_kept
+    FROM rates r LEFT JOIN kept k ON r.lang = k.lang
+    GROUP BY r.lang, r.cnt, r.rate
+    ORDER BY r.lang
+    """,
+    doc="L15: data-mixture rebalancing — per-language acceptance rates "
+    "steering the corpus toward a UNIFORM language mixture at a 50% "
+    "global budget: rate = min(1, target_share/actual_share * budget). "
+    "The rate table is a tiny broadcast; acceptance is a pure-arithmetic "
+    "Knuth multiplicative hash on doc_id (no strings, no seed-dependent "
+    "sample()), so membership is bit-identical across engines and "
+    "cluster layouts — the reproducibility contract a dataset release "
+    "needs. Scale: one small agg for rates, then a shuffle-free filter.",
+    tags=("llm", "sampling"),
+)
+def mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    stats = d.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = stats.agg(
+        F.sum("cnt").alias("total"), F.count(F.lit(1)).alias("n_langs")
+    )
+    rates = stats.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "cnt",
+        F.least(
+            F.lit(1.0), (F.lit(0.5) * F.col("total") / F.col("n_langs")) / F.col("cnt")
+        ).alias("rate"),
+    )
+    u = ((F.col("doc_id") * 2654435761) % 2147483648) / 2147483648.0
+    kept = (
+        d.join(F.broadcast(rates.select("lang", "rate")), "lang")
+        .filter(u < F.col("rate"))
+        .select("lang", "doc_id")
+    )
+    return (
+        rates.alias("r")
+        .join(kept.alias("k"), "lang", "left")
+        .groupBy("lang", "cnt", "rate")
+        .agg(F.count("k.doc_id").cast("bigint").alias("n_kept"))
+        .select(
+            "lang",
+            F.col("cnt").cast("bigint").alias("n_docs"),
+            F.round("rate", 6).alias("keep_rate"),
+            "n_kept",
+        )
+        .orderBy("lang")
+    )

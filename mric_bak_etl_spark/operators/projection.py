@@ -116,3 +116,64 @@ def filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey", "p_name", "p_brand", "p_type", "p_size")
         .orderBy("p_partkey")
     )
+
+
+@register(
+    "p3_null_handling",
+    oracle="""
+    WITH src AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderstatus = 'O' THEN NULL ELSE o_totalprice END
+               AS price_maybe,
+             CASE WHEN o_orderpriority = '5-LOW' THEN NULL
+                  ELSE o_orderpriority END AS prio_maybe
+      FROM orders
+    )
+    SELECT
+      CAST(count(*) AS BIGINT)                   AS n_total,
+      CAST(count(price_maybe) AS BIGINT)         AS n_price_present,
+      CAST(count(*) FILTER (WHERE price_maybe IS NULL AND prio_maybe IS NULL)
+           AS BIGINT)                            AS n_both_null,
+      round(sum(coalesce(price_maybe, 0.0)), 4)  AS sum_filled,
+      CAST(count(*) FILTER (WHERE price_maybe IS NOT NULL
+                              AND prio_maybe IS NOT NULL) AS BIGINT)
+                                                 AS n_complete_rows
+    FROM src
+    """,
+    doc="P3: null-handling surface — na.fill (fillna) and na.drop (dropna) "
+    "as plan-level rewrites over a derived null-bearing projection, plus "
+    "null-aware counts: count(col) skips NULLs, count(*) doesn't — the "
+    "asymmetry every aggregate pipeline has to get right. fillna compiles "
+    "to coalesce projections and dropna to an IsNotNull conjunction — "
+    "both codegen'd, both pushdown-eligible, no special operator.",
+    tags=("projection", "nulls"),
+)
+def null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    src = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderstatus") == "O", None)
+        .otherwise(F.col("o_totalprice"))
+        .alias("price_maybe"),
+        F.when(F.col("o_orderpriority") == "5-LOW", None)
+        .otherwise(F.col("o_orderpriority"))
+        .alias("prio_maybe"),
+    )
+    filled = src.na.fill({"price_maybe": 0.0})
+    complete = src.na.drop(subset=["price_maybe", "prio_maybe"])
+    counts = src.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+        F.count("price_maybe").cast("bigint").alias("n_price_present"),
+        F.sum(
+            F.when(
+                F.col("price_maybe").isNull() & F.col("prio_maybe").isNull(), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_both_null"),
+    )
+    summed = filled.agg(F.round(F.sum("price_maybe"), 4).alias("sum_filled"))
+    n_complete = complete.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_complete_rows")
+    )
+    return counts.crossJoin(F.broadcast(summed)).crossJoin(F.broadcast(n_complete))
