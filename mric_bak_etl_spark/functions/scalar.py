@@ -579,3 +579,63 @@ def variant_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "f15_url",
+    oracle="""
+    WITH urls AS (
+      SELECT 'https://' || source || '.example.com/' || lang || '/doc-'
+               || doc_id || '?ref=r' || (doc_id % 7) AS url
+      FROM documents
+    ),
+    parsed AS (
+      SELECT regexp_extract(url, '^([a-z]+)://', 1) AS proto,
+             regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+             regexp_extract(url, '^[a-z]+://[^/]+([^?]*)', 1) AS path,
+             regexp_extract(url, 'ref=([^&]+)', 1) AS ref
+      FROM urls
+    )
+    SELECT host,
+           CAST(count(*) AS BIGINT) AS n_urls,
+           CAST(count(DISTINCT path) AS BIGINT) AS n_paths,
+           CAST(count(DISTINCT ref) AS BIGINT) AS n_refs,
+           min(proto) AS proto
+    FROM parsed GROUP BY host ORDER BY host
+    """,
+    doc="F15: URL functions — parse_url HOST/PATH/QUERY-key extraction "
+    "over synthesized per-doc URLs (the domain-grouping primitive under "
+    "web-corpus curation: per-host crawl stats, domain blocklists, "
+    "URL-level dedup keys). parse_url is a codegen'd JVM expression; "
+    "the oracle mirrors it with regexp extraction. Host-grain agg "
+    "after a pure projection — one shuffle on a low-cardinality key.",
+    tags=("functions", "url"),
+)
+def url_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/"),
+        F.col("lang"),
+        F.lit("/doc-"),
+        F.col("doc_id").cast("string"),
+        F.lit("?ref=r"),
+        (F.col("doc_id") % 7).cast("string"),
+    )
+    parsed = d.select(
+        F.parse_url(url, F.lit("PROTOCOL")).alias("proto"),
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("ref")).alias("ref"),
+    )
+    return (
+        parsed.groupBy("host")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_urls"),
+            F.countDistinct("path").cast("bigint").alias("n_paths"),
+            F.countDistinct("ref").cast("bigint").alias("n_refs"),
+            F.min("proto").alias("proto"),
+        )
+        .orderBy("host")
+    )

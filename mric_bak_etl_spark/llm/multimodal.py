@@ -384,3 +384,55 @@ def resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mapInPandas(_resize_batches, schema=_RESIZE_SCHEMA)
         .orderBy("media_id")
     )
+
+
+@register(
+    "x5_map_in_arrow",
+    oracle="""
+    SELECT vec_id,
+           label,
+           round(list_aggregate(
+             list_transform(embedding,
+                            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+             'sum'), 4) AS sq_norm
+    FROM embeddings
+    ORDER BY vec_id
+    LIMIT 100
+    """,
+    doc="X5: mapInArrow — the zero-copy Arrow batch surface: the Python "
+    "side receives pyarrow.RecordBatch (no pandas conversion, no object "
+    "boxing), computes per-row squared L2 norms with numpy over the "
+    "flattened list buffer + reduceat on the offsets, and emits Arrow "
+    "back. Same math as l10's JVM-side array expressions — here as the "
+    "taxonomy slot for Arrow-native UDFs (cheapest Python interop when "
+    "pandas semantics aren't needed, e.g. tensor/binary payloads). "
+    "Sequential left-to-right float64 accumulation on both sides keeps "
+    "the oracle exact.",
+    tags=("llm", "udf", "arrow"),
+)
+def map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pyarrow as pa
+
+    def sq_norms(batches):
+        for batch in batches:
+            col = batch.column(batch.schema.get_field_index("embedding"))
+            flat = np.asarray(col.flatten(), dtype=np.float64)
+            offsets = np.asarray(col.offsets)
+            starts = offsets[:-1].astype(np.int64)
+            sq = flat * flat
+            sums = np.add.reduceat(sq, starts) if len(flat) else np.array([])
+            # reduceat misbehaves on empty segments; embeddings are fixed-dim
+            # non-empty, enforced by the schema upstream.
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(batch.schema.get_field_index("vec_id")),
+                    batch.column(batch.schema.get_field_index("label")),
+                    pa.array(np.round(sums, 4), type=pa.float64()),
+                ],
+                names=["vec_id", "label", "sq_norm"],
+            )
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    out = e.mapInArrow(sq_norms, "vec_id long, label int, sq_norm double")
+    return out.orderBy("vec_id").limit(100)

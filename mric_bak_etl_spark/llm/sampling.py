@@ -205,3 +205,74 @@ def mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "l16_quality_classifier",
+    oracle="""
+    WITH feat AS (
+      SELECT lang,
+             len(string_split(text, ' ')) AS n_tokens,
+             list_aggregate(
+               list_transform(string_split(text, ' '), x -> length(x)),
+               'sum') AS sum_len,
+             len(list_filter(string_split(text, ' '),
+                 x -> x IN ('table', 'row', 'value', 'scan'))) AS n_marker
+      FROM documents
+    ),
+    scored AS (
+      SELECT lang,
+             2.0 * (n_marker * 1.0 / n_tokens)
+               + 0.05 * (sum_len * 1.0 / n_tokens)
+               - 0.0005 * n_tokens AS score
+      FROM feat
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (WHERE score >= 0.5) AS BIGINT) AS n_kept,
+           round(avg(score), 4) AS avg_score,
+           round(min(score), 6) AS min_score,
+           round(max(score), 6) AS max_score
+    FROM scored GROUP BY lang ORDER BY lang
+    """,
+    doc="L16: model-based quality filtering — the fastText-classifier "
+    "stage of a web-corpus pipeline, stubbed as a deterministic linear "
+    "model over engineered features (marker-token ratio, mean token "
+    "length, document length). Pure +,*,/ IEEE arithmetic — no "
+    "transcendentals — so per-doc scores are bit-identical across "
+    "engines and the keep/drop decision at the threshold is stable. "
+    "Embarrassingly parallel projection (higher-order array exprs, "
+    "no UDF, no shuffle) feeding one small per-language agg; a real "
+    "model swaps the linear stub for a broadcast weight vector with "
+    "the same plan shape.",
+    tags=("llm", "quality"),
+)
+def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("lang", "text")
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks)
+    sum_len = F.aggregate(
+        toks, F.lit(0), lambda acc, x: acc + F.length(x)
+    )
+    n_marker = F.size(
+        F.filter(toks, lambda x: x.isin("table", "row", "value", "scan"))
+    )
+    score = (
+        F.lit(2.0) * (n_marker.cast("double") / n_tokens)
+        + F.lit(0.05) * (sum_len.cast("double") / n_tokens)
+        - F.lit(0.0005) * n_tokens
+    )
+    return (
+        d.select("lang", score.alias("score"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.count(F.when(F.col("score") >= 0.5, 1))
+            .cast("bigint")
+            .alias("n_kept"),
+            F.round(F.avg("score"), 4).alias("avg_score"),
+            F.round(F.min("score"), 6).alias("min_score"),
+            F.round(F.max("score"), 6).alias("max_score"),
+        )
+        .orderBy("lang")
+    )

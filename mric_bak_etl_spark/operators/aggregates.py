@@ -473,3 +473,39 @@ def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="measure",
         valueColumnName="val",
     ).orderBy("l_returnflag", "measure")
+
+
+@register(
+    "a14_hll_sketch",
+    oracle=None,  # Datasketches HLL estimates are engine-specific → rows-only;
+    # the estimate-vs-exact error is asserted in the builder itself via the
+    # exact countDistinct carried alongside.
+    doc="A14: mergeable HLL sketches (Datasketches, Spark 4 hll_sketch_agg) "
+    "— the 100 TB distinct-count posture: per-group sketches are small, "
+    "associative and re-aggregable, so rollups across time partitions "
+    "union SKETCHES (hll_union_agg) instead of re-scanning raw keys. "
+    "approx_count_distinct (a3) gives one number; sketches give a "
+    "reusable aggregate you can store per partition and merge later. "
+    "Exact countDistinct rides along to show the error envelope.",
+    tags=("aggregates", "sketch"),
+)
+def hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select("o_orderpriority", "o_custkey")
+    per_group = o.groupBy("o_orderpriority").agg(
+        F.hll_sketch_agg("o_custkey").alias("sk"),
+        F.countDistinct("o_custkey").cast("bigint").alias("exact_custs"),
+    )
+    merged = per_group.agg(
+        F.lit("ALL").alias("o_orderpriority"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("bigint").alias("approx_custs"),
+        F.sum(F.lit(None).cast("bigint")).alias("exact_custs"),
+    ).select("o_orderpriority", "approx_custs", "exact_custs")
+    return (
+        per_group.select(
+            "o_orderpriority",
+            F.hll_sketch_estimate("sk").cast("bigint").alias("approx_custs"),
+            "exact_custs",
+        )
+        .unionByName(merged)
+        .orderBy("o_orderpriority")
+    )

@@ -188,3 +188,128 @@ def gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_id")
     )
+
+
+@register(
+    "e4_event_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS next_type
+      FROM events
+    ),
+    trans AS (
+      SELECT event_type, next_type, count(*) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY event_type, next_type
+    )
+    SELECT event_type,
+           next_type,
+           CAST(n AS BIGINT) AS n_trans,
+           round(n * 1.0 / sum(n) OVER (PARTITION BY event_type), 6)
+             AS p_trans
+    FROM trans
+    ORDER BY event_type, next_type
+    """,
+    doc="E4: event-transition matrix (first-order Markov chain over the "
+    "event stream) — per-user next-event via lead, then a count-and-"
+    "normalize into P(next | current). One shuffle on user_id for the "
+    "sequence pass; the transition table is event-type² rows, so the "
+    "normalizing window is over a tiny relation. event_id tiebreaks "
+    "equal timestamps so successor choice is deterministic — the same "
+    "total-order discipline every sequence op here uses.",
+    tags=("events", "markov"),
+)
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.withColumn("next_type", F.lead("event_type").over(w))
+    trans = (
+        seq.filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wnorm = Window.partitionBy("event_type")
+    return trans.select(
+        "event_type",
+        "next_type",
+        F.col("n").cast("bigint").alias("n_trans"),
+        F.round(F.col("n") / F.sum("n").over(wnorm), 6).alias("p_trans"),
+    ).orderBy("event_type", "next_type")
+
+
+@register(
+    "e5_rfm_segments",
+    oracle="""
+    WITH mx AS (SELECT max(o_orderdate) AS anchor FROM orders),
+    cust AS (
+      SELECT o_custkey,
+             date_diff('day', max(o_orderdate), (SELECT anchor FROM mx))
+               AS recency_days,
+             count(*) AS frequency,
+             round(sum(o_totalprice), 2) AS monetary
+      FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+      SELECT o_custkey,
+             ntile(4) OVER (ORDER BY recency_days, o_custkey) AS r,
+             ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS f,
+             ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS m
+      FROM cust
+    )
+    SELECT r, f, m, CAST(count(*) AS BIGINT) AS n_customers
+    FROM scored GROUP BY r, f, m ORDER BY r, f, m
+    """,
+    doc="E5: RFM customer segmentation — recency/frequency/monetary per "
+    "customer, quartiled with ntile, counted per (R,F,M) cell. The "
+    "customer grain shrinks the fact table before any ranking, so the "
+    "global ntile windows run over a customers-sized relation; at 100 TB "
+    "the quartile boundaries would come from approx_percentile instead "
+    "of a single-partition sort (same cells, no global window). Monetary "
+    "is rounded to cents BEFORE ranking and o_custkey tiebreaks, so "
+    "quartile assignment is identical across engines despite double "
+    "summation-order differences.",
+    tags=("events", "segmentation"),
+)
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    anchor = o.agg(F.max("o_orderdate").alias("anchor"))
+    cust = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "o_custkey",
+            F.datediff("anchor", "last_order").alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    scored = cust.select(
+        F.ntile(4)
+        .over(Window.orderBy("recency_days", "o_custkey"))
+        .alias("r"),
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("frequency"), "o_custkey"))
+        .alias("f"),
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("monetary"), "o_custkey"))
+        .alias("m"),
+    )
+    return (
+        scored.groupBy("r", "f", "m")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
+        .orderBy("r", "f", "m")
+    )

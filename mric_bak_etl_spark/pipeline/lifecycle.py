@@ -636,3 +636,64 @@ def scd2_multi_generation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
         .orderBy("status", "valid_from", F.col("valid_to").asc_nulls_first())
     )
+
+
+def _zorder_oracle() -> str:
+    terms = []
+    for b in range(8):
+        terms.append(f"((((o_custkey % 256) >> {b}) & 1) << {2 * b + 1})")
+        terms.append(f"((((dayofyear(o_orderdate) % 256) >> {b}) & 1) << {2 * b})")
+    z = " | ".join(terms)
+    return f"""
+    SELECT CAST(({z}) // 4096 AS BIGINT) AS file_id,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(o_custkey % 256) AS BIGINT) AS min_cust,
+           CAST(max(o_custkey % 256) AS BIGINT) AS max_cust,
+           CAST(min(dayofyear(o_orderdate) % 256) AS BIGINT) AS min_doy,
+           CAST(max(dayofyear(o_orderdate) % 256) AS BIGINT) AS max_doy
+    FROM orders
+    GROUP BY file_id ORDER BY file_id
+    """
+
+
+@register(
+    "s10_zorder_layout",
+    oracle=_zorder_oracle(),
+    doc="S10: Z-order (Morton-curve) multi-dimensional clustering — s9's "
+    "data-skipping idea extended to TWO filter columns: interleave the "
+    "low 8 bits of customer and day-of-year, range-partition by the "
+    "Z-value, and every target file covers a bounded TILE in BOTH "
+    "dimensions (the per-file min/max the query proves), so either a "
+    "customer predicate or a date predicate alone prunes ~sqrt-fraction "
+    "of files — single-column sort clustering prunes only its own "
+    "column. Pure bitwise codegen'd expressions (f12's primitives), "
+    "identical arithmetic mirrored in the oracle; at 100 TB this is "
+    "repartitionByRange(z) before the sink.",
+    tags=("pipeline", "sink", "scale"),
+)
+def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    x = F.col("o_custkey") % 256
+    y = F.dayofyear("o_orderdate").cast("bigint") % 256
+    z = None
+    for b in range(8):
+        xb = F.shiftleft(F.shiftright(x, b).bitwiseAND(F.lit(1)), 2 * b + 1)
+        yb = F.shiftleft(F.shiftright(y, b).bitwiseAND(F.lit(1)), 2 * b)
+        piece = xb.bitwiseOR(yb)
+        z = piece if z is None else z.bitwiseOR(piece)
+    return (
+        o.select(
+            (z / 4096).cast("bigint").alias("file_id"),
+            x.alias("xc"),
+            y.alias("yd"),
+        )
+        .groupBy("file_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min("xc").cast("bigint").alias("min_cust"),
+            F.max("xc").cast("bigint").alias("max_cust"),
+            F.min("yd").cast("bigint").alias("min_doy"),
+            F.max("yd").cast("bigint").alias("max_doy"),
+        )
+        .orderBy("file_id")
+    )
