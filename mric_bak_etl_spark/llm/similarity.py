@@ -345,3 +345,95 @@ def embedding_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@register(
+    "l17_semdedup",
+    oracle="""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    cent AS (
+      SELECT label, list(x ORDER BY dim) AS c FROM (
+        SELECT label, dim, avg(x) AS x FROM (
+          SELECT label, unnest(v) AS x, generate_subscripts(v, 1) AS dim
+          FROM e
+        ) GROUP BY label, dim
+      ) GROUP BY label
+    ),
+    scored AS (
+      SELECT e.vec_id, e.label,
+             round(list_cosine_similarity(e.v, cent.c), 6) AS cos
+      FROM e JOIN cent USING (label)
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY label
+                                   ORDER BY cos DESC, vec_id) AS rn
+      FROM scored
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(count(*) FILTER (WHERE rn > 1 AND cos >= 0.25) AS BIGINT)
+             AS n_dropped,
+           CAST(min(CASE WHEN rn = 1 THEN vec_id END) AS BIGINT) AS keeper_id,
+           round(max(cos), 4) AS max_cos
+    FROM ranked GROUP BY label ORDER BY label
+    """,
+    doc="L17: SemDeDup-style semantic dedup — cluster embeddings (label = "
+    "the cluster key; at scale, an IVF/k-means assignment as in l3d), "
+    "score each member's cosine to its cluster centroid, keep the "
+    "closest representative and drop other members above the similarity "
+    "threshold. Centroids via posexplode+avg carry (label, dim) partial "
+    "sums only; the centroid table is tiny and broadcasts back; ranking "
+    "rounds cosine to 6 decimals with vec_id tiebreak so keeper choice "
+    "is engine-stable despite float summation-order noise. One shuffle "
+    "for centroids, one window per cluster — never a pairwise self-join.",
+    tags=("llm", "dedup", "vector"),
+)
+def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _as_double().alias("v")
+    )
+    dims = e.select("label", F.posexplode("v").alias("dim0", "x"))
+    cent = (
+        dims.groupBy("label", "dim0")
+        .agg(F.avg("x").alias("m"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim0", "m"))),
+                lambda s: s["m"],
+            ).alias("c")
+        )
+    )
+    dot = F.aggregate(
+        F.zip_with("v", "c", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    norm = lambda col: F.sqrt(  # noqa: E731
+        F.aggregate(col, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    scored = (
+        e.join(F.broadcast(cent), "label")
+        .select(
+            "vec_id",
+            "label",
+            F.round(dot / (norm(F.col("v")) * norm(F.col("c"))), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("label").orderBy(F.desc("cos"), "vec_id")
+    ranked = scored.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.count(F.when((F.col("rn") > 1) & (F.col("cos") >= 0.25), 1))
+            .cast("bigint")
+            .alias("n_dropped"),
+            F.min(F.when(F.col("rn") == 1, F.col("vec_id")))
+            .cast("bigint")
+            .alias("keeper_id"),
+            F.round(F.max("cos"), 4).alias("max_cos"),
+        )
+        .orderBy("label")
+    )

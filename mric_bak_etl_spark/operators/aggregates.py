@@ -509,3 +509,59 @@ def hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(merged)
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "a15_median_mode",
+    oracle="""
+    WITH freq AS (
+      SELECT l_returnflag, l_quantity, count(*) AS n
+      FROM lineitem GROUP BY l_returnflag, l_quantity
+    ),
+    modal AS (
+      SELECT l_returnflag, l_quantity AS mode_qty,
+             row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY n DESC, l_quantity) AS rn
+      FROM freq
+    )
+    SELECT m.l_returnflag,
+           round(med.median_qty, 4) AS median_qty,
+           m.mode_qty,
+           CAST(med.n_rows AS BIGINT) AS n_rows
+    FROM modal m
+    JOIN (SELECT l_returnflag, median(l_quantity) AS median_qty,
+                 count(*) AS n_rows
+          FROM lineitem GROUP BY l_returnflag) med
+      ON m.l_returnflag = med.l_returnflag
+    WHERE m.rn = 1
+    ORDER BY m.l_returnflag
+    """,
+    doc="A15: median and deterministic mode — median as the interpolating "
+    "50th percentile (Spark median() ≡ percentile(0.5), one sort-based "
+    "agg per group); mode NOT via the built-in mode() (tie order is "
+    "engine-arbitrary) but as count-then-rank with an explicit "
+    "(count DESC, value) total order, so the reported modal value is "
+    "identical on any engine and any partitioning — determinism over "
+    "convenience, the same discipline as l1's min-keeper.",
+    tags=("aggregates", "statistics"),
+)
+def median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
+    freq = li.groupBy("l_returnflag", "l_quantity").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("l_returnflag").orderBy(F.desc("n"), "l_quantity")
+    modal = (
+        freq.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("l_returnflag", F.col("l_quantity").alias("mode_qty"))
+    )
+    med = li.groupBy("l_returnflag").agg(
+        F.round(F.median("l_quantity"), 4).alias("median_qty"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+    )
+    return (
+        modal.join(med, "l_returnflag")
+        .select("l_returnflag", "median_qty", "mode_qty", "n_rows")
+        .orderBy("l_returnflag")
+    )

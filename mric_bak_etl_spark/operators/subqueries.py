@@ -221,3 +221,52 @@ def not_in_null_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
                                                                  AS n_not_exists
         """
     )
+
+
+@register(
+    "sq7_any_all",
+    oracle="""
+    SELECT
+      CAST((SELECT count(*) FROM orders
+            WHERE o_totalprice > ALL (SELECT o_totalprice FROM orders
+                                      WHERE o_orderpriority = '5-LOW'
+                                        AND o_orderstatus = 'F')) AS BIGINT)
+        AS n_above_all,
+      CAST((SELECT count(*) FROM orders
+            WHERE o_totalprice > ANY (SELECT o_totalprice FROM orders
+                                      WHERE o_orderpriority = '5-LOW'
+                                        AND o_orderstatus = 'F')) AS BIGINT)
+        AS n_above_any,
+      CAST((SELECT count(*) FROM part
+            WHERE p_size >= ALL (SELECT p_size FROM part
+                                 WHERE p_brand = 'Brand#1')) AS BIGINT)
+        AS n_size_ge_all
+    """,
+    doc="SQ7: quantified comparisons — x > ALL(S) and x > ANY(S). Spark "
+    "SQL has no ALL/ANY quantifiers, so the engine compiles them to "
+    "their aggregate forms: > ALL(S) ≡ > max(S) and > ANY(S) ≡ > min(S) "
+    "(for non-empty S without NULLs — the guard every decorrelation "
+    "rule needs), each a one-row broadcast against the probe side: no "
+    "per-row subquery, no shuffle beyond the scalar agg. The oracle "
+    "runs the genuine quantifiers; matching counts prove the rewrite.",
+    tags=("subqueries", "quantified"),
+)
+def any_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT
+          CAST((SELECT count(*) FROM orders
+                WHERE o_totalprice > (SELECT max(o_totalprice) FROM orders
+                                      WHERE o_orderpriority = '5-LOW'
+                                        AND o_orderstatus = 'F')) AS BIGINT)
+            AS n_above_all,
+          CAST((SELECT count(*) FROM orders
+                WHERE o_totalprice > (SELECT min(o_totalprice) FROM orders
+                                      WHERE o_orderpriority = '5-LOW'
+                                        AND o_orderstatus = 'F')) AS BIGINT)
+            AS n_above_any,
+          CAST((SELECT count(*) FROM part
+                WHERE p_size >= (SELECT max(p_size) FROM part
+                                 WHERE p_brand = 'Brand#1')) AS BIGINT)
+            AS n_size_ge_all
+    """)

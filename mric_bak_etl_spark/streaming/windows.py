@@ -283,3 +283,56 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+def user_nation_enrichment(ev: DataFrame, nation: DataFrame, region: DataFrame) -> DataFrame:
+    """Enrich events with region via a derived user→nation mapping.
+
+    The dims are broadcast: in streaming form this is the stream-static
+    join — the static side is planned once per micro-batch, never keeps
+    state, and never blocks the watermark (unlike stream-stream joins).
+    """
+    mapped = ev.withColumn("n_nationkey", F.col("user_id") % 25)
+    return (
+        mapped.join(F.broadcast(nation), "n_nationkey")
+        .join(
+            F.broadcast(region),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+    )
+
+
+@register(
+    "t8_stream_static_join",
+    oracle="""
+    SELECT r.r_name,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(e.value), 4)   AS total_value
+    FROM events e
+    JOIN nation n ON e.user_id % 25 = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name ORDER BY r.r_name
+    """,
+    doc="T8: stream-static enrichment join — the unbounded event stream "
+    "joined to bounded dimension tables (user→nation→region), then "
+    "aggregated per region. The static side is broadcast and re-read "
+    "per micro-batch (picking up dim updates), holds NO join state and "
+    "needs no watermark — the cheap half of the streaming-join taxonomy "
+    "next to t7's dual-watermark stream-stream interval join. Batch "
+    "face shares the exact semantics; the true readStream form is "
+    "asserted equal in tests/test_streaming.py.",
+    tags=("streaming", "join"),
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    region = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    return (
+        user_nation_enrichment(ev, nation, region)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .orderBy("r_name")
+    )

@@ -215,3 +215,38 @@ def test_stream_stream_join_matches_batch(spark, sf_dir):
     )
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
     assert len(got) > 0
+
+
+def test_stream_static_join_matches_batch(spark, sf_dir):
+    """T8 true-streaming face: readStream events joined to static broadcast
+    dims (no watermark needed — the static side holds no state), windowless
+    global agg in complete mode; must equal the batch face exactly."""
+    from mric_bak_etl_spark.streaming.windows import (
+        stream_events,
+        stream_static_join,
+        user_nation_enrichment,
+    )
+    from mric_bak_etl_spark.tables import load_table
+
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    region = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    ev_s = stream_events(spark, sf_dir).select("user_id", "value")
+    agg = (
+        user_nation_enrichment(ev_s, nation, region)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+    q = run_to_completion(agg, "t8_region_agg", "complete")
+    got = [
+        tuple(r)
+        for r in spark.table("t8_region_agg").orderBy("r_name").collect()
+    ]
+    want = [
+        tuple(r)
+        for r in stream_static_join(spark, sf_dir).collect()
+    ]
+    assert got == want
+    assert len(got) > 0
