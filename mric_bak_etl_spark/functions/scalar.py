@@ -639,3 +639,36 @@ def url_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("host")
     )
+
+
+@register(
+    "f16_transcendental",
+    oracle="""
+    SELECT l_returnflag,
+           round(avg(ln(l_quantity + 1.0)), 4)        AS avg_log_qty,
+           round(avg(exp(-l_quantity / 10.0)), 4)     AS avg_exp_decay,
+           round(avg(sqrt(l_extendedprice)), 4)       AS avg_sqrt_price,
+           round(avg(pow(l_discount + 1.0, 1.5)), 6)  AS avg_pow_disc
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="F16: transcendental family — ln/exp/sqrt/pow as codegen'd JVM "
+    "expressions (the log-scaling, decay-weighting and root transforms "
+    "feature pipelines apply before aggregation). Cross-engine floating "
+    "parity holds because both engines use correctly-rounded libm cores; "
+    "aggregates still round defensively (summation order differs).",
+    tags=("functions", "math"),
+)
+def transcendental_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.avg(F.log(F.col("l_quantity") + 1.0)), 4).alias("avg_log_qty"),
+            F.round(F.avg(F.exp(-F.col("l_quantity") / 10.0)), 4).alias("avg_exp_decay"),
+            F.round(F.avg(F.sqrt("l_extendedprice")), 4).alias("avg_sqrt_price"),
+            F.round(F.avg(F.pow(F.col("l_discount") + 1.0, 1.5)), 6).alias("avg_pow_disc"),
+        )
+        .orderBy("l_returnflag")
+    )

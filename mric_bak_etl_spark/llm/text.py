@@ -761,3 +761,61 @@ def redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "l18_unigram_lm",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, lang, unnest(string_split_regex(text, '\\s+')) AS t
+      FROM documents
+    ),
+    vocab AS (
+      SELECT t, count(*) AS cnt FROM tok GROUP BY t
+    ),
+    tot AS (SELECT sum(cnt) AS n FROM vocab),
+    scored AS (
+      SELECT tok.doc_id, tok.lang,
+             avg(-ln(vocab.cnt * 1.0 / tot.n)) AS nll
+      FROM tok JOIN vocab USING (t) CROSS JOIN tot
+      GROUP BY tok.doc_id, tok.lang
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(nll), 4) AS avg_nll,
+           round(min(nll), 4) AS min_nll,
+           round(max(nll), 4) AS max_nll
+    FROM scored GROUP BY lang ORDER BY lang
+    """,
+    doc="L18: unigram language-model scoring — per-document mean negative "
+    "log-likelihood under the corpus's own unigram distribution, the "
+    "classic KenLM-shaped quality/fluency signal (high NLL = rare-token "
+    "soup, low = repetitive boilerplate). The vocabulary is one "
+    "token-grain agg (vocab-sized, broadcastable); scoring is "
+    "explode → broadcast-join → per-doc avg, so the 100 TB cost is one "
+    "pass over tokens with map-side partials — no pairwise anything. "
+    "Per-doc NLL averages a handful of ln() terms; engine-level ln "
+    "parity holds to the ulp, and the per-lang rollup rounds.",
+    tags=("llm", "quality"),
+)
+def unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    tok = d.select("doc_id", "lang", F.explode(tokens()).alias("t"))
+    vocab = tok.groupBy("t").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = vocab.agg(F.sum("cnt").alias("n"))
+    scored = (
+        tok.join(F.broadcast(vocab), "t")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id", "lang")
+        .agg(F.avg(-F.log(F.col("cnt") / F.col("n"))).alias("nll"))
+    )
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(F.avg("nll"), 4).alias("avg_nll"),
+            F.round(F.min("nll"), 4).alias("min_nll"),
+            F.round(F.max("nll"), 4).alias("max_nll"),
+        )
+        .orderBy("lang")
+    )

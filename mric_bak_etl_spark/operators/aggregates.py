@@ -565,3 +565,40 @@ def median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_returnflag", "median_qty", "mode_qty", "n_rows")
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "a16_decimal_exact",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS VARCHAR)
+             AS sum_price_exact,
+           CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+                         AS BIGINT)) AS BIGINT) AS sum_cents,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="A16: exact decimal aggregation — money must not ride on doubles: "
+    "DECIMAL sums are associative and engine/partitioning-independent, "
+    "so the result needs NO defensive rounding (every other money agg "
+    "here rounds because double summation order varies). The string "
+    "cast pins scale-2 rendering on both engines; the bigint-cents lane "
+    "is the fixed-point equivalent. At scale decimal aggregation costs "
+    "~2× double but buys bit-exact reproducibility across reruns and "
+    "cluster layouts.",
+    tags=("aggregates", "decimal"),
+)
+def decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    dec = F.col("o_totalprice").cast("decimal(14,2)")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.sum(dec).cast("string").alias("sum_price_exact"),
+            F.sum((dec * 100).cast("bigint")).cast("bigint").alias("sum_cents"),
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        )
+        .orderBy("o_orderpriority")
+    )

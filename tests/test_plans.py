@@ -215,3 +215,28 @@ def test_gaps_islands_single_user_shuffle(spark, sf_dir):
         if l.strip().startswith("Arguments: hashpartitioning")
     ]
     assert len(hash_exchanges) == 1, hash_exchanges
+
+
+def test_stream_static_dims_broadcast(spark, sf_dir):
+    # t8's nation/region sides must be BroadcastHashJoin — the property
+    # that makes the streaming form stateless per micro-batch.
+    plan = plan_of(all_specs()["t8_stream_static_join"].builder(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_semdedup_centroids_broadcast_no_pairwise(spark, sf_dir):
+    # l17: the centroid table broadcasts back to the vectors, and there is
+    # no self-join of the embeddings table (SemDeDup's whole point).
+    plan = plan_of(all_specs()["l17_semdedup"].builder(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_unigram_vocab_joins_broadcast(spark, sf_dir):
+    # l18: token→vocab scoring join must broadcast the vocab, never
+    # sort-merge the exploded token stream.
+    plan = plan_of(all_specs()["l18_unigram_lm"].builder(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
