@@ -45,6 +45,9 @@ HEADLINE = [
     "l2_minhash_lsh",       # shingle→minhash→band→bucket-join near-dup
     "l3_cosine_topk",       # vector top-k (broadcast query, zip_with dot)
     "l4_tokenize_tf",       # tokenize+explode+TF
+    "l17_semdedup",         # centroid-cosine semantic dedup
+    "l18_unigram_lm",       # corpus-LM fluency scoring (broadcast vocab)
+    "e4_event_transitions", # per-user sequence → Markov transition matrix
     "m2_feature_extract",   # Arrow-batched pandas feature stage
 ]
 

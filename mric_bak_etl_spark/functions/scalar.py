@@ -672,3 +672,42 @@ def transcendental_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+_REACHABILITY_SQL = """
+    WITH RECURSIVE edges AS (
+      SELECT DISTINCT event_type AS src, next_type AS dst FROM (
+        SELECT event_type,
+               lead(event_type) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+               ) AS next_type
+        FROM events
+      ) seq WHERE next_type IS NOT NULL
+    ),
+    reach(node, hops) AS (
+      SELECT CAST('signup' AS {t}), 0
+      UNION ALL
+      SELECT e.dst, r.hops + 1
+      FROM reach r JOIN edges e ON e.src = r.node
+      WHERE r.hops < 4
+    )
+    SELECT node, CAST(min(hops) AS BIGINT) AS min_hops
+    FROM reach GROUP BY node ORDER BY node
+"""
+
+
+@register(
+    "q2_recursive_cte",
+    oracle=_REACHABILITY_SQL.format(t="VARCHAR"),
+    doc="Q2: recursive CTE (Spark 4) — breadth-bounded reachability over "
+    "the event-transition graph: which event types are reachable from "
+    "'signup' and in how few hops. Spark executes WITH RECURSIVE as "
+    "iterated UnionLoop steps (same engine mechanics l2e builds by hand "
+    "for connected components — this is the declarative face); the "
+    "depth guard bounds state on cyclic graphs exactly like an "
+    "iteration cap. Identical SQL text runs on DuckDB as the oracle.",
+    tags=("sql", "recursive"),
+)
+def recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_REACHABILITY_SQL.format(t="STRING"))

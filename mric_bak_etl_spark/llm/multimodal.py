@@ -436,3 +436,54 @@ def map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
     out = e.mapInArrow(sq_norms, "vec_id long, label int, sq_norm double")
     return out.orderBy("vec_id").limit(100)
+
+
+@register(
+    "m5_binary_dedup",
+    oracle="""
+    WITH m AS (
+      SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+                  WHEN doc_id % 3 = 1 THEN 'audio'
+                  ELSE 'video' END AS media_type,
+             md5(text) AS h,  -- DuckDB md5 is VARCHAR-only; hashes the same UTF-8 bytes
+             octet_length(encode(text)) AS nb
+      FROM documents
+    ),
+    u AS (
+      SELECT media_type, h, min(nb) AS nb, count(*) AS copies
+      FROM m GROUP BY media_type, h
+    )
+    SELECT media_type,
+           CAST(sum(copies) AS BIGINT)            AS n_items,
+           CAST(count(*) AS BIGINT)               AS n_unique,
+           CAST(sum(copies) - count(*) AS BIGINT) AS n_dup_rows,
+           CAST(sum(nb) AS BIGINT)                AS unique_bytes
+    FROM u GROUP BY media_type ORDER BY media_type
+    """,
+    doc="M5: binary-payload dedup — content-hash the opaque media bytes "
+    "(md5 over the binary column, JVM-side) and count unique payloads "
+    "and reclaimable duplicate rows per modality. The multimodal form "
+    "of l1: the shuffle carries (media_type, 16-byte hash, n_bytes) — "
+    "never the payloads — which is what makes exact dedup of a 100 TB "
+    "media corpus a metadata-sized problem.",
+    tags=("llm", "multimodal", "dedup"),
+)
+def binary_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = media_table(spark, sf_dir).select(
+        F.col("meta.media_type").alias("media_type"),
+        F.md5("content").alias("h"),
+        F.octet_length("content").alias("nb"),
+    )
+    u = m.groupBy("media_type", "h").agg(
+        F.min("nb").alias("nb"), F.count(F.lit(1)).alias("copies")
+    )
+    return (
+        u.groupBy("media_type")
+        .agg(
+            F.sum("copies").cast("bigint").alias("n_items"),
+            F.count(F.lit(1)).cast("bigint").alias("n_unique"),
+            (F.sum("copies") - F.count(F.lit(1))).cast("bigint").alias("n_dup_rows"),
+            F.sum("nb").cast("bigint").alias("unique_bytes"),
+        )
+        .orderBy("media_type")
+    )
