@@ -582,3 +582,42 @@ def bucketed_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_in_window"))
         .orderBy("iv_key")
     )
+
+
+@register(
+    "j14_shuffle_hash_join",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT)          AS n_lines,
+           round(sum(l.l_extendedprice), 4)  AS total_price
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderstatus = 'O'
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+    doc="J14: explicit SHUFFLE_HASH strategy — the middle of the join-"
+    "strategy ladder: too big to broadcast, but one side small enough "
+    "per-partition to hash, so skipping SMJ's two sort phases wins "
+    "(hash build is O(n), sort is O(n log n); SMJ only pays off when "
+    "the sort order is reused downstream). The hint pins the physical "
+    "strategy Catalyst's cost model would otherwise choose by size "
+    "alone; the plan assertion proves it took effect.",
+    tags=("joins", "strategy"),
+)
+def shuffle_hash_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "O")
+        .select("o_orderkey", "o_orderpriority")
+        .hint("shuffle_hash")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.round(F.sum("l_extendedprice"), 4).alias("total_price"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -75,3 +75,36 @@ def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
         .limit(25)
     )
+
+
+@register(
+    "o3_range_partitioned_sort",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT)  AS n_rows,
+           round(sum(o_totalprice), 4) AS total_price,
+           min(o_orderdate)          AS first_date,
+           max(o_orderdate)          AS last_date
+    FROM orders
+    """,
+    doc="O3: distributed total order — repartitionByRange(o_orderdate) + "
+    "sortWithinPartitions: partition k holds only keys below partition "
+    "k+1 and each is locally sorted, so the GLOBAL order exists across "
+    "files without any single-node sort — how a 100 TB sorted snapshot "
+    "is actually written (orderBy on unbounded output would also range-"
+    "partition, but making the two steps explicit keeps the sort fused "
+    "with the sink and AQE-coalescible). The oracle checks content "
+    "survival; the sortedness-across-partitions property is asserted "
+    "structurally in the plan suite.",
+    tags=("sort", "scale"),
+)
+def range_partitioned_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    laid_out = o.repartitionByRange(8, "o_orderdate").sortWithinPartitions(
+        "o_orderdate", "o_orderkey"
+    )
+    return laid_out.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+        F.min("o_orderdate").alias("first_date"),
+        F.max("o_orderdate").alias("last_date"),
+    )

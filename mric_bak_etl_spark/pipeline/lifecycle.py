@@ -697,3 +697,52 @@ def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("file_id")
     )
+
+
+@register(
+    "s11_write_audit_publish",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT)   AS n_rows,
+           round(sum(l_quantity), 4)  AS total_qty
+    FROM lineitem
+    WHERE l_quantity > 0
+    """,
+    doc="S11: write-audit-publish — the atomic form of the reference's "
+    "non-atomic DROP-then-RESTORE swap (src/bak_unload.ps1:92-103, "
+    "where readers see NO database mid-load): write the snapshot to a "
+    "STAGING path, run the dq gate against what was actually written "
+    "(not the input — serialization bugs surface here), and only then "
+    "publish with one atomic directory rename; a failed audit leaves "
+    "the previous snapshot untouched. The gate is a one-row driver "
+    "action — same cardinality as the reference's state-file check. On "
+    "object stores the rename becomes a manifest/metadata pointer swap "
+    "(the mechanism table formats like Iceberg/Delta standardize).",
+    tags=("pipeline", "sink", "reference-fidelity"),
+)
+def write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    base = tempfile.mkdtemp(prefix="wap_")
+    staging = os.path.join(base, "_staging")
+    published = os.path.join(base, "published")
+    li.write.mode("overwrite").parquet(staging)
+
+    staged = spark.read.parquet(staging)
+    audit = staged.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.when(
+                F.col("l_quantity").isNull() | (F.col("l_quantity") <= 0), 1
+            ).otherwise(0)
+        ).alias("violations"),
+    ).collect()[0]
+    if audit["violations"] != 0 or audit["n_rows"] == 0:
+        raise ValueError(
+            f"audit failed: {audit['violations']} violations over "
+            f"{audit['n_rows']} staged rows — snapshot NOT published"
+        )
+    os.rename(staging, published)  # atomic on POSIX: readers see old or new
+
+    return spark.read.parquet(published).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.round(F.sum("l_quantity"), 4).alias("total_qty"),
+    )

@@ -240,3 +240,30 @@ def test_unigram_vocab_joins_broadcast(spark, sf_dir):
     plan = plan_of(all_specs()["l18_unigram_lm"].builder(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_shuffle_hash_hint_takes_effect(spark, sf_dir):
+    # j14: the hint must yield ShuffledHashJoin — not SMJ (whose sorts the
+    # hint exists to skip) and not a broadcast (which would make the test
+    # vacuous; the orders side at sf0.01 is above the broadcast default).
+    plan = plan_of(all_specs()["j14_shuffle_hash_join"].builder(spark, sf_dir))
+    assert "ShuffledHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_range_partitioned_sort_layout(spark, sf_dir):
+    # o3: the layout subtree (before the verifying agg) must be a RANGE
+    # exchange followed by a partition-local sort — global order with no
+    # single-partition Sort node.
+    from mric_bak_etl_spark.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    laid_out = o.repartitionByRange(8, "o_orderdate").sortWithinPartitions(
+        "o_orderdate", "o_orderkey"
+    )
+    plan = plan_of(laid_out, "simple")
+    assert "rangepartitioning" in plan.lower()
+    # Sort prints as `Sort [keys], global, sortLimit` in simple mode; the
+    # layout must contain only partition-local (global=false) sorts.
+    sort_lines = [l for l in plan.splitlines() if "Sort [" in l]
+    assert sort_lines and all("], false, " in l for l in sort_lines)
