@@ -711,3 +711,41 @@ _REACHABILITY_SQL = """
 def recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     return spark.sql(_REACHABILITY_SQL.format(t="STRING"))
+
+
+@register(
+    "f17_encoding",
+    oracle="""
+    SELECT doc_id,
+           to_base64(encode(substring(text, 1, 24)))       AS b64,
+           lower(hex(substring(text, 1, 12)))              AS hexed,
+           decode(from_base64(to_base64(encode(substring(text, 1, 24)))))
+                                                           AS roundtrip,
+           lower(to_hex(doc_id))                           AS id_hex
+    FROM documents
+    ORDER BY doc_id
+    LIMIT 200
+    """,
+    doc="F17: binary encoding family — base64/hex encode-decode over text "
+    "prefixes plus integer-to-hex: the wire formats payload columns "
+    "cross system boundaries in (JSON-embedded binary, content "
+    "addressing, URL-safe ids). The base64 round-trip lands back on the "
+    "original string on both engines — an identity check that the "
+    "binary<->string boundary is lossless.",
+    tags=("functions", "encoding"),
+)
+def encoding_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    prefix = F.substring("text", 1, 24)
+    b64 = F.base64(F.encode(prefix, "UTF-8"))
+    return (
+        d.select(
+            "doc_id",
+            b64.alias("b64"),
+            F.lower(F.hex(F.substring("text", 1, 12))).alias("hexed"),
+            F.decode(F.unbase64(b64), "UTF-8").alias("roundtrip"),
+            F.lower(F.hex("doc_id")).alias("id_hex"),
+        )
+        .orderBy("doc_id")
+        .limit(200)
+    )

@@ -487,3 +487,41 @@ def binary_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_type")
     )
+
+
+@register(
+    "x6_grouped_pandas_map",
+    oracle="""
+    SELECT lang, doc_id, n_chars, CAST(rnk AS INT) AS rnk
+    FROM (
+      SELECT lang, doc_id, n_chars,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY n_chars DESC, doc_id) AS rnk
+      FROM documents
+    ) WHERE rnk <= 3
+    ORDER BY lang, rnk
+    """,
+    doc="X6: grouped-map pandas (applyInPandas) — whole-group-at-a-time "
+    "Python: each language's documents arrive as ONE pandas frame, "
+    "ranked and truncated locally, completing the UDF taxonomy's last "
+    "shape (x4 scalar, x2 grouped-agg, x1/m* map, x3 UDTF, x5 Arrow, "
+    "t6 stateful). The group-sized frame is the scale hazard — a skewed "
+    "group must fit one executor's memory, exactly what the JVM window "
+    "form (the oracle's row_number, w1) avoids; use this shape only "
+    "when the per-group logic genuinely needs pandas.",
+    tags=("llm", "udf"),
+)
+def grouped_pandas_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def top3(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = pdf.sort_values(
+            ["n_chars", "doc_id"], ascending=[False, True]
+        ).head(3)
+        out = out.assign(rnk=range(1, len(out) + 1))
+        return out[["lang", "doc_id", "n_chars", "rnk"]]
+
+    d = load_table(spark, sf_dir, "documents").select("lang", "doc_id", "n_chars")
+    return (
+        d.groupBy("lang")
+        .applyInPandas(top3, "lang string, doc_id long, n_chars long, rnk int")
+        .orderBy("lang", "rnk")
+    )

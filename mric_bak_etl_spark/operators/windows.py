@@ -268,3 +268,55 @@ def distribution_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 6).alias("cdist"),
         F.nth_value("c_name", 2).over(w_full).alias("second_poorest"),
     ).orderBy("c_nationkey", "c_custkey")
+
+
+@register(
+    "w7_running_distinct",
+    oracle="""
+    WITH first_touch AS (
+      SELECT event_type, user_id,
+             min(date_trunc('day', CAST(ts AS TIMESTAMP))) AS first_day
+      FROM events GROUP BY event_type, user_id
+    ),
+    daily_new AS (
+      SELECT event_type, first_day AS day, count(*) AS n_new
+      FROM first_touch GROUP BY event_type, first_day
+    )
+    SELECT event_type, day,
+           CAST(n_new AS BIGINT) AS n_new_users,
+           CAST(sum(n_new) OVER (PARTITION BY event_type ORDER BY day
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS cum_distinct_users
+    FROM daily_new
+    ORDER BY event_type, day
+    """,
+    doc="W7: running distinct count — COUNT(DISTINCT) OVER is unsupported "
+    "in both engines' windows, and the naive per-day re-distinct is "
+    "quadratic; the scalable identity is first-touch + running sum: a "
+    "user adds to the cumulative distinct count exactly on their first "
+    "day. One agg to user grain, one tiny agg to day grain, one window "
+    "over days — the events table is never windowed directly, so state "
+    "is users-sized then days-sized, never events-sized.",
+    tags=("windows", "distinct"),
+)
+def running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id", "ts")
+    first_touch = ev.groupBy("event_type", "user_id").agg(
+        F.min(F.date_trunc("day", "ts")).alias("first_day")
+    )
+    daily_new = first_touch.groupBy(
+        "event_type", F.col("first_day").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_new"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return daily_new.select(
+        "event_type",
+        "day",
+        F.col("n_new").cast("bigint").alias("n_new_users"),
+        F.sum("n_new").over(w).cast("bigint").alias("cum_distinct_users"),
+    ).orderBy("event_type", "day")
