@@ -749,3 +749,48 @@ def encoding_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id")
         .limit(200)
     )
+
+
+@register(
+    "f18_try_family",
+    oracle="""
+    SELECT
+      CAST(count(*) AS BIGINT) AS n_rows,
+      CAST(count(*) FILTER (WHERE try_cast(o_orderpriority AS INT) IS NULL)
+           AS BIGINT)          AS n_bad_casts,
+      CAST(count(*) FILTER (WHERE o_custkey % 5 = 0) AS BIGINT)
+                               AS n_div_by_zero,
+      round(sum(CASE WHEN o_custkey % 5 <> 0
+                     THEN o_totalprice / (o_custkey % 5) END), 4)
+                               AS sum_safe_div,
+      CAST(count(try_cast(substring(o_orderpriority, 1, 1) AS INT))
+           AS BIGINT)          AS n_good_prefix_casts
+    FROM orders
+    """,
+    doc="F18: try_* error-safe family — try_cast and try_divide turn the "
+    "malformed-value crash into a NULL (ANSI mode's row-level escape "
+    "hatch): at 100 TB a single dirty row must not kill a 6-hour job, "
+    "and NULL-counting the failures doubles as the data-quality metric. "
+    "DuckDB mirrors try_divide with a CASE guard (its / already yields "
+    "NULL on zero); both engines agree row-for-row on what fails.",
+    tags=("functions", "errors"),
+)
+def try_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.count(
+            F.when(F.col("o_orderpriority").try_cast("int").isNull(), 1)
+        )
+        .cast("bigint")
+        .alias("n_bad_casts"),
+        F.count(F.when(F.col("o_custkey") % 5 == 0, 1))
+        .cast("bigint")
+        .alias("n_div_by_zero"),
+        F.round(
+            F.sum(F.try_divide("o_totalprice", F.col("o_custkey") % 5)), 4
+        ).alias("sum_safe_div"),
+        F.count(F.substring("o_orderpriority", 1, 1).try_cast("int"))
+        .cast("bigint")
+        .alias("n_good_prefix_casts"),
+    )

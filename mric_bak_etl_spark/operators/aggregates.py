@@ -602,3 +602,46 @@ def decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "a17_histogram",
+    oracle="""
+    WITH ext AS (
+      SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders
+    )
+    SELECT CAST(least(floor((o_totalprice - lo) * 10 / (hi - lo)) + 1, 10)
+                AS BIGINT)                         AS bucket,
+           CAST(count(*) AS BIGINT)                AS n_orders,
+           round(min(o_totalprice), 4)             AS bucket_min,
+           round(max(o_totalprice), 4)             AS bucket_max
+    FROM orders, ext
+    GROUP BY bucket ORDER BY bucket
+    """,
+    doc="A17: equi-width histogram — global min/max in one tiny agg "
+    "(broadcast back), then a pure-arithmetic bucket assignment and a "
+    "bucket-grain count: two passes, the second map-side-combined on "
+    "10 groups, the standard distribution profile at any scale. The "
+    "bucket expression is spelled identically on both engines instead "
+    "of width_bucket() because boundary behavior must be bit-identical "
+    "for the value-hash (floor((v-lo)*n/(hi-lo)) with a max-clamp).",
+    tags=("aggregates", "statistics"),
+)
+def histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select("o_totalprice")
+    ext = o.agg(F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi"))
+    bucket = F.least(
+        F.floor((F.col("o_totalprice") - F.col("lo")) * 10 / (F.col("hi") - F.col("lo")))
+        + 1,
+        F.lit(10),
+    )
+    return (
+        o.crossJoin(F.broadcast(ext))
+        .groupBy(bucket.cast("bigint").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.round(F.min("o_totalprice"), 4).alias("bucket_min"),
+            F.round(F.max("o_totalprice"), 4).alias("bucket_max"),
+        )
+        .orderBy("bucket")
+    )

@@ -250,3 +250,45 @@ def test_stream_static_join_matches_batch(spark, sf_dir):
     ]
     assert got == want
     assert len(got) > 0
+
+
+def test_foreachbatch_idempotent_sink(spark, sf_dir, tmp_path):
+    """Exactly-once via idempotent foreachBatch: each micro-batch writes to
+    a deterministic batch-keyed path with overwrite semantics, so a REPLAYED
+    batch (task retry, checkpoint recovery re-delivery) lands on the same
+    path and changes nothing — at-least-once delivery + idempotent sink =
+    exactly-once output."""
+    from mric_bak_etl_spark.streaming.windows import stream_events
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    seen: list[int] = []
+
+    def sink(df, batch_id: int):
+        seen.append(batch_id)
+        (df.write.mode("overwrite")
+           .parquet(f"{out}/batch={batch_id}"))
+
+    q = (
+        stream_events(spark, sf_dir)
+        .select("event_id", "user_id", "value")
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert seen, "stream produced no batches"
+
+    first = spark.read.parquet(out)
+    n_first = first.count()
+    n_distinct = first.select("event_id").distinct().count()
+    assert n_first == n_distinct  # no duplicate delivery in the output
+
+    # Replay batch 0 with identical content — the retry scenario. The
+    # overwrite on the same deterministic path must leave totals unchanged.
+    # (Materialize first: a lazy self-read would race its own overwrite.)
+    batch0 = spark.read.parquet(f"{out}/batch={seen[0]}")
+    replay = spark.createDataFrame(batch0.collect(), batch0.schema)
+    sink(replay, seen[0])
+    assert spark.read.parquet(out).count() == n_first
