@@ -794,3 +794,64 @@ def try_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_good_prefix_casts"),
     )
+
+
+@register(
+    "f19_malformed_json",
+    oracle="""
+    WITH raw AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0
+                  THEN '{"lang": "' || lang || '", "n": '
+                  ELSE '{"lang": "' || lang || '", "n": ' || n_chars || '}'
+             END AS payload
+      FROM documents
+    )
+    SELECT
+      CAST(count(*) AS BIGINT) AS n_rows,
+      CAST(count(*) FILTER (WHERE json_extract_string(
+             try_cast(payload AS JSON), '$.n') IS NULL)
+           AS BIGINT) AS n_corrupt,
+      CAST(sum(CAST(json_extract_string(try_cast(payload AS JSON), '$.n')
+                    AS BIGINT)) AS BIGINT) AS sum_n,
+      CAST(count(DISTINCT CASE WHEN json_extract_string(
+               try_cast(payload AS JSON), '$.n') IS NOT NULL
+             THEN json_extract_string(try_cast(payload AS JSON), '$.lang')
+             END) AS BIGINT) AS n_langs
+    FROM raw
+    """,
+    doc="F19: malformed-record semantics — PERMISSIVE-mode ingestion in "
+    "expression form: from_json salvages the parseable prefix of a "
+    "corrupt payload (partial-row recovery) and NULLs what's missing "
+    "instead of failing the job; the missing-required-field count is "
+    "the quality metric and downstream aggregates skip it — the JSON "
+    "mirror of f18's try_* discipline (a corrupted shard in a 100 TB "
+    "feed must cost rows, not the job). Every 7th payload is truncated "
+    "mid-object deterministically so both engines see identical dirt.",
+    tags=("functions", "json", "errors"),
+)
+def malformed_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    payload = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(F.lit('{"lang": "'), F.col("lang"), F.lit('", "n": ')),
+    ).otherwise(
+        F.concat(
+            F.lit('{"lang": "'),
+            F.col("lang"),
+            F.lit('", "n": '),
+            F.col("n_chars").cast("string"),
+            F.lit("}"),
+        )
+    )
+    parsed = d.select(
+        F.from_json(payload, "lang string, n bigint").alias("j")
+    )
+    return parsed.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.count(F.when(F.col("j.n").isNull(), 1)).cast("bigint").alias("n_corrupt"),
+        F.sum("j.n").cast("bigint").alias("sum_n"),
+        F.countDistinct(
+            F.when(F.col("j.n").isNotNull(), F.col("j.lang"))
+        ).cast("bigint").alias("n_langs"),
+    )

@@ -819,3 +819,79 @@ def unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "tx_boilerplate",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, lang, array_to_string(toks[i:i+4], ' ') AS gram
+      FROM tok, unnest(generate_series(1, greatest(len(toks) - 4, 0))) AS t(i)
+    ),
+    df AS (
+      SELECT gram, count(DISTINCT doc_id) AS docfreq FROM grams GROUP BY gram
+    ),
+    per_doc AS (
+      SELECT g.doc_id, g.lang,
+             count(*) AS n_grams,
+             count(*) FILTER (WHERE df.docfreq >= 20) AS n_boiler
+      FROM grams g JOIN df USING (gram)
+      GROUP BY g.doc_id, g.lang
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(n_boiler * 1.0 / n_grams), 4) AS avg_boiler_frac,
+           CAST(count(*) FILTER (WHERE n_boiler * 2 > n_grams) AS BIGINT)
+             AS n_mostly_boiler
+    FROM per_doc GROUP BY lang ORDER BY lang
+    """,
+    doc="TX: boilerplate detection — the C4-style corpus-frequency filter: "
+    "a 5-gram appearing in ≥20 distinct documents is boilerplate "
+    "(headers, navigation chrome, license blurbs), and each document is "
+    "scored by its boilerplate fraction. Mechanically l13 turned inward: "
+    "one explode to gram grain, one doc-frequency agg, one hash join "
+    "back on the gram — no broadcast here because the corpus's own "
+    "doc-frequency table scales with the corpus (vs l13's tiny eval "
+    "set); at 100 TB both sides partition by gram hash and the join is "
+    "the one wide shuffle.",
+    tags=("text", "quality"),
+)
+def boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    grams = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(split(text, ' ')) - 4, 0)),"
+                " i -> array_join(slice(split(text, ' '), i, 5), ' '))"
+            )
+        ).alias("gram"),
+    )
+    docfreq = grams.groupBy("gram").agg(
+        F.countDistinct("doc_id").alias("docfreq")
+    )
+    per_doc = (
+        grams.join(docfreq, "gram")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count(F.when(F.col("docfreq") >= 20, 1)).alias("n_boiler"),
+        )
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(F.avg(F.col("n_boiler") / F.col("n_grams")), 4).alias(
+                "avg_boiler_frac"
+            ),
+            F.count(F.when(F.col("n_boiler") * 2 > F.col("n_grams"), 1))
+            .cast("bigint")
+            .alias("n_mostly_boiler"),
+        )
+        .orderBy("lang")
+    )

@@ -239,8 +239,8 @@ def forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     "w6_distribution",
     oracle="""
     SELECT c_custkey, c_nationkey,
-           round(percent_rank() OVER w, 6) AS pct_rank,
-           round(cume_dist() OVER w, 6) AS cdist,
+           floor(percent_rank() OVER w * 1000000 + 0.5) / 1000000 AS pct_rank,
+           floor(cume_dist() OVER w * 1000000 + 0.5) / 1000000 AS cdist,
            nth_value(c_name, 2) OVER (
              PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey
              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
@@ -254,7 +254,10 @@ def forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     "explicit unbounded ROWS frame (the default running frame would make "
     "the first row's nth_value NULL). All three share ONE sort+shuffle on "
     "(c_nationkey, c_acctbal, c_custkey); the tiebreak key makes tie "
-    "ranks deterministic across engines.",
+    "ranks deterministic across engines. Rounding is spelled as "
+    "floor(x*1e6 + 0.5)/1e6 — identical IEEE ops both engines — because "
+    "k/n hits exact decimal halves (333/640 at sf0.1) where Spark's "
+    "BigDecimal HALF_UP and DuckDB's double-path round() disagree.",
     tags=("windows",),
 )
 def distribution_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -264,8 +267,10 @@ def distribution_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.select(
         "c_custkey",
         "c_nationkey",
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        (F.floor(F.percent_rank().over(w) * 1000000 + 0.5) / 1000000).alias(
+            "pct_rank"
+        ),
+        (F.floor(F.cume_dist().over(w) * 1000000 + 0.5) / 1000000).alias("cdist"),
         F.nth_value("c_name", 2).over(w_full).alias("second_poorest"),
     ).orderBy("c_nationkey", "c_custkey")
 
