@@ -157,7 +157,7 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT r.lang,
            CAST(r.cnt AS BIGINT) AS n_docs,
-           round(r.rate, 6) AS keep_rate,
+           floor(r.rate * 1000000 + 0.5) / 1000000 AS keep_rate,
            CAST(count(k.doc_id) AS BIGINT) AS n_kept
     FROM rates r LEFT JOIN kept k ON r.lang = k.lang
     GROUP BY r.lang, r.cnt, r.rate
@@ -200,7 +200,7 @@ def mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "lang",
             F.col("cnt").cast("bigint").alias("n_docs"),
-            F.round("rate", 6).alias("keep_rate"),
+            (F.floor(F.col("rate") * 1000000 + 0.5) / 1000000).alias("keep_rate"),
             "n_kept",
         )
         .orderBy("lang")

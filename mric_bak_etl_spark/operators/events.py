@@ -208,8 +208,8 @@ def gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            next_type,
            CAST(n AS BIGINT) AS n_trans,
-           round(n * 1.0 / sum(n) OVER (PARTITION BY event_type), 6)
-             AS p_trans
+           floor(n * 1.0 / sum(n) OVER (PARTITION BY event_type)
+                 * 1000000 + 0.5) / 1000000 AS p_trans
     FROM trans
     ORDER BY event_type, next_type
     """,
@@ -219,7 +219,10 @@ def gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sequence pass; the transition table is event-type² rows, so the "
     "normalizing window is over a tiny relation. event_id tiebreaks "
     "equal timestamps so successor choice is deterministic — the same "
-    "total-order discipline every sequence op here uses.",
+    "total-order discipline every sequence op here uses. The probability "
+    "rounds via floor(x*1e6+0.5) (identical IEEE ops both engines): k/n "
+    "ratios of integers can land on exact decimal halves where round() "
+    "rules diverge (the w6 lesson).",
     tags=("events", "markov"),
 )
 def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -238,7 +241,8 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "next_type",
         F.col("n").cast("bigint").alias("n_trans"),
-        F.round(F.col("n") / F.sum("n").over(wnorm), 6).alias("p_trans"),
+        (F.floor(F.col("n") / F.sum("n").over(wnorm) * 1000000 + 0.5) / 1000000)
+        .alias("p_trans"),
     ).orderBy("event_type", "next_type")
 
 
