@@ -113,8 +113,7 @@ def lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM lineitem
     WINDOW w AS (PARTITION BY l_returnflag, year(l_shipdate)
                  ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey,
-                          l_suppkey, l_quantity, l_extendedprice, l_discount,
-                          l_tax, l_linestatus)
+                          l_suppkey)
     ORDER BY l_returnflag, l_shipdate, l_orderkey, l_linenumber
     """,
     doc="W3: frame specs — running total (unbounded preceding) and 4-row "
@@ -130,11 +129,12 @@ def lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
 def frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     # (l_orderkey, l_linenumber) is NOT unique in the synthetic data; the
-    # window ORDER BY must be a total order (all columns — no full-row dups
-    # exist) or ROWS-frame results are tie-order-dependent.
+    # window ORDER BY must be a total order or ROWS-frame results are
+    # tie-order-dependent. (orderkey, linenumber, partkey, suppkey) IS
+    # unique (verified at sf0.01/sf0.1), so five sort columns suffice —
+    # comparator width is sort cost, don't pay for ten.
     w = Window.partitionBy("l_returnflag", F.year("l_shipdate")).orderBy(
         "l_shipdate", "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
-        "l_quantity", "l_extendedprice", "l_discount", "l_tax", "l_linestatus",
     )
     return (
         li.select(
