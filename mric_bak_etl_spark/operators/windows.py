@@ -130,9 +130,12 @@ def frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     # (l_orderkey, l_linenumber) is NOT unique in the synthetic data; the
     # window ORDER BY must be a total order or ROWS-frame results are
-    # tie-order-dependent. (orderkey, linenumber, partkey, suppkey) IS
-    # unique (verified at sf0.01/sf0.1), so five sort columns suffice —
-    # comparator width is sort cost, don't pay for ten.
+    # tie-order-dependent. The FULL 5-column key (shipdate, orderkey,
+    # linenumber, partkey, suppkey) is unique at sf0.001/sf0.01/sf0.1 —
+    # the 4 columns without shipdate are NOT (duplicate at sf0.001), so
+    # l_shipdate is load-bearing, not presentational. Guarded by
+    # tests/test_plans.py::test_w3_sort_key_is_total_order so regenerated
+    # fixtures fail loudly instead of going tie-order-nondeterministic.
     w = Window.partitionBy("l_returnflag", F.year("l_shipdate")).orderBy(
         "l_shipdate", "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
     )

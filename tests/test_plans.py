@@ -268,3 +268,23 @@ def test_range_partitioned_sort_layout(spark, sf_dir):
     # layout must contain only partition-local (global=false) sorts.
     sort_lines = [l for l in plan.splitlines() if "Sort [" in l]
     assert sort_lines and all("], false, " in l for l in sort_lines)
+
+
+def test_w3_sort_key_is_total_order(spark, sf_dir):
+    # w3's ROWS-frame determinism rests on (l_shipdate, l_orderkey,
+    # l_linenumber, l_partkey, l_suppkey) being UNIQUE in the fixture —
+    # an empirical property, not one guaranteed by construction (the
+    # 4-column key without shipdate already collides at sf0.001). If a
+    # regenerated fixture breaks it, running_qty/moving_avg_price become
+    # tie-order-dependent and diverge from the oracle silently; fail
+    # loudly here instead.
+    from mric_bak_etl_spark.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    key = ["l_shipdate", "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"]
+    total = li.count()
+    distinct = li.select(*key).distinct().count()
+    assert distinct == total, (
+        f"w3 window sort key is not a total order: {total - distinct} "
+        f"duplicate key rows in {sf_dir}/lineitem"
+    )
