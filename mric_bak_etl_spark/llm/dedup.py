@@ -135,17 +135,27 @@ def shingle_hashes(text_col: str = "text", k: int = SHINGLE_K) -> Column:
 
 
 def minhash_signatures(corpus: DataFrame, n_hashes: int = N_MINHASHES) -> DataFrame:
-    """doc_id → n_hashes MinHash values: explode shingle hashes once, take
-    the min of each seeded xxhash64 in ONE aggregation pass (no per-seed
-    scans)."""
-    exploded = corpus.select(
-        "doc_id", F.explode(shingle_hashes()).alias("shingle")
-    )
-    aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh_{i}")
-        for i in range(n_hashes)
-    ]
-    return exploded.groupBy("doc_id").agg(*aggs)
+    """doc_id → n_hashes MinHash values, computed NARROWLY: each signature
+    slot is array_min over the doc's shingle-hash array re-hashed with the
+    slot seed — a per-row expression, so the whole signature stage is
+    map-side with ZERO shuffle. (The explode + groupBy(doc_id) formulation
+    computes identical values but shuffles the full shingle stream —
+    |docs|·|shingles| rows — just to regroup rows that started co-located;
+    at 100 TB that shuffle dominates the whole dedup pipeline.)"""
+    # Materialize the shingle array in its own projection so the 16 slot
+    # expressions share ONE tokenize+hash evaluation (higher-order funcs
+    # fall outside codegen subexpression elimination).
+    sh = corpus.select("doc_id", shingle_hashes().alias("sh"))
+
+    def slot(i: int) -> Column:
+        # Single-arg lambda: a 2-arg lambda would be bound by transform()
+        # as the (element, index) form and the seed would silently become
+        # the array index.
+        return F.array_min(
+            F.transform("sh", lambda s: F.xxhash64(F.lit(i), s))
+        ).alias(f"mh_{i}")
+
+    return sh.select("doc_id", *[slot(i) for i in range(n_hashes)])
 
 
 def lsh_candidate_pairs(
@@ -210,18 +220,29 @@ def exact_jaccard(corpus: DataFrame, pairs: DataFrame) -> DataFrame:
     Sets are hashed shingles (int64), so the intersect/union compares
     longs, not strings; Jaccard is identical modulo 64-bit collisions.
 
-    The pair side is small (LSH survivors), so both joins broadcast it and
-    the corpus is never shuffled. Shingle sets are recomputed per side
-    here — a deliberate local-mode trade: pruning the corpus to candidate
-    docs first (semi-join on the pair ids) re-plans the whole candidate
-    pipeline under each branch and costs more than the narrow re-hash. At
-    cluster scale, persist() the candidate-id set and semi-join-prune
-    before re-shingling — survivors are a sliver of a 100 TB corpus.
+    The pair side is small (LSH survivors), so it broadcasts. Rather than
+    joining the corpus once per pair side (two full tokenize+shingle
+    scans), the pair list is MELTED to (doc_a, doc_b, member) rows and
+    joined to the corpus ONCE; a groupBy on the pair key then zips the two
+    shingle sets back together. Corpus cost: one scan, no corpus shuffle
+    (broadcast join); the regroup shuffles only 2·|pairs| surviving rows.
+    At cluster scale, the melted side doubles as the semi-join prune: the
+    join itself discards every non-candidate document.
     """
     sh = corpus.select("doc_id", shingle_hashes().alias("sh"))
+    melted = pairs.select(
+        "doc_a",
+        "doc_b",
+        F.explode(F.array("doc_a", "doc_b")).alias("doc_id"),
+    )
     return (
-        pairs.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
-        .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
+        F.broadcast(melted)
+        .join(sh, "doc_id")
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.first(F.when(F.col("doc_id") == F.col("doc_a"), F.col("sh")), ignorenulls=True).alias("sh_a"),
+            F.first(F.when(F.col("doc_id") == F.col("doc_b"), F.col("sh")), ignorenulls=True).alias("sh_b"),
+        )
         .select(
             "doc_a",
             "doc_b",
