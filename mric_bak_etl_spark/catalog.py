@@ -69,6 +69,7 @@ def _load_modules() -> None:
     import mric_bak_etl_spark.operators.setops  # noqa: F401
     import mric_bak_etl_spark.operators.sort  # noqa: F401
     import mric_bak_etl_spark.operators.events  # noqa: F401
+    import mric_bak_etl_spark.operators.graph  # noqa: F401
     import mric_bak_etl_spark.operators.windows  # noqa: F401
     import mric_bak_etl_spark.functions.scalar  # noqa: F401
     import mric_bak_etl_spark.pipeline.queries  # noqa: F401

@@ -32,6 +32,7 @@ _FAMILIES = OrderedDict(
         ("q", "SQL entry point"),
         ("t", "Streaming semantics"),
         ("e", "Event analytics (funnel / retention)"),
+        ("g", "Graph algorithms (iterative DataFrame loops)"),
         ("l", "LLM-data-pipeline (dedup / similarity / text / sampling)"),
         ("tx", "Text analysis"),
         ("m", "Multimodal columns"),

@@ -855,3 +855,118 @@ def malformed_json(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("j.n").isNotNull(), F.col("j.lang"))
         ).cast("bigint").alias("n_langs"),
     )
+
+
+@register(
+    "f20_xml",
+    oracle="""
+    SELECT regexp_extract(xml, '<p>(.*?)</p>', 1) AS prio,
+           CAST(count(*) AS BIGINT)               AS n,
+           round(sum(CAST(regexp_extract(xml, '<t>(.*?)</t>', 1) AS DOUBLE)), 2)
+             AS total
+    FROM (
+      SELECT '<o><p>' || o_orderpriority || '</p><t>' ||
+             printf('%.2f', round(o_totalprice, 2)) || '</t></o>' AS xml
+      FROM orders
+    ) GROUP BY prio ORDER BY prio
+    """,
+    doc="F20: XML surface — documents synthesized as XML payloads, parsed "
+    "back two ways: xpath_string (path query over the raw string, the "
+    "quick-probe form) and from_xml with an explicit schema (the typed, "
+    "error-isolating form, Spark 4) — both codegen-free but JVM-side "
+    "(no Python). The oracle regenerates the same payloads and extracts "
+    "with regexes (DuckDB has no XML reader), which pins the synthesized "
+    "format end-to-end. Scale note: schema-on-read XML is CPU-heavy; "
+    "parse ONCE into typed columns at bronze, never per-query.",
+    tags=("functions", "xml"),
+)
+def xml_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    xml = F.concat(
+        F.lit("<o><p>"), F.col("o_orderpriority"), F.lit("</p><t>"),
+        F.trim(F.to_char(F.round("o_totalprice", 2).cast("decimal(18,2)"), F.lit("999999990.00"))),
+        F.lit("</t></o>"),
+    )
+    parsed = o.select(
+        F.xpath_string(xml, F.lit("/o/p")).alias("prio"),
+        F.from_xml(xml, "p STRING, t DOUBLE").alias("x"),
+    )
+    return (
+        parsed.groupBy("prio")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("x.t"), 2).alias("total"),
+        )
+        .orderBy("prio")
+    )
+
+
+@register(
+    "f21_intervals",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(date_diff('month', TIMESTAMP '1995-01-01',
+                          date_trunc('month', o_orderdate)) AS DOUBLE)
+             AS months_since_epoch,
+           CAST(o_orderdate + INTERVAL 2 MONTH + INTERVAL 3 DAY AS VARCHAR)
+             AS review_due,
+           CAST(o_orderdate + INTERVAL 90 MINUTE AS VARCHAR) AS followup_ts,
+           CAST(date_diff('day', o_orderdate,
+                          o_orderdate + INTERVAL 2 MONTH + INTERVAL 3 DAY)
+                AS BIGINT) AS span_days
+    FROM orders WHERE o_orderkey % 50 = 0 ORDER BY o_orderkey
+    """,
+    doc="F21: interval arithmetic — months_between over month-truncated "
+    "stamps (integral by construction: Spark's fractional 31-day-month "
+    "rule and DuckDB's date_diff only agree on whole months), "
+    "make_interval year-month+day addition (calendar-aware: month adds "
+    "clamp to month ends identically in both engines), make_dt_interval "
+    "sub-day addition, and a timestamp difference back to days. "
+    "Timestamps stringified for the cross-engine compare (DATE/TS "
+    "columns hash differently, SKILL gotcha).",
+    tags=("functions", "datetime"),
+)
+def interval_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 50 == 0)
+    due = F.col("o_orderdate") + F.make_interval(F.lit(0), F.lit(2), F.lit(0), F.lit(3))
+    return o.select(
+        "o_orderkey",
+        F.months_between(
+            F.date_trunc("month", "o_orderdate"), F.lit("1995-01-01").cast("timestamp")
+        ).alias("months_since_epoch"),
+        due.cast("string").alias("review_due"),
+        (F.col("o_orderdate") + F.make_dt_interval(F.lit(0), F.lit(1), F.lit(30)))
+        .cast("string")
+        .alias("followup_ts"),
+        F.datediff(due.cast("date"), F.col("o_orderdate").cast("date"))
+        .cast("bigint")
+        .alias("span_days"),
+    ).orderBy("o_orderkey")
+
+
+@register(
+    "f22_number_format",
+    oracle="""
+    SELECT o_orderkey,
+           printf('%.2f', round(o_totalprice, 2)) AS amount_str,
+           round(o_totalprice, 2)                 AS amount_back
+    FROM orders WHERE o_orderkey % 50 = 0 ORDER BY o_orderkey
+    """,
+    doc="F22: numeric formatting round-trip — to_char(decimal, fmt) "
+    "renders, to_number(str, fmt) parses back (the ingest face: "
+    "formatted CSV/report numbers -> typed). Spark's to_char has no FM "
+    "modifier ('9' masks left-pad with blanks), so trim() canonicalizes "
+    "before compare and re-parse — to_number accepts the shortened "
+    "string. The round-trip equality (amount_back) is the real "
+    "assertion: formatting loses nothing at 2 decimals.",
+    tags=("functions",),
+)
+def number_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 50 == 0)
+    dec = F.round("o_totalprice", 2).cast("decimal(18,2)")
+    s = F.trim(F.to_char(dec, F.lit("999999990.00")))
+    return o.select(
+        "o_orderkey",
+        s.alias("amount_str"),
+        F.to_number(s, F.lit("999999990.00")).cast("double").alias("amount_back"),
+    ).orderBy("o_orderkey")

@@ -437,3 +437,107 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+KMEANS_K_MOD = 125  # deterministic seeds: vec_id % 125 == 0 → k=4 centroids
+KMEANS_ROUNDS = 2  # Lloyd update rounds (assign → update, twice) + final assign
+
+_KM_ASSIGN = """
+    a{i} AS (
+      SELECT vec_id, v, cid, cs FROM (
+        SELECT e.vec_id, e.v, c.cid,
+               round(list_cosine_similarity(e.v, c.cv), 6) AS cs,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC,
+                          c.cid ASC) AS rn
+        FROM e, c{prev} c) WHERE rn = 1
+    )"""
+
+_KM_UPDATE = """
+    c{i} AS (
+      SELECT cid, list(av ORDER BY pos) AS cv FROM (
+        SELECT a.cid, t.i AS pos, round(avg(a.v[t.i]), 6) AS av
+        FROM a{i} a, range(1, 65) t(i) GROUP BY a.cid, t.i
+      ) GROUP BY cid
+    )"""
+
+
+@register(
+    "l19_kmeans",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 125 = 0),
+    """
+    + ",\n    ".join(
+        (_KM_ASSIGN.format(i=i, prev=i - 1).strip() + ",\n    " + _KM_UPDATE.format(i=i).strip())
+        for i in range(1, KMEANS_ROUNDS + 1)
+    )
+    + ",\n    "
+    + _KM_ASSIGN.format(i=KMEANS_ROUNDS + 1, prev=KMEANS_ROUNDS).strip()
+    + f"""
+    SELECT cid AS cluster,
+           CAST(count(*) AS BIGINT) AS n_members,
+           round(avg(cs), 4)        AS mean_cos
+    FROM a{KMEANS_ROUNDS + 1}
+    GROUP BY cid ORDER BY cluster
+    """,
+    doc="L19: spherical k-means (Lloyd's, k=4, 2 update rounds, cosine "
+    "assignment) — the clustering pass under SemDeDup (l17 takes labels "
+    "as given; this BUILDS them) and IVF codebook training (l3d takes "
+    "the codebook as given). Deterministic end-to-end: seeds are fixed "
+    "vectors (vec_id % 125 = 0), assignment breaks ties by "
+    "(cos 6dp DESC, cid ASC), centroid elements round to 6dp each "
+    "round so both engines iterate on bit-identical state. Each round "
+    "is one broadcast of k×64 doubles + one map-side assignment + one "
+    "(k·dim)-group mean — the corpus shuffles NOTHING; per-round cost "
+    "is one scan. The DuckDB oracle unrolls the same rounds as CTEs.",
+    tags=("llm", "vector"),
+)
+def kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = spread(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", _as_double().alias("v"))
+    )
+    cents = e.filter(F.col("vec_id") % KMEANS_K_MOD == 0).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+
+    def assign(cent: DataFrame) -> DataFrame:
+        scored = e.crossJoin(F.broadcast(cent)).select(
+            "vec_id", "v", "cid",
+            F.round(_cosine(F.col("v"), F.col("cv")), 6).alias("cs"),
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.col("cs").desc(), F.col("cid").asc())
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "v", "cid", "cs")
+        )
+
+    def update(assigned: DataFrame) -> DataFrame:
+        return (
+            assigned.select("cid", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(F.round(F.avg("val"), 6).alias("av"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "av"))),
+                    lambda s: s["av"],
+                ).alias("cv")
+            )
+        )
+
+    for _ in range(KMEANS_ROUNDS):
+        cents = update(assign(cents))
+    return (
+        assign(cents)
+        .groupBy(F.col("cid").alias("cluster"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.round(F.avg("cs"), 4).alias("mean_cos"),
+        )
+        .orderBy("cluster")
+    )

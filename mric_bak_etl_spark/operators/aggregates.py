@@ -645,3 +645,70 @@ def histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "a18_bitmap_exact_distinct",
+    oracle="""
+    SELECT o_orderpriority,
+           count(DISTINCT o_custkey) AS n_distinct_cust
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    doc="A18: EXACT mergeable distinct count via integer bitmaps "
+    "(bitmap_bucket_number / bitmap_bit_position / bitmap_construct_agg, "
+    "Spark 3.5+) — the middle ground between a3's approximate HLL and "
+    "a2's exact expand-shuffle: per-(group, 32k-bucket) bitmaps build "
+    "with map-side combine, are tiny, OR-merge associatively "
+    "(bitmap_or_agg for rollups across partitions/days), and popcount "
+    "to the exact answer. The 100 TB pattern for exact daily/global "
+    "distinct users without ever shuffling raw keys.",
+    tags=("aggregates", "sketch"),
+)
+def bitmap_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mric_bak_etl_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    # SQL form: the bitmap_* family is SQL-only surface (no DataFrame
+    # helpers); two-level agg — bucket-grain bitmaps, then an exact sum.
+    return spark.sql("""
+        SELECT o_orderpriority, CAST(sum(cnt) AS BIGINT) AS n_distinct_cust
+        FROM (
+          SELECT o_orderpriority,
+                 bitmap_bucket_number(o_custkey) AS bucket,
+                 bitmap_count(bitmap_construct_agg(bitmap_bit_position(o_custkey))) AS cnt
+          FROM orders GROUP BY 1, 2
+        ) GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """)
+
+
+@register(
+    "a19_listagg",
+    oracle="""
+    SELECT o_orderpriority,
+           string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey)
+             AS order_ids,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders WHERE o_orderkey % 100 = 0
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    doc="A19: ordered string aggregation — listagg ... WITHIN GROUP "
+    "(ORDER BY ...) (ISO SQL:2016, Spark 4). The WITHIN GROUP ordering "
+    "is what makes the result deterministic and hash-comparable; an "
+    "unordered collect_list+concat depends on partition arrival order. "
+    "Scale note: listagg materializes the whole group in one row — keep "
+    "it for bounded groups (ids-per-key manifests, error samples), never "
+    "unbounded text.",
+    tags=("aggregates",),
+)
+def listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mric_bak_etl_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT o_orderpriority,
+               listagg(CAST(o_orderkey AS STRING), ',')
+                 WITHIN GROUP (ORDER BY o_orderkey) AS order_ids,
+               count(*) AS n_orders
+        FROM orders WHERE o_orderkey % 100 = 0
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """)

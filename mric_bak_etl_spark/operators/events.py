@@ -317,3 +317,50 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
         .orderBy("r", "f", "m")
     )
+
+
+@register(
+    "e6_event_paths",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type, 1) OVER w AS step2,
+             lead(event_type, 2) OVER w AS step3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_type || '>' || step2 || '>' || step3 AS path,
+           CAST(count(*) AS BIGINT)                   AS n
+    FROM seq WHERE step3 IS NOT NULL
+    GROUP BY path ORDER BY n DESC, path ASC LIMIT 10
+    """,
+    doc="E6: top event paths — per-user ordered 3-step sequences (lead x2 "
+    "over one per-user sort), counted corpus-wide: the 'common journeys' "
+    "view behind funnel design. ONE shuffle on user_id serves both lead "
+    "offsets (same window), then a map-side-combined count on the path "
+    "string and a k-heap top-10 (TakeOrderedAndProject — no global "
+    "sort). Path cardinality is bounded by |event_types|^3, so the "
+    "count agg stays tiny at any corpus scale; the deterministic "
+    "(n DESC, path ASC) order makes top-k hash-stable.",
+    tags=("events", "window"),
+)
+def event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("step2"),
+        F.lead("event_type", 2).over(w).alias("step3"),
+    )
+    return (
+        seq.filter(F.col("step3").isNotNull())
+        .select(
+            F.concat_ws(">", "event_type", "step2", "step3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("path"))
+        .limit(10)
+    )

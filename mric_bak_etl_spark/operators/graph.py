@@ -1,0 +1,130 @@
+"""Iterative graph algorithms as DataFrame loops (SURVEY.md §2B extension).
+
+Reference lineage: the reference has no graph surface; this extends the
+event-analytics family (e4's transition matrix IS a weighted edge list) the
+way q2_recursive_cte extends reachability — driver-side iteration over pure
+DataFrame ops, the idiomatic Spark shape for fixed-iteration graph passes
+(GraphFrames does the same underneath; GraphX's RDD API is the thing to
+avoid).
+
+Scale notes (100 TB of events): the edge list aggregates once (shuffle on
+(src, dst) pairs — bounded by |event_types|^2 here; for user-graphs, by
+edges) and each iteration is one join + one groupBy on the RANK table, which
+is |nodes|-sized, NOT |events|-sized. Fixed iteration count keeps the plan
+finite; convergence-check variants collect one scalar per round. The rank
+table re-partitions on the join key once and every iteration reuses that
+partitioning; checkpoint/localCheckpoint every ~10 rounds on a real cluster
+to truncate lineage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mric_bak_etl_spark.catalog import register
+from mric_bak_etl_spark.tables import load_table
+
+DAMPING = 0.85
+N_ITERATIONS = 5
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted event-type transition edges: w(src,dst) = P(dst | src)."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type", 1).over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    counts = seq.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("cnt"))
+    out_totals = counts.groupBy("src").agg(F.sum("cnt").alias("total"))
+    return counts.join(out_totals, "src").select(
+        "src", "dst", (F.col("cnt") / F.col("total")).alias("weight")
+    )
+
+
+# The oracle unrolls the same five iterations as chained CTEs; each round is
+# rank-table-sized. Weights and ranks stay un-rounded through the loop on
+# BOTH engines (identical double math on identical inputs); only the final
+# output rounds, same as every other float-bearing oracle here.
+_PR_ITER = """
+    r{i} AS (
+      SELECT n.v,
+             (1 - 0.85) / (SELECT count(*) FROM nodes)
+               + 0.85 * coalesce(c.contrib, 0) AS r
+      FROM nodes n LEFT JOIN (
+        SELECT w.dst AS v, sum(w.weight * p.r) AS contrib
+        FROM w JOIN r{prev} p ON p.v = w.src GROUP BY w.dst
+      ) c ON c.v = n.v
+    )"""
+
+
+@register(
+    "g1_pagerank",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS src,
+             lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+      FROM events
+    ),
+    counts AS (
+      SELECT src, dst, count(*) AS cnt FROM seq WHERE dst IS NOT NULL GROUP BY src, dst
+    ),
+    w AS (
+      SELECT src, dst, CAST(cnt AS DOUBLE) / sum(cnt) OVER (PARTITION BY src) AS weight
+      FROM counts
+    ),
+    nodes AS (SELECT DISTINCT event_type AS v FROM events),
+    r0 AS (SELECT v, 1.0 / (SELECT count(*) FROM nodes) AS r FROM nodes),
+    """
+    + ",\n    ".join(
+        _PR_ITER.format(i=i, prev=i - 1).strip() for i in range(1, N_ITERATIONS + 1)
+    )
+    + f"""
+    SELECT v AS event_type, round(r, 6) AS pagerank
+    FROM r{N_ITERATIONS} ORDER BY pagerank DESC, event_type ASC
+    """,
+    doc="G1: PageRank over the event-transition graph (damping 0.85, 5 "
+    "fixed iterations, row-normalized edge weights from e4's transition "
+    "counts). Each iteration joins the |nodes|-sized rank table to the "
+    "edge list and re-aggregates — events are touched ONCE to build "
+    "edges; the loop never rescans them. The DuckDB oracle unrolls the "
+    "identical five iterations as chained CTEs, so every intermediate is "
+    "bit-comparable; output rounds to 6dp for the hash.",
+    tags=("graph", "events"),
+)
+def pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    # Materialize the graph ONCE: nodes and edges are bounded by the
+    # event-type vocabulary (|V| and |V|²), so collecting them truncates
+    # the iteration lineage — otherwise each Lloyd-style round re-derives
+    # the edge aggregation from raw events and the final plan scans the
+    # fact table once per iteration. On a cluster the same role is played
+    # by checkpoint()/a persisted edge table; for vocabulary-sized graphs
+    # the driver-local rebuild is exact and cheap at any corpus scale.
+    node_rows = e.select(F.col("event_type").alias("v")).distinct().collect()
+    edge_rows = _edges(spark, sf_dir).collect()
+    nodes = spark.createDataFrame(node_rows, "v string")
+    edges = spark.createDataFrame(edge_rows, "src string, dst string, weight double")
+    n_nodes = len(node_rows)
+
+    ranks = nodes.select("v", F.lit(1.0 / n_nodes).alias("r"))
+    base = (1.0 - DAMPING) / n_nodes
+    for _ in range(N_ITERATIONS):
+        contribs = (
+            edges.join(ranks, edges["src"] == ranks["v"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("weight") * F.col("r")).alias("contrib"))
+        )
+        ranks = nodes.join(
+            contribs, nodes["v"] == contribs["dst"], "left"
+        ).select(
+            "v",
+            (F.lit(base) + DAMPING * F.coalesce("contrib", F.lit(0.0))).alias("r"),
+        )
+    return ranks.select(
+        F.col("v").alias("event_type"), F.round("r", 6).alias("pagerank")
+    ).orderBy(F.desc("pagerank"), F.asc("event_type"))

@@ -621,3 +621,65 @@ def shuffle_hash_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "j12_interval_overlap_join",
+    oracle="""
+    WITH a AS (
+      SELECT o_orderkey AS a_id, o_orderdate AS a_start,
+             o_orderdate + to_days(CAST(o_orderkey % 7 + 1 AS INTEGER)) AS a_end
+      FROM orders WHERE o_orderkey % 37 = 0
+    ),
+    b AS (
+      SELECT o_orderkey AS b_id,
+             o_orderdate + to_days(2) AS b_start,
+             o_orderdate + to_days(CAST(o_orderkey % 5 + 5 AS INTEGER)) AS b_end
+      FROM orders WHERE o_orderkey % 41 = 0
+    )
+    SELECT a_id, b_id FROM a JOIN b
+      ON a_start <= b_end AND b_start <= a_end
+    ORDER BY a_id, b_id
+    """,
+    doc="J12: interval-OVERLAP join (a_start<=b_end AND b_start<=a_end) — "
+    "the two-sided generalization of j11's point-in-interval: temporal "
+    "validity windows, sessions-vs-incidents, genomic ranges. Naively a "
+    "nested-loop; rewritten as an EQUI-join by day-bucketing BOTH sides "
+    "(each interval explodes to its covered buckets, bucket equality is "
+    "the join key, pair-distinct absorbs multi-bucket matches, the exact "
+    "predicate re-verifies as a residual). Bucket fan-out = "
+    "ceil(span/bucket) rows per interval — bounded here (spans <= 9 "
+    "days), and at 100 TB the bucket width is tuned to median interval "
+    "length so fan-out stays O(1) while the join hashes instead of "
+    "looping. Sizes here would broadcast; the pattern is for when BOTH "
+    "sides are too big for that.",
+    tags=("joins",),
+)
+def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderkey") % 37 == 0).select(
+        F.col("o_orderkey").alias("a_id"),
+        F.col("o_orderdate").alias("a_start"),
+        (F.col("o_orderdate") + F.make_interval(days=(F.col("o_orderkey") % 7 + 1).cast("int"))).alias("a_end"),
+    )
+    b = o.filter(F.col("o_orderkey") % 41 == 0).select(
+        F.col("o_orderkey").alias("b_id"),
+        (F.col("o_orderdate") + F.make_interval(days=F.lit(2))).alias("b_start"),
+        (F.col("o_orderdate") + F.make_interval(days=(F.col("o_orderkey") % 5 + 5).cast("int"))).alias("b_end"),
+    )
+    day = lambda c: F.date_trunc("day", c)  # noqa: E731
+    bucketed_a = a.select(
+        "a_id", "a_start", "a_end",
+        F.explode(F.sequence(day(F.col("a_start")), day(F.col("a_end")))).alias("bucket"),
+    )
+    bucketed_b = b.select(
+        "b_id", "b_start", "b_end",
+        F.explode(F.sequence(day(F.col("b_start")), day(F.col("b_end")))).alias("bucket"),
+    )
+    return (
+        bucketed_a.join(bucketed_b, "bucket")
+        .filter((F.col("a_start") <= F.col("b_end")) & (F.col("b_start") <= F.col("a_end")))
+        .select("a_id", "b_id")
+        .distinct()
+        .orderBy("a_id", "b_id")
+    )

@@ -203,9 +203,13 @@ def stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events as a true stream: readStream over the parquet, ts normalized.
 
-    The parquet stores ts as INT64 TIMESTAMP(NANOS) (read as long under
-    nanosAsLong) → convert with integer division exactly like the batch
-    loader so batch and stream agree row-for-row.
+    The parquet stores ts as INT64 TIMESTAMP(NANOS); requesting
+    ``timestamp_ntz`` in the stream schema makes the reader deliver
+    µs-truncated timestamps identical to the batch loader's. (Requesting
+    ``long`` instead yields µs counts — NOT the raw ns the batch path
+    sees under nanosAsLong — so a hand-rolled ns→µs division here would
+    silently land in 1970; tests/test_streaming.py pins batch↔stream
+    row-for-row equality against exactly that regression.)
     """
     from mric_bak_etl_spark.session import ensure_runtime_confs
 
@@ -213,13 +217,16 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # File-source streams need a directory; glob down to the events file.
     raw = (
         spark.readStream.schema(
-            "event_id long, ts long, user_id long, event_type string, "
+            "event_id long, ts timestamp_ntz, user_id long, event_type string, "
             "value double, props string"
         )
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    # Watermarks demand TIMESTAMP (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE on
+    # NTZ); the session is pinned UTC, so the cast is wall-clock-identical
+    # to the batch loader's TIMESTAMP_NTZ.
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def attribution_join(clicks: DataFrame, purchases: DataFrame) -> DataFrame:

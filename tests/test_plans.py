@@ -288,3 +288,36 @@ def test_w3_sort_key_is_total_order(spark, sf_dir):
         f"w3 window sort key is not a total order: {total - distinct} "
         f"duplicate key rows in {sf_dir}/lineitem"
     )
+
+
+def test_interval_overlap_join_is_hash_join(spark, sf_dir):
+    # j12: the day-bucket rewrite must produce a hash-family join on the
+    # bucket key with the overlap predicate as a residual — NOT a
+    # BroadcastNestedLoopJoin, which is the O(n*m) shape the rewrite
+    # exists to avoid at scale.
+    plan = plan_of(all_specs()["j12_interval_overlap_join"].builder(spark, sf_dir))
+    assert "NestedLoop" not in plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan) or (
+        "ShuffledHashJoin" in plan
+    )
+
+
+def test_kmeans_corpus_never_shuffles_on_assignment(spark, sf_dir):
+    # l19: every assignment pass must broadcast the k×dim centroid table;
+    # a sort-merge join there would shuffle the full corpus once per
+    # Lloyd round.
+    plan = plan_of(all_specs()["l19_kmeans"].builder(spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+
+
+def test_pagerank_iterations_join_rank_table_not_events(spark, sf_dir):
+    # g1: the events table feeds the edge aggregation exactly once; the
+    # 5 iteration joins run against the |nodes|-sized rank table. If the
+    # per-iteration join degenerated to re-scanning events the plan
+    # would contain one events scan per iteration.
+    plan = plan_of(all_specs()["g1_pagerank"].builder(spark, sf_dir))
+    n_event_scans = plan.count("events.parquet")
+    # the edge/node tables are materialized before the loop, so the
+    # iteration plan must contain ZERO events scans — one scan per
+    # iteration is the failure mode this guards against.
+    assert n_event_scans == 0, f"events scanned {n_event_scans} times"
