@@ -49,6 +49,10 @@ HEADLINE = [
     "l18_unigram_lm",       # corpus-LM fluency scoring (broadcast vocab)
     "e4_event_transitions", # per-user sequence → Markov transition matrix
     "m2_feature_extract",   # Arrow-batched pandas feature stage
+    "e6_event_paths",       # 3-step path mining (lead×2, one window shuffle)
+    "a18_bitmap_exact_distinct",  # mergeable exact distinct via bitmaps
+    "j12_interval_overlap_join",  # two-sided interval overlap as bucket equi-join
+    "l19_kmeans",           # Lloyd's k-means: broadcast centroids, map-side assign
 ]
 
 
