@@ -74,6 +74,7 @@ def _load_modules() -> None:
     import mric_bak_etl_spark.functions.scalar  # noqa: F401
     import mric_bak_etl_spark.pipeline.queries  # noqa: F401
     import mric_bak_etl_spark.pipeline.lifecycle  # noqa: F401
+    import mric_bak_etl_spark.pipeline.blob_source  # noqa: F401
     import mric_bak_etl_spark.streaming.windows  # noqa: F401
     import mric_bak_etl_spark.streaming.stateful  # noqa: F401
     import mric_bak_etl_spark.llm.dedup  # noqa: F401

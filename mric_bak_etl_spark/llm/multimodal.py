@@ -525,3 +525,70 @@ def grouped_pandas_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(top3, "lang string, doc_id long, n_chars long, rnk int")
         .orderBy("lang", "rnk")
     )
+
+
+@register(
+    "x7_polymorphic_udtf",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(text, '\\s+') AS t
+      FROM documents WHERE doc_id % 29 = 0
+    ),
+    grams AS (
+      SELECT doc_id, CAST(i AS INTEGER) AS pos,
+             t[i]     AS tok_1,
+             t[i + 1] AS tok_2,
+             t[i + 2] AS tok_3
+      FROM toks, range(1, 6) r(i)
+      WHERE i + 2 <= len(t)
+    )
+    SELECT doc_id, pos, tok_1, tok_2, tok_3
+    FROM grams ORDER BY doc_id, pos
+    """,
+    doc="X7: POLYMORPHIC Python UDTF (Spark 4 analyze()) — the output "
+    "schema is computed at plan time from a literal argument: "
+    "ngrams(text, 3) emits (pos, tok_1..tok_3), ngrams(text, 5) would "
+    "emit five token columns; analyze() receives the constant-folded "
+    "argument and returns the StructType, so Catalyst plans the lateral "
+    "join against an exact schema with zero runtime schema inference. "
+    "The static-schema UDTF (x3) can't express width-by-argument; this "
+    "is the table-function face of schema-on-demand. Capped at 5 grams/"
+    "doc on a 1/29 doc slice — the cap is in eval(), so the fan-out "
+    "bound holds at any corpus size.",
+    tags=("llm", "udf"),
+)
+def polymorphic_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import re as _re
+
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+    @udtf
+    class NgramUDTF:
+        @staticmethod
+        def analyze(text, n):
+            from pyspark.sql.udtf import AnalyzeResult
+
+            width = int(n.value)
+            return AnalyzeResult(
+                StructType(
+                    [StructField("pos", IntegerType())]
+                    + [StructField(f"tok_{i + 1}", StringType()) for i in range(width)]
+                )
+            )
+
+        def eval(self, text: str, n: int):
+            toks = _re.split(r"\s+", text)
+            for i in range(min(5, len(toks) - n + 1)):
+                yield (i + 1, *toks[i : i + n])
+
+    spark.udtf.register("x7_ngrams", NgramUDTF)
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 29 == 0)
+    d.select("doc_id", "text").createOrReplaceTempView("x7_docs")
+    return spark.sql(
+        """
+        SELECT doc_id, g.pos, g.tok_1, g.tok_2, g.tok_3
+        FROM x7_docs, LATERAL x7_ngrams(text, 3) g
+        ORDER BY doc_id, pos
+        """
+    )

@@ -746,3 +746,68 @@ def write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         F.round(F.sum("l_quantity"), 4).alias("total_qty"),
     )
+
+
+@register(
+    "dq3_column_profile",
+    oracle="""
+    SELECT 'o_custkey' AS col,
+           CAST(count(*) - count(o_custkey) AS BIGINT) AS n_nulls,
+           CAST(count(DISTINCT o_custkey) AS BIGINT)   AS n_distinct,
+           CAST(min(o_custkey) AS VARCHAR)             AS min_val,
+           CAST(max(o_custkey) AS VARCHAR)             AS max_val
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus',
+           CAST(count(*) - count(o_orderstatus) AS BIGINT),
+           CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+           min(o_orderstatus), max(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice',
+           CAST(count(*) - count(o_totalprice) AS BIGINT),
+           CAST(count(DISTINCT o_totalprice) AS BIGINT),
+           printf('%.2f', round(min(o_totalprice), 2)),
+           printf('%.2f', round(max(o_totalprice), 2))
+    FROM orders
+    ORDER BY col
+    """,
+    doc="DQ3: column profiler — per-column null count, distinct "
+    "cardinality, min/max in long (column, metric) form: the snapshot "
+    "'describe' a load-time gate diffs against yesterday's profile to "
+    "catch schema-preserving corruption (all-null columns, cardinality "
+    "collapse, range blowout) the reference's blind RESTORE never sees. "
+    "ONE scan computes every column's aggregates (Spark fuses the "
+    "per-column aggs into a single pass before the tiny union shapes "
+    "the report); values stringified per-type so the long format is "
+    "schema-stable however many columns profile.",
+    tags=("pipeline", "quality"),
+)
+def column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+
+    def prof(col: str, min_expr, max_expr) -> DataFrame:
+        return o.agg(
+            (F.count(F.lit(1)) - F.count(col)).cast("bigint").alias("n_nulls"),
+            F.count_distinct(F.col(col)).cast("bigint").alias("n_distinct"),
+            min_expr.alias("min_val"),
+            max_expr.alias("max_val"),
+        ).select(F.lit(col).alias("col"), "n_nulls", "n_distinct", "min_val", "max_val")
+
+    parts = [
+        prof(
+            "o_custkey",
+            F.min("o_custkey").cast("string"),
+            F.max("o_custkey").cast("string"),
+        ),
+        prof("o_orderstatus", F.min("o_orderstatus"), F.max("o_orderstatus")),
+        prof(
+            "o_totalprice",
+            F.trim(F.to_char(F.round(F.min("o_totalprice"), 2).cast("decimal(18,2)"), F.lit("999999990.00"))),
+            F.trim(F.to_char(F.round(F.max("o_totalprice"), 2).cast("decimal(18,2)"), F.lit("999999990.00"))),
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("col")
