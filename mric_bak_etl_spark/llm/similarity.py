@@ -495,25 +495,41 @@ _KM_UPDATE = """
     tags=("llm", "vector"),
 )
 def kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     e = spread(
         load_table(spark, sf_dir, "embeddings").select("vec_id", _as_double().alias("v"))
     )
-    cents = e.filter(F.col("vec_id") % KMEANS_K_MOD == 0).select(
-        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
-    )
-
-    def assign(cent: DataFrame) -> DataFrame:
-        scored = e.crossJoin(F.broadcast(cent)).select(
-            "vec_id", "v", "cid",
-            F.round(_cosine(F.col("v"), F.col("cv")), 6).alias("cs"),
+    # Centroids travel as ONE row holding an array<struct<cid, cv>> —
+    # k×dim doubles — broadcast-cross-joined onto the corpus each round.
+    # Assignment is then a pure map-side expression (array_max over
+    # (cs, -cid, cid) structs = max cosine, ties to smallest cid — the
+    # oracle's row_number order), so the corpus is NEVER shuffled for
+    # assignment; the only per-round shuffle is the (k·dim)-group
+    # centroid mean, map-side-combined from |corpus|·dim exploded rows
+    # down to k·dim groups. The whole 2-round fit plus final scoring is
+    # ONE lazy plan — no driver round-trips, no per-round jobs.
+    def pack(cent: DataFrame) -> DataFrame:
+        return cent.agg(
+            F.sort_array(F.collect_list(F.struct("cid", "cv"))).alias("cents")
         )
-        w = Window.partitionBy("vec_id").orderBy(F.col("cs").desc(), F.col("cid").asc())
+
+    def assign(cent_arr: DataFrame) -> DataFrame:
+        best = F.array_max(
+            F.transform(
+                "cents",
+                lambda c: F.struct(
+                    F.round(_cosine(F.col("v"), c["cv"]), 6).alias("cs"),
+                    (-c["cid"]).alias("ncid"),
+                    c["cid"].alias("cid"),
+                ),
+            )
+        )
         return (
-            scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "v", "cid", "cs")
+            e.crossJoin(F.broadcast(cent_arr))
+            .withColumn("best", best)
+            .select(
+                "vec_id", "v",
+                F.col("best.cid").alias("cid"), F.col("best.cs").alias("cs"),
+            )
         )
 
     def update(assigned: DataFrame) -> DataFrame:
@@ -530,8 +546,13 @@ def kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
+    cents = pack(
+        e.filter(F.col("vec_id") % KMEANS_K_MOD == 0).select(
+            F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+        )
+    )
     for _ in range(KMEANS_ROUNDS):
-        cents = update(assign(cents))
+        cents = pack(update(assign(cents)))
     return (
         assign(cents)
         .groupBy(F.col("cid").alias("cluster"))
