@@ -970,3 +970,88 @@ def number_format(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.alias("amount_str"),
         F.to_number(s, F.lit("999999990.00")).cast("double").alias("amount_back"),
     ).orderBy("o_orderkey")
+
+
+@register(
+    "q3_session_variables",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_pricey
+    FROM orders WHERE o_totalprice > 250000.0
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    doc="Q3: SQL session variables (Spark 4 DECLARE/SET VAR) — typed, "
+    "session-scoped state referenced by name inside queries: the "
+    "governed form of config-driven thresholds (no string interpolation "
+    "into SQL, no injection surface, constant-folded at plan time so "
+    "predicate pushdown sees the literal). The oracle inlines the same "
+    "value.",
+    tags=("sql",),
+)
+def session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    spark.sql("DECLARE OR REPLACE VARIABLE price_floor DOUBLE DEFAULT 0.0")
+    spark.sql("SET VAR price_floor = 250000.0")
+    return spark.sql("""
+        SELECT o_orderpriority, count(*) AS n_pricey
+        FROM orders WHERE o_totalprice > price_floor
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """)
+
+
+@register(
+    "q4_parameterized_sql",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT)      AS n_orders,
+           round(sum(o_totalprice), 2)   AS total
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_totalprice > 150000.0
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    doc="Q4: parameterized SQL — spark.sql(query, args={...}) named-marker "
+    "binding: values bind AS values in the parsed plan (never string-"
+    "spliced), so filters stay sargable and push down to the scan while "
+    "the query text stays cacheable/auditable — the API-server face of "
+    "the SQL entry point. The oracle inlines the same bindings.",
+    tags=("sql",),
+)
+def parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderstatus, count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders
+        WHERE o_orderdate >= :since AND o_totalprice > :floor
+        GROUP BY o_orderstatus ORDER BY o_orderstatus
+        """,
+        args={"since": "1996-01-01", "floor": 150000.0},
+    )
+
+
+@register(
+    "f23_collation",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_ci_match,
+           CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+                AS BIGINT)          AS n_cs_match
+    FROM orders WHERE lower(o_orderpriority) = '1-urgent'
+    """,
+    doc="F23: string collation (Spark 4) — collate(col, 'UTF8_LCASE') "
+    "makes comparisons case-insensitive AT THE TYPE LEVEL: the collation "
+    "rides the column into every comparison/join/group downstream, "
+    "instead of lower()-wrapping each predicate (which blocks stats and "
+    "some pushdowns). The case-sensitive recount inside the same pass "
+    "pins both behaviors; the oracle mirrors with lower() since DuckDB "
+    "collations are expression-level.",
+    tags=("functions", "sql"),
+)
+def collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT count(*) AS n_ci_match,
+               sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+                 AS n_cs_match
+        FROM orders WHERE collate(o_orderpriority, 'UTF8_LCASE') = '1-urgent'
+    """)

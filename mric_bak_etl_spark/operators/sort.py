@@ -108,3 +108,30 @@ def range_partitioned_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_orderdate").alias("first_date"),
         F.max("o_orderdate").alias("last_date"),
     )
+
+
+@register(
+    "o4_limit_offset",
+    oracle="""
+    SELECT o_orderkey, o_orderdate, o_totalprice
+    FROM orders
+    ORDER BY o_orderdate, o_orderkey
+    LIMIT 20 OFFSET 40
+    """,
+    doc="O4: keyset-stable pagination — ORDER BY <total order> LIMIT k "
+    "OFFSET m. Spark plans CollectLimit(m+k) then drops m: cost grows "
+    "with page DEPTH, which is why deep pagination at 100 TB uses "
+    "keyset predicates (WHERE key > last_seen ORDER BY key LIMIT k — "
+    "sargable, constant cost) — this operator exists for the shallow-"
+    "page API face. The unique (date, key) sort makes every page "
+    "deterministic, offset included.",
+    tags=("sort",),
+)
+def limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_orderdate", "o_totalprice")
+        .orderBy("o_orderdate", "o_orderkey")
+        .offset(40)
+        .limit(20)
+    )
