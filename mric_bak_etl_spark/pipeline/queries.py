@@ -243,3 +243,116 @@ def unzip_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
         "entry_size",
         F.decode("entry_bytes", "UTF-8").alias("payload_text"),
     )
+
+
+JDBC_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+
+
+@register(
+    "s13_jdbc_roundtrip",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT)    AS n_orders,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    WHERE o_orderkey % 20 = 0 AND o_totalprice > 100000.0
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    doc="S13: JDBC sink + source round-trip — the reference's actual load "
+    "modality (RESTORE into SQL Server, src/bak_unload.ps1:90-103; "
+    "BASELINE.json: 'DataFrame JDBC read/write for SQL Server') run for "
+    "real against embedded Derby (the SQL database the Spark "
+    "distribution ships): snapshot slice written mode('overwrite') "
+    "(Spark's atomic form of the reference's non-atomic DROP+RESTORE), "
+    "read back through format('jdbc') with the price predicate PUSHED "
+    "INTO the database (the scan ships WHERE to the server; only "
+    "matching rows cross the wire), then aggregated. Swap url/driver "
+    "for jdbc:sqlserver to hit the reference's actual target; "
+    "numPartitions/partitionColumn shard reads at scale.",
+    tags=("sources", "pipeline"),
+)
+def jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    db = os.path.join(
+        tempfile.gettempdir(),
+        f"mric_jdbc_{os.path.basename(os.path.normpath(sf_dir))}",
+        "db",
+    )
+    url = f"jdbc:derby:{db};create=true"
+    slice_df = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 20 == 0)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        # Embedded Derby is single-process; a handful of writer
+        # connections is plenty (a server-grade target takes one per
+        # output partition).
+        .coalesce(4)
+    )
+    (
+        slice_df.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "orders_snap")
+        .option("driver", JDBC_DRIVER)
+        .mode("overwrite")
+        .save()
+    )
+    back = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "orders_snap")
+        .option("driver", JDBC_DRIVER)
+        .load()
+    )
+    return (
+        back.filter(F.col("o_totalprice") > 100000.0)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "s5b_orc_xml_roundtrip",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT)     AS n_orders,
+           round(sum(o_totalprice), 4)  AS total_price
+    FROM orders
+    WHERE o_orderpriority = '2-HIGH'
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    doc="S5b: columnar-binary + document source/sink — the high-priority "
+    "slice written as ORC (the other splittable columnar format: "
+    "predicate pushdown, stripe statistics — parquet's peer where the "
+    "lake standardized on ORC) and as XML files (Spark 4 native XML "
+    "source, rowTag framing — the B2B/legacy interchange face), read "
+    "back with explicit schemas, unioned and deduplicated to prove both "
+    "round-trips agree. Completes the format matrix with s5 (CSV/JSON).",
+    tags=("pipeline", "sink", "source"),
+)
+def orc_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "2-HIGH"
+    )
+    base = tempfile.mkdtemp(prefix="format_rt2_")
+    orc_path, xml_path = os.path.join(base, "orc"), os.path.join(base, "xml")
+    slim = o.select("o_orderkey", "o_orderstatus", "o_totalprice")
+    slim.write.mode("overwrite").orc(orc_path)
+    slim.write.mode("overwrite").format("xml").option("rowTag", "order").save(xml_path)
+    schema = "o_orderkey long, o_orderstatus string, o_totalprice double"
+    from_orc = spark.read.schema(schema).orc(orc_path)
+    from_xml_src = (
+        spark.read.schema(schema).format("xml").option("rowTag", "order").load(xml_path)
+    )
+    both = from_orc.unionByName(from_xml_src).dropDuplicates(["o_orderkey"])
+    return (
+        both.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
