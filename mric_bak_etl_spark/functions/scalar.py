@@ -1055,3 +1055,57 @@ def collation(spark: SparkSession, sf_dir: str) -> DataFrame:
                  AS n_cs_match
         FROM orders WHERE collate(o_orderpriority, 'UTF8_LCASE') = '1-urgent'
     """)
+
+
+@register(
+    "f24_higher_order_complete",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT vec_id,
+           CAST(len(list_filter(v, x -> x < 0)) > 0 AS BOOLEAN)  AS has_neg,
+           CAST(len(list_filter(v, x -> abs(x) > 1.0)) = 0 AS BOOLEAN)
+                                                                 AS all_unit,
+           round(sqrt(list_sum(list_transform(v, x -> x * x))), 6)
+                                                                 AS l2_norm,
+           round(list_sum(list_transform(range(1, len(v) + 1),
+                                         i -> v[i] * v[len(v) - i + 1])), 6)
+                                                                 AS rev_dot
+    FROM e ORDER BY vec_id
+    """,
+    doc="F24: higher-order function completion — exists (any-match), "
+    "forall (all-match), reduce with a FINISH lambda (fold to sum of "
+    "squares, finish to sqrt = L2 norm in one traversal), and zip_with "
+    "against the reversed array (self-correlation shape). With f5 "
+    "(transform/aggregate/filter/element ops) this closes the "
+    "higher-order surface: every lambda runs as a codegen'd JVM "
+    "expression over the array — per-row, no explode, no shuffle, no "
+    "Python — which is what makes array-typed feature math free at "
+    "corpus scale.",
+    tags=("functions", "arrays"),
+)
+def higher_order_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    return e.select(
+        "vec_id",
+        F.exists("v", lambda x: x < 0).alias("has_neg"),
+        F.forall("v", lambda x: F.abs(x) <= 1.0).alias("all_unit"),
+        F.round(
+            F.reduce(
+                "v",
+                F.lit(0.0),
+                lambda acc, x: acc + x * x,
+                lambda acc: F.sqrt(acc),
+            ),
+            6,
+        ).alias("l2_norm"),
+        F.round(
+            F.aggregate(
+                F.zip_with("v", F.reverse("v"), lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ).alias("rev_dot"),
+    ).orderBy("vec_id")

@@ -712,3 +712,39 @@ def listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders WHERE o_orderkey % 100 = 0
         GROUP BY o_orderpriority ORDER BY o_orderpriority
     """)
+
+
+@register(
+    "a21_approx_percentile",
+    oracle=None,  # sketch-based: values are engine-specific (Spark GK/KLL
+    # vs DuckDB exact interpolation); bounded-error containment vs the
+    # exact quantiles is asserted in tests/test_oracle_parity.py's
+    # rows-only run and the accuracy check below lives in test_plans.
+    doc="A21: approximate percentiles (Greenwald-Khanna sketch, bounded "
+    "relative rank error 1/accuracy) — the quantile face of the sketch "
+    "posture (a3/a14 = distinct counts): exact per-group percentiles "
+    "(a7) buffer every value per group, O(n) memory at 100 TB; the GK "
+    "sketch is O(accuracy·log n), mergeable across partitions, one "
+    "map-side pass. accuracy=10000 → rank error ≤ 0.01%% — tighter than "
+    "any dashboard needs at 1/10000th the state.",
+    tags=("aggregates", "sketch"),
+)
+def approx_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx(
+                "l_extendedprice", [0.5, 0.95, 0.99], 10000
+            ).alias("price_q"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .select(
+            "l_returnflag",
+            F.round(F.col("price_q")[0], 4).alias("p50"),
+            F.round(F.col("price_q")[1], 4).alias("p95"),
+            F.round(F.col("price_q")[2], 4).alias("p99"),
+            "n_lines",
+        )
+        .orderBy("l_returnflag")
+    )

@@ -321,3 +321,42 @@ def test_pagerank_iterations_join_rank_table_not_events(spark, sf_dir):
     # iteration plan must contain ZERO events scans — one scan per
     # iteration is the failure mode this guards against.
     assert n_event_scans == 0, f"events scanned {n_event_scans} times"
+
+
+def test_jdbc_read_pushes_predicate_to_database(spark, sf_dir):
+    # s13: the read-back filter must appear as PushedFilters on the JDBC
+    # scan (shipped as WHERE to the database) — if it evaluates Spark-side
+    # the whole table crosses the wire, which is the difference between a
+    # predicate-sized and a table-sized transfer against the reference's
+    # SQL Server target.
+    df = all_specs()["s13_jdbc_roundtrip"].builder(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    jdbc_lines = [l for l in plan.splitlines() if "JDBCRelation" in l]
+    assert jdbc_lines, "expected a JDBC scan in the plan"
+    assert any("GreaterThan(o_totalprice" in l for l in jdbc_lines), (
+        "price predicate not pushed into the JDBC scan"
+    )
+
+
+def test_approx_percentile_within_rank_error(spark, sf_dir, duck):
+    # a21: GK-sketch quantiles must land within a tight window of the
+    # exact quantiles (rank error 1e-4 at accuracy=10000 — on these row
+    # counts that means within a handful of neighboring values).
+    rows = {
+        r["l_returnflag"]: (r["p50"], r["p95"], r["p99"])
+        for r in all_specs()["a21_approx_percentile"].builder(spark, sf_dir).collect()
+    }
+    exact = {
+        r[0]: (r[1], r[2], r[3])
+        for r in duck.execute(
+            """SELECT l_returnflag,
+                      quantile_cont(l_extendedprice, 0.5),
+                      quantile_cont(l_extendedprice, 0.95),
+                      quantile_cont(l_extendedprice, 0.99)
+               FROM lineitem GROUP BY 1"""
+        ).fetchall()
+    }
+    for flag, (p50, p95, p99) in rows.items():
+        e50, e95, e99 = exact[flag]
+        for got, want in [(p50, e50), (p95, e95), (p99, e99)]:
+            assert abs(got - want) / want < 0.02, (flag, got, want)
