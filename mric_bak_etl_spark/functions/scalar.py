@@ -1109,3 +1109,41 @@ def higher_order_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("rev_dot"),
     ).orderBy("vec_id")
+
+
+@register(
+    "f25_map_higher_order",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT)          AS k_raw,
+           CAST(json_extract(props, '$.k') AS BIGINT) + 1      AS k_bumped,
+           CAST(CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) * 2 >= 100
+                     THEN 1 ELSE 0 END AS BIGINT)              AS n_big,
+           CAST(json_extract(props, '$.k') AS BIGINT) * 2 + 1  AS combined
+    FROM events WHERE event_id % 17 = 0 ORDER BY event_id
+    """,
+    doc="F25: higher-order MAP functions — a typed map built from the "
+    "parsed props payload, then transform_values (per-entry rewrite), "
+    "map_filter (entry predicate), map_zip_with (keyed merge of two "
+    "maps), reduced to scalars via element_at/size probes. Every "
+    "lambda is a codegen'd JVM expression over the map — the shape "
+    "feature-bag columns (sparse features, per-key counters) take at "
+    "scale instead of exploding to rows. The oracle mirrors the "
+    "arithmetic on the underlying value (DuckDB MAP higher-order "
+    "functions don't exist; the MATH is what's being verified).",
+    tags=("functions", "maps"),
+)
+def map_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 17 == 0)
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    m = F.create_map(F.lit("k"), k, F.lit("k2"), k * 2)
+    bumped = F.transform_values(m, lambda _, v: v + 1)
+    big_only = F.map_filter(m, lambda _, v: v >= 100)
+    zipped = F.map_zip_with(m, bumped, lambda _, a, b: a + b)
+    return e.select(
+        "event_id",
+        F.element_at(m, "k").alias("k_raw"),
+        F.element_at(bumped, "k").alias("k_bumped"),
+        F.size(big_only).cast("bigint").alias("n_big"),
+        F.element_at(zipped, "k").alias("combined"),
+    ).orderBy("event_id")

@@ -811,3 +811,45 @@ def column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("col")
+
+
+@register(
+    "dq4_observed_metrics",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT)                    AS n_rows,
+           CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+                AS BIGINT)                             AS n_nonpositive,
+           round(sum(o_totalprice), 2)                 AS total,
+           CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_statuses
+    FROM orders
+    """,
+    doc="DQ4: observe() metrics — invariant counters collected DURING a "
+    "pass (Spark Observation API: accumulator-backed aggregates attached "
+    "to the plan), not by a second scan: at 100 TB the difference "
+    "between monitoring and doubling the read bill. The builder drives "
+    "one action over the observed frame, then surfaces the collected "
+    "metrics as the result row; streaming queries expose the same via "
+    "StreamingQueryListener per micro-batch.",
+    tags=("pipeline", "quality"),
+)
+def observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Observation
+
+    o = load_table(spark, sf_dir, "orders")
+    obs = Observation("dq4")
+    observed = o.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum((F.col("o_totalprice") <= 0).cast("bigint")).alias("n_nonpositive"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        # DISTINCT aggregates are disallowed in observed metrics
+        # (accumulators must merge associatively); HLL is the
+        # permitted form and is exact at this tiny cardinality.
+        F.approx_count_distinct("o_orderstatus").alias("n_statuses"),
+    )
+    observed.write.mode("overwrite").format("noop").save()  # one real pass
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["n_nonpositive"], m["total"], m["n_statuses"])],
+        "n_rows long, n_nonpositive long, total double, n_statuses long",
+    )
