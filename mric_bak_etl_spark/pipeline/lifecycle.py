@@ -853,3 +853,123 @@ def observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(m["n_rows"], m["n_nonpositive"], m["total"], m["n_statuses"])],
         "n_rows long, n_nonpositive long, total double, n_statuses long",
     )
+
+
+@register(
+    "dq5_referential_integrity",
+    oracle="""
+    SELECT
+      (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        AS n_line_orphans,
+      (SELECT CAST(count(*) AS BIGINT) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        AS n_order_orphans,
+      (SELECT CAST(count(*) AS BIGINT) FROM (
+         SELECT o_custkey + 1000000 AS bad_key FROM orders WHERE o_orderkey % 97 = 0) b
+        WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = b.bad_key))
+        AS n_injected_orphans
+    """,
+    doc="DQ5: referential-integrity gate — FK orphan counts as broadcast "
+    "anti-joins (lineitem->orders, orders->customer: both 0 on a healthy "
+    "snapshot), plus an INJECTED violation (shifted keys) proving the "
+    "gate actually fires. The pre-swap check for the reference's "
+    "fact/dim restore: a snapshot whose fact rows reference missing "
+    "dimension keys loads 'successfully' and corrupts every downstream "
+    "join silently. Anti-join = the reference's own state-check pattern "
+    "(src/bak_unload.ps1:57-65) pointed at integrity.",
+    tags=("pipeline", "quality"),
+)
+def referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+
+    def orphans(child: DataFrame, key, parent: DataFrame, pkey) -> DataFrame:
+        return child.join(
+            F.broadcast(parent.select(pkey)), child[key] == parent[pkey], "left_anti"
+        ).agg(F.count(F.lit(1)).alias("n"))
+
+    a = orphans(li.select("l_orderkey"), "l_orderkey", o, "o_orderkey").select(
+        F.col("n").alias("n_line_orphans")
+    )
+    b = orphans(o.select("o_custkey"), "o_custkey", c, "c_custkey").select(
+        F.col("n").alias("n_order_orphans")
+    )
+    injected = o.filter(F.col("o_orderkey") % 97 == 0).select(
+        (F.col("o_custkey") + 1_000_000).alias("bad_key")
+    )
+    d = orphans(injected, "bad_key", c, "c_custkey").select(
+        F.col("n").alias("n_injected_orphans")
+    )
+    return a.crossJoin(b).crossJoin(d)
+
+
+@register(
+    "r20_scd2_asof_lookup",
+    oracle="""
+    WITH dim AS (
+      SELECT c_custkey AS k, round(c_acctbal, 2) AS bal,
+             TIMESTAMP '1995-01-01' AS valid_from,
+             CASE WHEN c_custkey % 3 = 0 THEN TIMESTAMP '1996-07-01' END AS valid_to,
+             1 AS version
+      FROM customer
+      UNION ALL
+      SELECT c_custkey, round(c_acctbal + 100.0, 2),
+             TIMESTAMP '1996-07-01', NULL, 2
+      FROM customer WHERE c_custkey % 3 = 0
+    )
+    SELECT d.version,
+           CAST(count(*) AS BIGINT)  AS n_orders,
+           round(sum(d.bal), 2)      AS total_bal
+    FROM orders o JOIN dim d
+      ON o.o_custkey = d.k
+     AND o.o_orderdate >= d.valid_from
+     AND (d.valid_to IS NULL OR o.o_orderdate < d.valid_to)
+    GROUP BY d.version ORDER BY d.version
+    """,
+    doc="R20: SCD2 as-of lookup — facts joined to the versioned dimension "
+    "r18 builds: equi on the business key with the validity window as a "
+    "RESIDUAL predicate, so Catalyst plans a hash join (never a "
+    "nested-loop) and each fact row lands on exactly one version — "
+    "'which balance was true when this order was placed', the "
+    "point-in-time join every backfill and late-arriving-fact pipeline "
+    "needs. At scale both sides bucket on the key (j9) and the residual "
+    "evaluates in place; a dimension with many versions per key adds "
+    "j11's bucket-by-validity-range trick on top.",
+    tags=("pipeline", "reference-fidelity", "joins"),
+)
+def scd2_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    v1 = c.select(
+        F.col("c_custkey").alias("k"),
+        F.round("c_acctbal", 2).alias("bal"),
+        F.lit("1995-01-01").cast("timestamp").alias("valid_from"),
+        F.when(
+            F.col("c_custkey") % 3 == 0, F.lit("1996-07-01").cast("timestamp")
+        ).alias("valid_to"),
+        F.lit(1).alias("version"),
+    )
+    v2 = c.filter(F.col("c_custkey") % 3 == 0).select(
+        F.col("c_custkey").alias("k"),
+        F.round(F.col("c_acctbal") + 100.0, 2).alias("bal"),
+        F.lit("1996-07-01").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(2).alias("version"),
+    )
+    dim = v1.unionByName(v2)
+    o = load_table(spark, sf_dir, "orders")
+    joined = o.join(
+        F.broadcast(dim),
+        (o["o_custkey"] == dim["k"])
+        & (o["o_orderdate"] >= dim["valid_from"])
+        & (dim["valid_to"].isNull() | (o["o_orderdate"] < dim["valid_to"])),
+    )
+    return (
+        joined.groupBy("version")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("bal"), 2).alias("total_bal"),
+        )
+        .orderBy("version")
+    )

@@ -360,3 +360,11 @@ def test_approx_percentile_within_rank_error(spark, sf_dir, duck):
         e50, e95, e99 = exact[flag]
         for got, want in [(p50, e50), (p95, e95), (p99, e99)]:
             assert abs(got - want) / want < 0.02, (flag, got, want)
+
+
+def test_scd2_lookup_is_hash_join_with_residual(spark, sf_dir):
+    # r20: the validity-window predicate must ride the equi join as a
+    # residual — a nested-loop here would be O(facts × versions) at scale.
+    plan = plan_of(all_specs()["r20_scd2_asof_lookup"].builder(spark, sf_dir))
+    assert "NestedLoop" not in plan
+    assert "BroadcastHashJoin" in plan

@@ -316,3 +316,47 @@ def test_transform_with_state_totals(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_append_mode_emits_only_watermark_closed_windows(spark, tmp_path):
+    # Append-mode windowed aggregation: a window is emitted exactly once,
+    # and only after the watermark passes its end — the production
+    # contract that makes downstream sinks idempotent. Two micro-batches:
+    # batch 2's max event time (10:59) leaves watermark at 10:49, so only
+    # the 09:00 window (end 10:00 <= 10:49) finalizes; the 10:00 window
+    # stays in state.
+    src = tmp_path / "src"
+    src.mkdir()
+    schema = "event_id long, ts timestamp, user_id long, value double"
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / name))
+
+    import datetime as dt
+
+    t = lambda h, m: dt.datetime(2024, 1, 1, h, m)  # noqa: E731
+    write_batch("b1", [(1, t(9, 5), 1, 1.0), (2, t(9, 40), 1, 1.0)])
+    write_batch("b2", [(3, t(10, 20), 1, 1.0), (4, t(10, 59), 1, 1.0)])
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("ws"), "n")
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_append")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {(str(r["ws"]), r["n"]) for r in spark.sql("SELECT * FROM t_append").collect()}
+    assert got == {("2024-01-01 09:00:00", 2)}
