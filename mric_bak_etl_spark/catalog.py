@@ -89,13 +89,55 @@ def all_specs() -> dict[str, QuerySpec]:
     return dict(_REGISTRY)
 
 
+# Verification order: one fast representative of EVERY family first, so a
+# time-budgeted correctness run (round 1's recorded run stopped mid-module
+# after 45 of 173 queries, in registration order) still samples the whole
+# surface before depth. Everything not listed follows in sorted order.
+_VERIFY_FIRST: tuple[str, ...] = (
+    # flagship + core relational
+    "a1_pricing_summary", "s1_parquet_scan", "p1_projection",
+    "p2_filter_predicates", "j1_inner_equi", "j2_broadcast_dims",
+    "j4b_left_anti", "a4_rollup", "a7_percentiles", "w1_ranking",
+    "w3_frames", "o2_topk", "u1_union_by_name", "u2_intersect",
+    # scalar functions / SQL entry
+    "f1_strings", "f2_datetime", "f7_json", "q1_sql_parity",
+    # subqueries / composites
+    "sq1_exists_correlated", "sq5_lateral_topk_per_group",
+    "h3_shipping_priority", "h5_local_supplier_volume",
+    # reference pipeline / quality
+    "r7_state_antijoin", "r17_merge_apply", "dq1_quality_gate",
+    "dq5_referential_integrity",
+    # streaming / events / graph
+    "t1_tumbling_window", "t5_stateful_dedup", "e1_funnel",
+    "e4_event_transitions", "g1_pagerank",
+    # joins, advanced
+    "j6_asof", "j8_salted_skew_join", "j12_interval_overlap_join",
+    # llm / text / multimodal / udf
+    "l1_exact_dedup", "l3_cosine_topk", "l4_tokenize_tf",
+    "l6_stratified_sample", "l2b_ngram_jaccard", "l19_kmeans",
+    "tx_token_count", "tx_langid", "m1_multimodal_metadata",
+    "x4_scalar_pandas_udf",
+    # exactness / sketches
+    "a16_decimal_exact", "a18_bitmap_exact_distinct",
+)
+
+
+def _ordered_specs() -> list[QuerySpec]:
+    specs = all_specs()
+    missing = [n for n in _VERIFY_FIRST if n not in specs]
+    assert not missing, f"_VERIFY_FIRST names unknown queries: {missing}"
+    head = [specs[n] for n in _VERIFY_FIRST]
+    tail = [specs[n] for n in sorted(specs) if n not in set(_VERIFY_FIRST)]
+    return head + tail
+
+
 def queries() -> dict[str, SparkBuilder]:
-    return {name: spec.builder for name, spec in all_specs().items()}
+    return {spec.name: spec.builder for spec in _ordered_specs()}
 
 
 def oracle_sql() -> dict[str, str]:
     return {
-        name: spec.oracle
-        for name, spec in all_specs().items()
+        spec.name: spec.oracle
+        for spec in _ordered_specs()
         if spec.oracle is not None
     }
