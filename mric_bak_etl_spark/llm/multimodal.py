@@ -592,3 +592,37 @@ def polymorphic_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY doc_id, pos
         """
     )
+
+
+@register(
+    "x8_arrow_python_udf",
+    oracle="""
+    SELECT doc_id,
+           round(ln(1.0 + n_chars) * 100, 4) AS log_score
+    FROM documents ORDER BY doc_id LIMIT 100
+    """,
+    doc="X8: Arrow-optimized Python UDF (Spark 4 useArrow=True) — the "
+    "row-function API with pandas-UDF transport: each invocation is "
+    "still per-row Python (unlike x4's vectorized series-at-a-time), "
+    "but arguments/results cross the JVM boundary as Arrow batches "
+    "instead of pickled rows (~2-5× on the wire). The right tool when "
+    "porting legacy per-row logic that can't vectorize; deterministic "
+    "closed form keeps it oracle-checkable. Completes the UDF ladder: "
+    "x8 (Arrow row) < x4 (pandas vector) < built-in expression.",
+    tags=("llm", "udf"),
+)
+def arrow_python_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from pyspark.sql.functions import udf
+
+    @udf(returnType="double", useArrow=True)
+    def log_score(n_chars: int) -> float:
+        return round(math.log(1.0 + n_chars) * 100, 4)
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return (
+        d.select("doc_id", log_score("n_chars").alias("log_score"))
+        .orderBy("doc_id")
+        .limit(100)
+    )

@@ -895,3 +895,73 @@ def boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+VOCAB_TOP_K = 500
+
+
+@register(
+    "l20_oov_rate",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS term
+      FROM documents
+    ),
+    tok_clean AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+    vocab AS (
+      SELECT term FROM (
+        SELECT term, row_number() OVER (ORDER BY count(*) DESC, term ASC) AS rn
+        FROM tok_clean GROUP BY term
+      ) WHERE rn <= {VOCAB_TOP_K}
+    ),
+    scored AS (
+      SELECT t.doc_id,
+             count(*)                                            AS n_tokens,
+             sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)     AS n_oov
+      FROM tok_clean t LEFT JOIN vocab v USING (term)
+      GROUP BY t.doc_id
+    )
+    SELECT CAST(count(*) AS BIGINT)                            AS n_docs,
+           round(avg(CAST(n_oov AS DOUBLE) / n_tokens), 6)     AS mean_oov_rate,
+           CAST(sum(CASE WHEN CAST(n_oov AS DOUBLE) / n_tokens > 0.5
+                         THEN 1 ELSE 0 END) AS BIGINT)         AS n_high_oov
+    FROM scored
+    """,
+    doc=f"L20: OOV-rate profiling — a frequency-built vocabulary (top "
+    f"{VOCAB_TOP_K} terms, deterministic count-then-term tiebreak) "
+    "left-anti-scored against every document's tokens: per-doc "
+    "out-of-vocabulary share, corpus mean, and the count of docs past "
+    "an OOV gate. The tokenizer-coverage audit run before committing a "
+    "vocab/tokenizer to a training corpus. One tokenize pass feeds both "
+    "the vocab build and the scoring; the vocab is vocabulary-sized and "
+    "broadcasts — the corpus shuffles only (doc_id, term) pairs once.",
+    tags=("llm", "text"),
+)
+def oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    tok = d.select("doc_id", F.explode(tokens()).alias("term")).filter(
+        F.col("term") != ""
+    )
+    counts = tok.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.desc("n"), F.asc("term"))
+    vocab = (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= VOCAB_TOP_K)
+        .select("term", F.lit(True).alias("in_vocab"))
+    )
+    scored = (
+        tok.join(F.broadcast(vocab), "term", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).alias("n_oov"),
+        )
+    )
+    rate = F.col("n_oov").cast("double") / F.col("n_tokens")
+    return scored.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg(rate), 6).alias("mean_oov_rate"),
+        F.sum((rate > 0.5).cast("bigint")).cast("bigint").alias("n_high_oov"),
+    )

@@ -748,3 +748,36 @@ def approx_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "a22_regression_aggregates",
+    oracle="""
+    SELECT l_returnflag,
+           round(regr_slope(l_extendedprice, l_quantity), 4)     AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+           round(regr_r2(l_extendedprice, l_quantity), 6)        AS r2,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    doc="A22: linear-regression aggregates (ISO SQL regr_* family) — "
+    "per-group OLS slope/intercept/R² in ONE streaming pass: the moment "
+    "accumulators (Σx, Σy, Σxy, Σx², n) are associative partial states, "
+    "so the fit map-side-combines exactly like a8's corr/covar and "
+    "merges across any partitioning — trendlines over 100 TB without a "
+    "per-group collect or an ML library round-trip.",
+    tags=("aggregates", "statistics"),
+)
+def regression_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("slope"),
+            F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 4).alias("intercept"),
+            F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
+            F.regr_count("l_extendedprice", "l_quantity").cast("bigint").alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )

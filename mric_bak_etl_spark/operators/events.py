@@ -364,3 +364,54 @@ def event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("path"))
         .limit(10)
     )
+
+
+@register(
+    "e7_interarrival",
+    oracle="""
+    WITH gaps AS (
+      SELECT event_type,
+             date_diff('second',
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                       ts) AS gap_s
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(gap_s) AS BIGINT)              AS n_gaps,
+           round(avg(gap_s), 4)                      AS mean_gap_s,
+           round(quantile_cont(gap_s, 0.5), 4)       AS p50_gap_s,
+           round(quantile_cont(gap_s, 0.95), 4)      AS p95_gap_s
+    FROM gaps WHERE gap_s IS NOT NULL
+    GROUP BY event_type ORDER BY event_type
+    """,
+    doc="E7: inter-arrival analysis — per-user event gaps (lag over the "
+    "user timeline: ONE shuffle on user_id, the same exchange every "
+    "per-user window in this family reuses) distributed into per-type "
+    "mean/median/p95: the latency-between-actions profile behind "
+    "engagement scoring and anomaly baselines (a gap distribution "
+    "shifting right IS the early churn signal). Exact quantiles here; "
+    "at 100 TB swap percentile() for a21's mergeable GK sketch.",
+    tags=("events", "window", "statistics"),
+)
+def interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = e.select(
+        "event_type",
+        (
+            F.unix_timestamp(F.col("ts").cast("timestamp"))
+            - F.unix_timestamp(F.lag("ts").over(w).cast("timestamp"))
+        ).alias("gap_s"),
+    ).filter(F.col("gap_s").isNotNull())
+    return (
+        gaps.groupBy("event_type")
+        .agg(
+            F.count("gap_s").alias("n_gaps"),
+            F.round(F.avg("gap_s"), 4).alias("mean_gap_s"),
+            F.round(F.percentile("gap_s", 0.5), 4).alias("p50_gap_s"),
+            F.round(F.percentile("gap_s", 0.95), 4).alias("p95_gap_s"),
+        )
+        .orderBy("event_type")
+    )

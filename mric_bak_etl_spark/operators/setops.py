@@ -120,3 +120,44 @@ def union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
     b = o.filter(F.col("o_totalprice") > 100000).select("o_custkey")
     return a.union(b).distinct().orderBy("o_custkey")
+
+
+@register(
+    "u5_union_missing_columns",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, src, region_hint
+    FROM (
+      SELECT o_orderkey, o_totalprice, 'v1' AS src, NULL AS region_hint
+      FROM orders WHERE o_orderkey % 2 = 0
+      UNION ALL BY NAME
+      SELECT o_orderkey, o_totalprice, 'v2' AS src,
+             CASE WHEN o_custkey % 5 = 0 THEN 'APAC' ELSE 'EMEA' END AS region_hint
+      FROM orders WHERE o_orderkey % 2 = 1
+    )
+    ORDER BY o_orderkey LIMIT 200
+    """,
+    doc="U5: schema-evolution union — unionByName(allowMissingColumns="
+    "True): two snapshot generations whose schemas diverged (a column "
+    "added in v2) concatenated by NAME with NULL back-fill, the in-"
+    "memory face of s6's on-disk mergeSchema read. Positional union "
+    "silently mis-aligns evolved schemas — the name-resolved form is "
+    "the only safe one once a pipeline survives its first schema "
+    "change. Pure partition concat: no shuffle.",
+    tags=("setops",),
+)
+def union_missing_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    v1 = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice", F.lit("v1").alias("src")
+    )
+    v2 = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey",
+        "o_totalprice",
+        F.lit("v2").alias("src"),
+        F.when(F.col("o_custkey") % 5 == 0, "APAC").otherwise("EMEA").alias("region_hint"),
+    )
+    return (
+        v1.unionByName(v2, allowMissingColumns=True)
+        .orderBy("o_orderkey")
+        .limit(200)
+    )
