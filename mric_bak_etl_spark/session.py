@@ -40,12 +40,22 @@ _RUNTIME_CONFS: dict[str, str] = {
 }
 
 
+def _shuffle_partition_conf() -> dict[str, str]:
+    # Initial (pre-AQE) shuffle parallelism sized to the engine instead of
+    # Spark's global default of 200: on a driver-provided session every
+    # shuffle otherwise schedules 200 tasks regardless of core count —
+    # pure per-task overhead at test scale. Runtime-settable, and AQE
+    # coalesces further downward; clusters override via
+    # SPARK_GRAFT_SHUFFLE_PARTITIONS (~2-3× total executor cores).
+    return {"spark.sql.shuffle.partitions": str(default_parallelism())}
+
+
 def ensure_runtime_confs(spark: SparkSession) -> SparkSession:
     """Apply the runtime-settable confs this engine depends on.
 
     Safe to call repeatedly and on sessions we did not build (the driver's).
     """
-    for key, value in _RUNTIME_CONFS.items():
+    for key, value in {**_RUNTIME_CONFS, **_shuffle_partition_conf()}.items():
         try:
             spark.conf.set(key, value)
         except Exception:
