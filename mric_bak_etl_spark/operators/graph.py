@@ -128,3 +128,92 @@ def pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(
         F.col("v").alias("event_type"), F.round("r", 6).alias("pagerank")
     ).orderBy(F.desc("pagerank"), F.asc("event_type"))
+
+
+SP_SOURCE = "signup"
+SP_ROUNDS = 4  # exact for any graph with <= 5 nodes (|V|-1 relaxations)
+
+_SP_ITER = """
+    d{i} AS (
+      SELECT n.v, least(p.d, c.m) AS d
+      FROM nodes n
+      LEFT JOIN d{prev} p ON p.v = n.v
+      LEFT JOIN (
+        SELECT w.dst AS v, min(p2.d + w.wt) AS m
+        FROM w JOIN d{prev} p2 ON p2.v = w.src
+        WHERE p2.d IS NOT NULL
+        GROUP BY w.dst
+      ) c ON c.v = n.v
+    )"""
+
+
+@register(
+    "g2_shortest_path",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS src,
+             lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+      FROM events
+    ),
+    counts AS (
+      SELECT src, dst, count(*) AS cnt FROM seq WHERE dst IS NOT NULL GROUP BY src, dst
+    ),
+    w AS (
+      SELECT src, dst,
+             round(-ln(CAST(cnt AS DOUBLE) / sum(cnt) OVER (PARTITION BY src)), 6)
+               AS wt
+      FROM counts
+    ),
+    nodes AS (SELECT DISTINCT event_type AS v FROM events),
+    d0 AS (SELECT v, CASE WHEN v = 'signup' THEN 0.0 END AS d FROM nodes),
+    """
+    + ",\n    ".join(
+        _SP_ITER.format(i=i, prev=i - 1).strip() for i in range(1, SP_ROUNDS + 1)
+    )
+    + f"""
+    SELECT v AS event_type, round(d, 6) AS nll_dist
+    FROM d{SP_ROUNDS} ORDER BY nll_dist NULLS LAST, event_type
+    """,
+    doc="G2: single-source shortest path under -ln(P) edge weights — the "
+    "MOST PROBABLE event path from 'signup' to every other state "
+    "(minimizing summed negative log-likelihood == maximizing the "
+    "product of transition probabilities), via |V|-1 Bellman-Ford "
+    "relaxations over the same driver-materialized vocabulary-sized "
+    "edge list as g1: each round is one |nodes|-sized join+min, the "
+    "fact table is scanned exactly once to build edges. Weights round "
+    "to 6dp at edge build so both engines relax on bit-identical "
+    "state; least()/min() skip NULL (= unreachable) identically. The "
+    "oracle unrolls the same rounds as chained CTEs.",
+    tags=("graph", "events"),
+)
+def shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    node_rows = e.select(F.col("event_type").alias("v")).distinct().collect()
+    edge_rows = (
+        _edges(spark, sf_dir)
+        .select("src", "dst", F.round(-F.log("weight"), 6).alias("wt"))
+        .collect()
+    )
+    nodes = spark.createDataFrame(node_rows, "v string")
+    edges = spark.createDataFrame(edge_rows, "src string, dst string, wt double")
+
+    dist = nodes.select(
+        "v", F.when(F.col("v") == SP_SOURCE, F.lit(0.0)).alias("d")
+    )
+    for _ in range(SP_ROUNDS):
+        cand = (
+            edges.join(
+                dist.filter(F.col("d").isNotNull()).withColumnRenamed("v", "src_v"),
+                F.col("src") == F.col("src_v"),
+            )
+            .groupBy("dst")
+            .agg(F.min(F.col("d") + F.col("wt")).alias("m"))
+        )
+        dist = (
+            nodes.join(dist.withColumnRenamed("d", "pd"), "v", "left")
+            .join(cand, nodes["v"] == cand["dst"], "left")
+            .select("v", F.least("pd", "m").alias("d"))
+        )
+    return dist.select(
+        F.col("v").alias("event_type"), F.round("d", 6).alias("nll_dist")
+    ).orderBy(F.asc_nulls_last("nll_dist"), "event_type")
