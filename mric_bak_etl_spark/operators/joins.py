@@ -367,15 +367,16 @@ N_SALTS = 8
     doc="J8: skew-salted equi-join, hot-key form — the manual mitigation "
     "when one join key dominates and even AQE skew-splitting can't keep a "
     "partition in memory. A sampled frequency pass identifies hot keys "
-    "(estimated rows above SKEW_THRESHOLD); ONLY those keys are salted: "
-    "the probe side gets salt = pmod(hash(row), N), the build side "
-    "replicates N ways for hot keys alone, and the cold majority joins "
-    "plain. Hot and cold paths union before the aggregate, so the result "
-    "is IDENTICAL to the plain join (the oracle is the unsalted SQL). "
-    "Full-table N-fold replication — the naive salting recipe — is never "
-    "paid; with no hot keys this degrades to the plain join plus one "
-    "cheap sampled agg. AQE's skewJoin handles the common case "
-    "automatically; this operator is the explicit form for the "
+    "(few by definition — they collect to a driver list and ride inside "
+    "the salt expressions); ONLY those keys are salted: the probe side "
+    "gets salt = pmod(hash(row), N), the build side replicates N ways "
+    "for hot keys alone, and cold rows carry salt 0 / replicate once — "
+    "so ONE unified (key, salt) join serves both paths in a single scan "
+    "per side, and the result is IDENTICAL to the plain join (the "
+    "oracle is the unsalted SQL). Full-table N-fold replication — the "
+    "naive salting recipe — is never paid; with no hot keys this IS the "
+    "plain join plus one cheap sampled agg. AQE's skewJoin handles the "
+    "common case automatically; this is the explicit form for the "
     "pathological tail (a key too hot for any single executor).",
     tags=("join", "scale"),
 )
@@ -390,41 +391,48 @@ def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fixtures are uniform (~7 lines/order), so this low cutoff marks the
     # sampled tail hot purely to keep BOTH paths executing under test.
     rate, threshold = 0.01, 50
-    hot = (
-        li.sample(fraction=rate, seed=42)
+    # Hot keys are FEW by definition (that's what makes them hot), so
+    # they collect to a driver-side list and ship inside the salt
+    # expressions as a broadcast literal — no join, no branch, no second
+    # scan of either side. Salt 0 is the cold path: cold probe rows keep
+    # salt 0 and the cold build row replicates exactly once, so the
+    # unified (key, salt) join IS the plain join for the cold majority
+    # and an N-way spread for the hot tail.
+    hot_keys = [
+        r["l_orderkey"]
+        for r in li.sample(fraction=rate, seed=42)
         .groupBy("l_orderkey")
         .agg(F.count(F.lit(1)).alias("c"))
         .filter(F.col("c") > threshold * rate)
-        .select(F.col("l_orderkey").alias("hot_key"))
-    )
-    li = li.join(
-        F.broadcast(hot), li.l_orderkey == F.col("hot_key"), "left"
-    ).withColumn("is_hot", F.col("hot_key").isNotNull())
-    o = o.join(
-        F.broadcast(hot), o.o_orderkey == F.col("hot_key"), "left"
-    ).withColumn("is_hot", F.col("hot_key").isNotNull())
-
-    cold = li.filter(~F.col("is_hot")).join(
-        o.filter(~F.col("is_hot")).select("o_orderkey", "o_orderpriority"),
-        F.col("l_orderkey") == F.col("o_orderkey"),
-    ).select("o_orderpriority", "l_quantity")
-    hot_li = li.filter(F.col("is_hot")).withColumn(
+        .collect()
+    ]
+    li_hot = F.col("l_orderkey").isin(hot_keys) if hot_keys else F.lit(False)
+    o_hot = F.col("o_orderkey").isin(hot_keys) if hot_keys else F.lit(False)
+    salted_li = li.withColumn(
         "salt",
-        F.pmod(
-            F.xxhash64("l_orderkey", "l_linenumber", "l_partkey"), F.lit(N_SALTS)
-        ).cast("int"),
+        F.when(
+            li_hot,
+            F.pmod(
+                F.xxhash64("l_orderkey", "l_linenumber", "l_partkey"),
+                F.lit(N_SALTS),
+            ).cast("int"),
+        ).otherwise(F.lit(0)),
     )
-    hot_o = (
-        o.filter(F.col("is_hot"))
-        .select("o_orderkey", "o_orderpriority")
-        .withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(N_SALTS - 1))))
+    salted_o = o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.explode(
+            F.when(o_hot, F.sequence(F.lit(0), F.lit(N_SALTS - 1))).otherwise(
+                F.array(F.lit(0))
+            )
+        ).alias("salt"),
     )
-    hot_join = hot_li.join(
-        hot_o,
-        (hot_li.l_orderkey == hot_o.o_orderkey) & (hot_li.salt == hot_o.salt),
-    ).select("o_orderpriority", "l_quantity")
     return (
-        cold.unionByName(hot_join)
+        salted_li.join(
+            salted_o,
+            (salted_li.l_orderkey == salted_o.o_orderkey)
+            & (salted_li.salt == salted_o.salt),
+        )
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_lines"),
