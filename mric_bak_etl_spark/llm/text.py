@@ -613,10 +613,16 @@ def decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "text"),
 )
 def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mric_bak_etl_spark.tables import materialize
+
     docs = load_table(spark, sf_dir, "documents").select("text")
     toks = docs.select(F.split("text", " ").alias("toks"))
-    uni = toks.select(F.explode("toks").alias("tok")).groupBy("tok").agg(
-        F.count(F.lit(1)).alias("c1")
+    # Vocabulary-sized: materialized once; its three consumers (two PMI
+    # join sides + the total) otherwise re-tokenize the corpus each.
+    uni = materialize(
+        toks.select(F.explode("toks").alias("tok")).groupBy("tok").agg(
+            F.count(F.lit(1)).alias("c1")
+        )
     )
     bi = (
         toks.select(
@@ -633,10 +639,12 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c2") >= 5)
     )
     total1 = uni.agg(F.sum("c1").alias("total1"))
-    total2_src = (
-        toks.select(
-            F.greatest(F.size("toks") - 1, F.lit(0)).alias("n")
-        ).agg(F.sum("n").alias("total2"))
+    # total bigram positions = total tokens - one per doc (split() never
+    # yields an empty array) — derived arithmetically instead of a third
+    # tokenize pass; the doc count is a column-less metadata-cheap scan.
+    n_docs = docs.agg(F.count(F.lit(1)).alias("nd"))
+    total2_src = total1.crossJoin(n_docs).select(
+        (F.col("total1") - F.col("nd")).alias("total2")
     )
     u1 = uni.select(F.col("tok").alias("t1"), F.col("c1").alias("c1_w1"))
     u2 = uni.select(F.col("tok").alias("t2"), F.col("c1").alias("c1_w2"))
@@ -801,7 +809,11 @@ def redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 def unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
     tok = d.select("doc_id", "lang", F.explode(tokens()).alias("t"))
-    vocab = tok.groupBy("t").agg(F.count(F.lit(1)).alias("cnt"))
+    from mric_bak_etl_spark.tables import materialize
+
+    # Vocab-sized, consumed by the total AND the scoring join:
+    # materialized once instead of re-tokenizing the corpus per consumer.
+    vocab = materialize(tok.groupBy("t").agg(F.count(F.lit(1)).alias("cnt")))
     tot = vocab.agg(F.sum("cnt").alias("n"))
     scored = (
         tok.join(F.broadcast(vocab), "t")

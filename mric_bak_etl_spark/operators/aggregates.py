@@ -549,19 +549,39 @@ def median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     li = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
+    # BOTH order statistics derive from the value-frequency table — one
+    # fact scan, one (flag, qty) shuffle; the windows and the final agg
+    # run over the tiny frequency relation. Median via interpolation on
+    # the cumulative counts: position (n+1)/2, averaging the values at
+    # its floor and ceil ranks (== percentile(0.5) semantics); mode =
+    # highest count, lowest value on ties. A separate median() agg would
+    # re-scan and re-sort the raw rows.
     freq = li.groupBy("l_returnflag", "l_quantity").agg(F.count(F.lit(1)).alias("n"))
-    w = Window.partitionBy("l_returnflag").orderBy(F.desc("n"), "l_quantity")
-    modal = (
-        freq.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("l_returnflag", F.col("l_quantity").alias("mode_qty"))
+    fw = Window.partitionBy("l_returnflag")
+    enriched = freq.select(
+        "l_returnflag",
+        "l_quantity",
+        "n",
+        F.sum("n").over(fw.orderBy("l_quantity")).alias("cum"),
+        F.sum("n").over(fw).alias("total"),
+        F.row_number().over(fw.orderBy(F.desc("n"), "l_quantity")).alias("rn"),
     )
-    med = li.groupBy("l_returnflag").agg(
-        F.round(F.median("l_quantity"), 4).alias("median_qty"),
-        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-    )
+    k1 = F.floor((F.col("total") + 1) / 2)
+    k2 = F.ceil((F.col("total") + 1) / 2)
     return (
-        modal.join(med, "l_returnflag")
+        enriched.groupBy("l_returnflag")
+        .agg(
+            F.round(
+                (
+                    F.min(F.when(F.col("cum") >= k1, F.col("l_quantity")))
+                    + F.min(F.when(F.col("cum") >= k2, F.col("l_quantity")))
+                )
+                / 2.0,
+                4,
+            ).alias("median_qty"),
+            F.min(F.when(F.col("rn") == 1, F.col("l_quantity"))).alias("mode_qty"),
+            F.max("total").cast("bigint").alias("n_rows"),
+        )
         .select("l_returnflag", "median_qty", "mode_qty", "n_rows")
         .orderBy("l_returnflag")
     )

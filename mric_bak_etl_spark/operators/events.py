@@ -129,12 +129,21 @@ def funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("events", "composite"),
 )
 def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
-    first_seen = ev.groupBy("user_id").agg(
-        F.date_trunc("week", F.min("ts")).alias("cohort_week")
-    )
+    # cohort = first-seen week as a per-user window min: ONE scan and ONE
+    # user_id shuffle; the aggregate-then-join-back form scans events
+    # twice for the same answer.
+    cohort = F.date_trunc(
+        "week", F.min("ts").over(Window.partitionBy("user_id"))
+    ).alias("cohort_week")
     activity = (
-        ev.join(F.broadcast(first_seen), "user_id")
+        ev.select(
+            "user_id",
+            cohort,
+            "ts",
+        )
         .select(
             "user_id",
             "cohort_week",

@@ -82,3 +82,18 @@ def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     for name, df in dfs.items():
         df.createOrReplaceTempView(name)
     return dfs
+
+
+def materialize(df: DataFrame) -> DataFrame:
+    """Materialize a SMALL intermediate once (localCheckpoint) so multiple
+    consumers stop re-deriving its lineage.
+
+    Spark recomputes a DataFrame's whole lineage per consumer unless it is
+    persisted — for a vocabulary-sized aggregate consumed three times that
+    means three full tokenize scans of the corpus. localCheckpoint stores
+    the computed partitions executor-local and truncates lineage; it is
+    the in-session analogue of writing the intermediate to a table (what a
+    production pipeline does). Only for BOUNDED intermediates (vocab
+    tables, centroid sets, hot-key lists) — never the fact stream.
+    """
+    return df.localCheckpoint(eager=True)
