@@ -174,8 +174,12 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "sampling"),
 )
 def mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mric_bak_etl_spark.tables import materialize
+
     d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
-    stats = d.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt"))
+    # Language-cardinality-sized; its consumers (totals, the rate join,
+    # the report join) otherwise re-scan the corpus each.
+    stats = materialize(d.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt")))
     tot = stats.agg(
         F.sum("cnt").alias("total"), F.count(F.lit(1)).alias("n_langs")
     )

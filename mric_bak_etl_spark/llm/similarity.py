@@ -232,39 +232,62 @@ CENTROID_MOD = 97  # coarse codebook = vectors with vec_id % 97 == 1
     tags=("llm", "vector"),
 )
 def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double().alias("v")
     )
-    cents = e.filter(F.col("vec_id") % CENTROID_MOD == 1).select(
-        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    # Codebook + query travel as ONE broadcast row: array<struct<cid,cv>>
+    # plus qv. Cell assignment is then array_max over per-cell structs —
+    # a map-side expression (same engine-stable (cs 6dp, cid) order as
+    # the former per-vector row_number window, which shuffled the whole
+    # corpus×k cross join) — and the 2-cell probe list is an array
+    # expression over the same broadcast row. One corpus scan, zero
+    # corpus shuffle before the final top-k heap.
+    cents_arr = (
+        e.filter(F.col("vec_id") % CENTROID_MOD == 1)
+        .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+        .agg(F.sort_array(F.collect_list(F.struct("cid", "cv"))).alias("cents"))
     )
     q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(F.col("v").alias("qv"))
-    # Assignment: corpus × broadcast codebook, keep nearest cell per vector.
-    scored = spread(e).crossJoin(F.broadcast(cents)).select(
-        "vec_id", "v", "cid",
-        F.round(_cosine(F.col("v"), F.col("cv")), 6).alias("cs"),
+    side = F.broadcast(
+        cents_arr.crossJoin(q).select(
+            "cents",
+            "qv",
+            F.slice(
+                F.sort_array(
+                    F.transform(
+                        "cents",
+                        lambda c: F.struct(
+                            (-F.round(_cosine(c["cv"], F.col("qv")), 6)).alias("ncs"),
+                            c["cid"].alias("cid"),
+                        ),
+                    )
+                ),
+                1,
+                2,
+            ).alias("probe"),
+        )
     )
-    w = Window.partitionBy("vec_id").orderBy(F.col("cs").desc(), F.col("cid").asc())
-    assign = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "v", "cid")
+    best = F.array_max(
+        F.transform(
+            "cents",
+            lambda c: F.struct(
+                F.round(_cosine(F.col("v"), c["cv"]), 6).alias("cs"),
+                (-c["cid"]).alias("ncid"),
+                c["cid"].alias("cid"),
+            ),
+        )
     )
-    probe = (
-        cents.crossJoin(F.broadcast(q))
-        .select("cid", F.round(_cosine(F.col("cv"), F.col("qv")), 6).alias("cs"))
-        .orderBy(F.col("cs").desc(), F.col("cid").asc())
-        .limit(2)
-        .select("cid")
-    )
-    candidates = assign.join(F.broadcast(probe), "cid").filter(
-        F.col("vec_id") != QUERY_VEC_ID
+    candidates = (
+        spread(e)
+        .crossJoin(side)
+        .withColumn("cell", best["cid"])
+        .filter(
+            F.exists("probe", lambda p: p["cid"] == F.col("cell"))
+            & (F.col("vec_id") != QUERY_VEC_ID)
+        )
     )
     return (
-        candidates.crossJoin(F.broadcast(q))
-        .select(
+        candidates.select(
             "vec_id", F.round(_cosine(F.col("v"), F.col("qv")), 4).alias("cosine")
         )
         .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
