@@ -144,8 +144,14 @@ def minhash_signatures(corpus: DataFrame, n_hashes: int = N_MINHASHES) -> DataFr
     at 100 TB that shuffle dominates the whole dedup pipeline.)"""
     # Materialize the shingle array in its own projection so the 16 slot
     # expressions share ONE tokenize+hash evaluation (higher-order funcs
-    # fall outside codegen subexpression elimination).
-    sh = corpus.select("doc_id", shingle_hashes().alias("sh"))
+    # fall outside codegen subexpression elimination). Accepts a frame
+    # that already carries `sh` (the materialized shingle table) so the
+    # LSH pipeline tokenizes the corpus exactly once.
+    sh = (
+        corpus
+        if "sh" in corpus.columns
+        else corpus.select("doc_id", shingle_hashes().alias("sh"))
+    )
 
     def slot(i: int) -> Column:
         # Single-arg lambda: a 2-arg lambda would be bound by transform()
@@ -229,7 +235,11 @@ def exact_jaccard(corpus: DataFrame, pairs: DataFrame) -> DataFrame:
     At cluster scale, the melted side doubles as the semi-join prune: the
     join itself discards every non-candidate document.
     """
-    sh = corpus.select("doc_id", shingle_hashes().alias("sh"))
+    sh = (
+        corpus.select("doc_id", "sh")
+        if "sh" in corpus.columns
+        else corpus.select("doc_id", shingle_hashes().alias("sh"))
+    )
     melted = pairs.select(
         "doc_a",
         "doc_b",
@@ -265,10 +275,16 @@ def exact_jaccard(corpus: DataFrame, pairs: DataFrame) -> DataFrame:
     tags=("llm", "dedup"),
 )
 def minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mric_bak_etl_spark.tables import materialize
+
     corpus = corpus_with_near_dups(spark, sf_dir)
-    pairs = lsh_candidate_pairs(minhash_signatures(corpus))
+    # ONE tokenize+shingle pass serves signatures AND the exact verify —
+    # the shingle table is corpus-keyed but bounded (int64 arrays), the
+    # thing a production pipeline persists between dedup stages.
+    sh = materialize(corpus.select("doc_id", shingle_hashes().alias("sh")))
+    pairs = lsh_candidate_pairs(minhash_signatures(sh))
     return (
-        exact_jaccard(corpus, pairs)
+        exact_jaccard(sh, pairs)
         .filter(F.col("jaccard") >= 0.5)
         .orderBy("doc_a", "doc_b")
     )
@@ -319,8 +335,14 @@ _PAIRS_ORACLE = f"""
     tags=("llm", "dedup"),
 )
 def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mric_bak_etl_spark.tables import materialize
+
     corpus = corpus_with_near_dups(spark, sf_dir)
-    inv = corpus.select("doc_id", F.explode(shingles()).alias("shingle"))
+    # One tokenize+shingle pass; the inverted-index self-join and the
+    # two size lookups all read the materialized table (8 corpus scans
+    # otherwise: 2 self-join sides x lineage + 2 size sides).
+    sh_tbl = materialize(corpus.select("doc_id", shingles().alias("sh")))
+    inv = sh_tbl.select("doc_id", F.explode("sh").alias("shingle"))
     a = inv.alias("a")
     b = inv.alias("b")
     common = (
@@ -334,7 +356,7 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    sizes = corpus.select("doc_id", F.size(shingles()).alias("n_sh"))
+    sizes = sh_tbl.select("doc_id", F.size("sh").alias("n_sh"))
     jac = (
         common.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
         .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
