@@ -398,12 +398,19 @@ def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # salt 0 and the cold build row replicates exactly once, so the
     # unified (key, salt) join IS the plain join for the cold majority
     # and an N-way spread for the hot tail.
+    # Cap at the top heaviest keys: "hot" only means anything for the few
+    # keys a single task can't hold — an unbounded cutoff over a uniform
+    # sample would mark thousands of keys hot and bloat the salt
+    # expressions into planner poison (every key salting ≈ the naive
+    # full-replication recipe). Deterministic (count DESC, key ASC) order.
     hot_keys = [
         r["l_orderkey"]
         for r in li.sample(fraction=rate, seed=42)
         .groupBy("l_orderkey")
         .agg(F.count(F.lit(1)).alias("c"))
         .filter(F.col("c") > threshold * rate)
+        .orderBy(F.desc("c"), F.asc("l_orderkey"))
+        .limit(32)
         .collect()
     ]
     li_hot = F.col("l_orderkey").isin(hot_keys) if hot_keys else F.lit(False)
