@@ -314,7 +314,9 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select(
         "o_custkey", "o_orderdate", "o_totalprice"
     )
-    anchor = o.agg(F.max("o_orderdate").alias("anchor"))
+    # The recency anchor (global max order date) = max of the per-customer
+    # maxima — a window over the customer-grain aggregate, so the fact
+    # table is scanned ONCE (a separate global-max branch re-scans it).
     cust = (
         o.groupBy("o_custkey")
         .agg(
@@ -322,10 +324,11 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("frequency"),
             F.round(F.sum("o_totalprice"), 2).alias("monetary"),
         )
-        .crossJoin(F.broadcast(anchor))
         .select(
             "o_custkey",
-            F.datediff("anchor", "last_order").alias("recency_days"),
+            F.datediff(
+                F.max("last_order").over(Window.partitionBy()), F.col("last_order")
+            ).alias("recency_days"),
             "frequency",
             "monetary",
         )
