@@ -89,36 +89,59 @@ def all_specs() -> dict[str, QuerySpec]:
     return dict(_REGISTRY)
 
 
-# Verification order: one fast representative of EVERY family first, so a
-# time-budgeted correctness run (round 1's recorded run stopped mid-module
-# after 45 of 173 queries, in registration order) still samples the whole
-# surface before depth. Everything not listed follows in sorted order.
+# Verification order — round 3 rotation. The driver's correctness run is
+# time-budgeted (~50 entries/round); rounds 1-2 drove 78 distinct queries
+# green, so this round front-loads the 125 not-yet-driver-verified entries:
+# the flagship canary, then the 14 SURVEY §2B operators with no driver row
+# yet (VERDICT r2 item 1), then the remainder cheapest-first (measured at
+# sf0.01, warm session — /tmp profile 2026-08-13; total 99 s). Entries whose
+# check is rows-only by design (no oracle) are demoted — they yield weaker
+# driver rows. Already-green queries follow in sorted order; the local
+# parity suite (tests/test_oracle_parity.py) remains the regression guard
+# for them.
 _VERIFY_FIRST: tuple[str, ...] = (
-    # flagship + core relational
-    "a1_pricing_summary", "s1_parquet_scan", "p1_projection",
-    "p2_filter_predicates", "j1_inner_equi", "j2_broadcast_dims",
-    "j4b_left_anti", "a4_rollup", "a7_percentiles", "w1_ranking",
-    "w3_frames", "o2_topk", "u1_union_by_name", "u2_intersect",
-    # scalar functions / SQL entry
-    "f1_strings", "f2_datetime", "f7_json", "q1_sql_parity",
-    # subqueries / composites
-    "sq1_exists_correlated", "sq5_lateral_topk_per_group",
-    "h3_shipping_priority", "h5_local_supplier_volume",
-    # reference pipeline / quality
-    "r7_state_antijoin", "r17_merge_apply", "dq1_quality_gate",
-    "dq5_referential_integrity",
-    # streaming / events / graph
-    "t1_tumbling_window", "t5_stateful_dedup", "e1_funnel",
-    "e4_event_transitions", "g1_pagerank",
-    # joins, advanced
-    "j6_asof", "j8_salted_skew_join", "j12_interval_overlap_join",
-    # llm / text / multimodal / udf
-    "l1_exact_dedup", "l3_cosine_topk", "l4_tokenize_tf",
-    "l6_stratified_sample", "l2b_ngram_jaccard", "l19_kmeans",
-    "tx_token_count", "tx_langid", "m1_multimodal_metadata",
-    "x4_scalar_pandas_udf",
-    # exactness / sketches
-    "a16_decimal_exact", "a18_bitmap_exact_distinct",
+    "a1_pricing_summary", "s2_file_manifest", "t4_watermark_cutoff",
+    "l5_slice_stats", "f5_arrays", "f4_conditional",
+    "f6_map_struct", "o1_multikey_sort", "s3_snapshot_roundtrip",
+    "t2_sliding_window", "t3_session_window", "x2_grouped_pandas_agg",
+    "w2_lag_lead", "x1_unzip_payload", "f3_math",
+    "o4_limit_offset", "u5_union_missing_columns", "h6_forecast_revenue",
+    "tx_fingerprint", "r2_listing_parse_latest", "o3_range_partitioned_sort",
+    "f22_number_format", "x8_arrow_python_udf", "x5_map_in_arrow",
+    "f8_string_distance", "f9_hashing", "tx_quality_score",
+    "u3_union_distinct", "f12_bitwise", "f21_intervals",
+    "w5_forward_fill", "t7_stream_stream_join", "tx_redaction",
+    "tx_repetition", "w6_distribution", "f24_higher_order_complete",
+    "h15_top_supplier", "u2b_except_all", "s10_zorder_layout",
+    "f16_transcendental", "l3b_ann_lsh_bucket", "h22_sales_opportunity",
+    "m5_binary_dedup", "l7_chunking", "f18_try_family",
+    "h4_order_priority_check", "w7_running_distinct", "l16_quality_classifier",
+    "l9_sequence_packing", "f11_datetime_advanced", "r20_scd2_asof_lookup",
+    "t8_stream_static_join", "f25_map_higher_order", "h17_small_quantity_revenue",
+    "h19_disjunctive_predicates", "l3c_grouped_centroids", "e6_event_paths",
+    "f10_array_advanced", "f19_malformed_json", "l10_embedding_hygiene",
+    "r16_snapshot_diff", "h12_late_line_priority", "f14_variant",
+    "x6_grouped_pandas_map", "h13_order_distribution", "r18_scd2_history",
+    "s6_schema_evolution", "f15_url", "l11_curation_pipeline",
+    "e7_interarrival", "s9_sorted_layout", "r19_scd2_multi_generation",
+    "e2_cohort_retention", "dq2_volume_anomaly", "tx_bigram_freq",
+    "l3d_ivf_topk", "e5_rfm_segments", "m3_frame_sample",
+    "h11_important_stock", "h9_product_profit", "f13_date_spine",
+    "f23_collation", "a22_regression_aggregates", "l15_mixture_rebalance",
+    "l14_pmi_collocations", "e3_gaps_islands", "q3_session_variables",
+    "w4_range_interval_frame", "q4_parameterized_sql", "h20_dominant_supplier",
+    "l13_decontamination", "l17_semdedup", "h16_supplier_part_count",
+    "s4_partitioned_snapshot", "h2_min_cost_supplier", "l18_unigram_lm",
+    "l8_tfidf", "s5_format_roundtrip", "l20_oov_rate",
+    "dq3_column_profile", "s8_dynamic_partition_pruning", "tx_boilerplate",
+    "s11_write_audit_publish", "h21_waiting_supplier", "l2d_embedding_neardup",
+    "s13_jdbc_roundtrip", "s5b_orc_xml_roundtrip", "m4_resize",
+    "f17_encoding", "s7_compaction", "x3_python_udtf",
+    "a19_listagg", "dq4_observed_metrics", "x7_polymorphic_udtf",
+    "f20_xml", "q2_recursive_cte", "t6_stateful_custom",
+    "l2e_dup_clusters", "s12_python_datasource", "g2_shortest_path",
+    "a21_approx_percentile", "a14_hll_sketch", "l2_minhash_lsh",
+    "l2c_simhash", "m2_feature_extract", "a3_approx_count_distinct",
 )
 
 

@@ -253,6 +253,10 @@ def exact_jaccard(corpus: DataFrame, pairs: DataFrame) -> DataFrame:
             F.first(F.when(F.col("doc_id") == F.col("doc_a"), F.col("sh")), ignorenulls=True).alias("sh_a"),
             F.first(F.when(F.col("doc_id") == F.col("doc_b"), F.col("sh")), ignorenulls=True).alias("sh_b"),
         )
+        # Preserve the pre-melt inner-join contract: a pair whose doc_a or
+        # doc_b is absent from the corpus vanishes (it would otherwise
+        # surface as a NULL-shingle row with NULL jaccard — ADVICE r2).
+        .filter(F.col("sh_a").isNotNull() & F.col("sh_b").isNotNull())
         .select(
             "doc_a",
             "doc_b",

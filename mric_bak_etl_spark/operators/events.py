@@ -315,23 +315,22 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey", "o_orderdate", "o_totalprice"
     )
     # The recency anchor (global max order date) = max of the per-customer
-    # maxima — a window over the customer-grain aggregate, so the fact
-    # table is scanned ONCE (a separate global-max branch re-scans it).
-    cust = (
-        o.groupBy("o_custkey")
-        .agg(
-            F.max("o_orderdate").alias("last_order"),
-            F.count(F.lit(1)).alias("frequency"),
-            F.round(F.sum("o_totalprice"), 2).alias("monetary"),
-        )
-        .select(
-            "o_custkey",
-            F.datediff(
-                F.max("last_order").over(Window.partitionBy()), F.col("last_order")
-            ).alias("recency_days"),
-            "frequency",
-            "monetary",
-        )
+    # maxima, computed as a 1-row aggregate of the customer-grain table
+    # and broadcast back via cross join. Both branches fork ABOVE the
+    # same groupBy exchange, so ReusedExchange aggregates the fact once;
+    # an empty-partition window here would instead funnel every customer
+    # row through a single task (OOM risk at 100 TB customer counts).
+    grain = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+    )
+    anchor = grain.agg(F.max("last_order").alias("anchor_date"))
+    cust = grain.join(F.broadcast(anchor)).select(
+        "o_custkey",
+        F.datediff(F.col("anchor_date"), F.col("last_order")).alias("recency_days"),
+        "frequency",
+        "monetary",
     )
     scored = cust.select(
         F.ntile(4)

@@ -189,6 +189,17 @@ _SP_ITER = """
 def shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     node_rows = e.select(F.col("event_type").alias("v")).distinct().collect()
+    # Bellman-Ford needs |V|-1 relaxations for exactness, but the oracle
+    # SQL unrolls exactly SP_ROUNDS CTE rounds at import time — if the
+    # fixture ever grows past SP_ROUNDS+1 event types BOTH sides would
+    # return identically under-relaxed distances and parity could never
+    # catch it (ADVICE r2). Fail loudly instead of silently agreeing.
+    if len(node_rows) - 1 > SP_ROUNDS:
+        raise ValueError(
+            f"g2_shortest_path: {len(node_rows)} event types needs "
+            f"{len(node_rows) - 1} relaxation rounds but SP_ROUNDS={SP_ROUNDS}; "
+            "raise SP_ROUNDS (the oracle CTE chain follows automatically)."
+        )
     edge_rows = (
         _edges(spark, sf_dir)
         .select("src", "dst", F.round(-F.log("weight"), 6).alias("wt"))

@@ -397,16 +397,14 @@ def promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="H15 (TPC-H Q15): top supplier by quarterly revenue — the revenue "
     "'view' is ONE grouped agg on l_suppkey; the '= max' tie-safe filter "
-    "is a global-max window over the already-aggregated supplier-grain "
-    "table (a separate max branch would re-aggregate lineitem — the "
-    "fact is scanned and aggregated exactly once; the single-partition "
-    "window pass touches only |suppliers| aggregated rows). No global "
+    "joins a broadcast 1-row global-max aggregate of that view back to "
+    "it. Both branches fork above the same l_suppkey shuffle, so "
+    "ReusedExchange aggregates lineitem once; no empty-partition window "
+    "(which would single-task the supplier-grain table) and no global "
     "sort: the max-filter replaces orderBy().limit(1).",
     tags=("tpch", "composite"),
 )
 def top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
     )
@@ -414,9 +412,8 @@ def top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
         F.sum(_revenue()).alias("total_rev")
     )
-    topped = rev.withColumn(
-        "mx", F.max("total_rev").over(Window.partitionBy())
-    ).filter(F.col("total_rev") == F.col("mx"))
+    mx = rev.agg(F.max("total_rev").alias("mx"))
+    topped = rev.join(F.broadcast(mx)).filter(F.col("total_rev") == F.col("mx"))
     return (
         topped.join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
         .select(

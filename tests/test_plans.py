@@ -340,27 +340,29 @@ def test_jdbc_read_pushes_predicate_to_database(spark, sf_dir):
 
 
 def test_approx_percentile_within_rank_error(spark, sf_dir, duck):
-    # a21: GK-sketch quantiles must land within a tight window of the
-    # exact quantiles (rank error 1e-4 at accuracy=10000 — on these row
-    # counts that means within a handful of neighboring values).
+    # a21: the GK sketch bounds RANK error (<= n/accuracy = 1e-4*n), not
+    # value error — a rank-accurate answer on a skewed distribution can
+    # legitimately exceed any fixed value tolerance (ADVICE r2). So
+    # assert in rank space: the returned value's rank interval
+    # [count(<v), count(<=v)] must overlap n*(q ± eps), +1 row of slack
+    # because the sketch returns an actual element, not an interpolation.
     rows = {
         r["l_returnflag"]: (r["p50"], r["p95"], r["p99"])
         for r in all_specs()["a21_approx_percentile"].builder(spark, sf_dir).collect()
     }
-    exact = {
-        r[0]: (r[1], r[2], r[3])
-        for r in duck.execute(
-            """SELECT l_returnflag,
-                      quantile_cont(l_extendedprice, 0.5),
-                      quantile_cont(l_extendedprice, 0.95),
-                      quantile_cont(l_extendedprice, 0.99)
-               FROM lineitem GROUP BY 1"""
-        ).fetchall()
-    }
     for flag, (p50, p95, p99) in rows.items():
-        e50, e95, e99 = exact[flag]
-        for got, want in [(p50, e50), (p95, e95), (p99, e99)]:
-            assert abs(got - want) / want < 0.02, (flag, got, want)
+        for q, got in [(0.5, p50), (0.95, p95), (0.99, p99)]:
+            n, lo, hi = duck.execute(
+                """SELECT count(*),
+                          count(*) FILTER (WHERE l_extendedprice < ?),
+                          count(*) FILTER (WHERE l_extendedprice <= ?)
+                   FROM lineitem WHERE l_returnflag = ?""",
+                [got, got, flag],
+            ).fetchone()
+            eps = 1e-4 * n + 1
+            assert lo <= q * n + eps and hi >= q * n - eps, (
+                flag, q, got, lo, hi, n,
+            )
 
 
 def test_scd2_lookup_is_hash_join_with_residual(spark, sf_dir):
@@ -369,3 +371,19 @@ def test_scd2_lookup_is_hash_join_with_residual(spark, sf_dir):
     plan = plan_of(all_specs()["r20_scd2_asof_lookup"].builder(spark, sf_dir))
     assert "NestedLoop" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_g2_rounds_cover_fixture_vocabulary(duck):
+    # g2's oracle unrolls exactly SP_ROUNDS Bellman-Ford CTEs at import,
+    # and the Spark side runs the same count — if the fixture grows past
+    # SP_ROUNDS+1 event types both sides agree on under-relaxed distances
+    # and parity can't catch it (ADVICE r2). The builder raises at
+    # runtime; this guard fails the suite as soon as the fixture drifts.
+    from mric_bak_etl_spark.operators.graph import SP_ROUNDS
+
+    n_types = duck.execute(
+        "SELECT count(DISTINCT event_type) FROM events"
+    ).fetchone()[0]
+    assert n_types - 1 <= SP_ROUNDS, (
+        f"fixture has {n_types} event types; raise SP_ROUNDS to {n_types - 1}"
+    )
