@@ -72,6 +72,42 @@ def spread(df: DataFrame, *cols: str) -> DataFrame:
     return df.repartition(n, *[F.col(c) for c in cols]) if cols else df.repartition(n)
 
 
+CPU_DENSE_PARTITION_BYTES = 32 << 20  # ~32 MB of input per compute task
+
+
+def sized_parallelism(
+    sf_dir: str, name: str, per_partition_bytes: int = CPU_DENSE_PARTITION_BYTES
+) -> int:
+    """Partition count proportional to INPUT BYTES, not core count.
+
+    ``spread`` pins to engine parallelism, which is right when per-row CPU
+    dominates (shingling, pandas UDFs). For lighter per-row work a tiny
+    input spread across every core pays ~2-5 ms of task-scheduling
+    overhead per core per stage — an iterative query (l19: 3 assignment
+    passes, 2 update aggs) multiplies that into whole seconds while each
+    task computes for microseconds. Sizing by bytes keeps small inputs on
+    few tasks and grows partition count linearly with data: at 100 TB the
+    same rule yields bytes/32 MB partitions (millions — what a large
+    cluster wants), with no cap, because the floor/cap problem only
+    exists at the small end. Local files are sized with os.stat; on an
+    object store the same number comes from the catalog/FileIndex.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        if os.path.isfile(path):
+            size = os.path.getsize(path)
+        else:
+            size = sum(
+                os.path.getsize(os.path.join(root, f))
+                for root, _, files in os.walk(path)
+                for f in files
+            )
+    except OSError:
+        return default_parallelism()
+    n_by_bytes = max(1, -(-size // per_partition_bytes))
+    return int(max(n_by_bytes, min(8, default_parallelism())))
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
 
