@@ -8,6 +8,12 @@ Runs the headline catalog queries at $SPARK_GRAFT_SF_DIR (default
 Each query is fully materialized via the `noop` sink (forces the whole plan,
 no driver collect, no output I/O skew) after a warm-up action has primed the
 JVM/codegen caches.
+
+Bench note (r2→r3): the four sub-second queries that regressed 5-20%
+between BENCH_r01 and BENCH_r02 (h5, sq2, h18, t1) were re-measured 5×
+each on identical plans — run-to-run spread on this shared VM is 17-58%
+(h5: 0.97-1.54 s), so round-over-round deltas inside ~±25% on sub-second
+queries are steal-time noise, not plan changes. Not chased further.
 """
 
 from __future__ import annotations

@@ -14,6 +14,7 @@ from mric_bak_etl_spark.llm.dedup import (
     minhash_lsh,
     minhash_signatures,
     ngram_jaccard,
+    shingle_hashes,
     simhash_pairs,
 )
 from mric_bak_etl_spark.llm.multimodal import (
@@ -43,6 +44,24 @@ def test_minhash_lsh_recall_vs_exact(spark, sf_dir):
     assert len(exact) > 0
     recall = len(lsh & exact) / len(exact)
     assert recall >= 0.8, f"LSH recall {recall:.2f} over {len(exact)} true pairs"
+
+
+def test_lsh_candidate_stage_does_not_flood(spark, sf_dir):
+    # A banding bug that floods candidates would hide behind the exact
+    # verify (final output stays correct) while silently exploding the
+    # verify-stage workload — the O(n²) the bucketed design exists to
+    # avoid. Bound candidate VOLUME and demand candidate PRECISION
+    # (measured at sf0.01: 75 candidates / 550 docs, precision 1.0).
+    corpus = corpus_with_near_dups(spark, sf_dir)
+    n_docs = corpus.count()
+    sh = corpus.select("doc_id", shingle_hashes().alias("sh"))
+    cands = lsh_candidate_pairs(minhash_signatures(sh))
+    n_cands = cands.count()
+    assert n_cands <= 0.5 * n_docs, f"candidate flood: {n_cands} pairs for {n_docs} docs"
+    n_true = exact_jaccard(sh, cands).filter(F.col("jaccard") >= 0.5).count()
+    assert n_true >= 0.5 * n_cands, (
+        f"candidate precision {n_true}/{n_cands} — banding is admitting junk"
+    )
 
 
 def test_minhash_signature_shape(spark, sf_dir):

@@ -291,6 +291,20 @@ def test_w3_sort_key_is_total_order(spark, sf_dir):
     )
 
 
+def test_pagination_and_path_tiebreak_keys_are_unique(spark, sf_dir):
+    # o4 pages by (o_orderdate, o_orderkey) and e6 orders per-user events
+    # by (ts, event_id): both depend on o_orderkey / event_id staying
+    # unique. FIXTURES.md documents them as keys, but a regenerated
+    # fixture that drops the guarantee would make page boundaries and
+    # 3-step paths tie-order-dependent and silently oracle-divergent.
+    from mric_bak_etl_spark.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    assert o.count() == o.select("o_orderkey").distinct().count()
+    e = load_table(spark, sf_dir, "events")
+    assert e.count() == e.select("event_id").distinct().count()
+
+
 def test_interval_overlap_join_is_hash_join(spark, sf_dir):
     # j12: the day-bucket rewrite must produce a hash-family join on the
     # bucket key with the overlap predicate as a residual — NOT a
