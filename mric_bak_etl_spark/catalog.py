@@ -140,6 +140,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "a19_listagg", "dq4_observed_metrics", "x7_polymorphic_udtf",
     "f20_xml", "q2_recursive_cte", "t6_stateful_custom",
     "l2e_dup_clusters", "s12_python_datasource", "g2_shortest_path",
+    "g3_user_components",
     "a21_approx_percentile", "a14_hll_sketch", "l2_minhash_lsh",
     "l2c_simhash", "m2_feature_extract", "a3_approx_count_distinct",
 )

@@ -228,3 +228,80 @@ def shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dist.select(
         F.col("v").alias("event_type"), F.round("d", 6).alias("nll_dist")
     ).orderBy(F.asc_nulls_last("nll_dist"), "event_type")
+
+
+G3_VALUE_CUT = 200.0  # high-value activity only: keeps co-activity sparse
+
+
+@register(
+    "g3_user_components",
+    oracle=f"""
+    WITH RECURSIVE ev AS (
+      SELECT DISTINCT event_type, CAST(ts AS DATE) AS day, user_id
+      FROM events WHERE value >= {G3_VALUE_CUT}
+    ),
+    hubs AS (
+      SELECT event_type, day, min(user_id) AS hub FROM ev GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT e.user_id AS doc_a, h.hub AS doc_b
+      FROM ev e JOIN hubs h USING (event_type, day)
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    reach(node, root) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    labels AS (SELECT node, min(root) AS cluster_id FROM reach GROUP BY node)
+    SELECT cluster_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           max(node)                AS max_member
+    FROM labels
+    GROUP BY cluster_id
+    ORDER BY cluster_id
+    """,
+    doc="G3: USER-level connected components — cohorts of users linked by "
+    "shared high-value activity in the same (event_type, day) group. "
+    "Unlike g1/g2 (vocabulary-sized graphs, driver-materialized by "
+    "design), this graph is user-sized, so NOTHING touches the driver: "
+    "edges come from a star reduction (every user in a group links to "
+    "the group's min user — same components as the clique, |group| "
+    "edges instead of |group|^2) and components come from the same "
+    "distributed min-label propagation as l2e (llm/dedup.py "
+    "connected_components: per-round localCheckpoint lineage "
+    "truncation, scalar-only convergence probe). This is the "
+    "cluster-scale path the graph.py module docstring promises for "
+    "user-graphs. Oracle: DuckDB recursive-CTE transitive closure over "
+    "the identical star edges.",
+    tags=("graph", "events", "iterative"),
+)
+def user_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mric_bak_etl_spark.llm.dedup import connected_components
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value") >= G3_VALUE_CUT)
+        .select("event_type", F.to_date("ts").alias("day"), "user_id")
+        .distinct()
+    )
+    hubs = ev.groupBy("event_type", "day").agg(F.min("user_id").alias("hub"))
+    # Self-pairs (user == hub) are kept: they contribute no merging but
+    # register singleton-group users as graph nodes.
+    pairs = ev.join(hubs, ["event_type", "day"]).select(
+        F.col("user_id").alias("doc_a"), F.col("hub").alias("doc_b")
+    )
+    labels = connected_components(pairs)
+    return (
+        labels.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.max("doc_id").alias("max_member"),
+        )
+        .orderBy("cluster_id")
+    )
