@@ -801,3 +801,39 @@ def regression_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "a20_approx_topk",
+    oracle="""
+    SELECT o_orderpriority AS item, CAST(count(*) AS BIGINT) AS cnt
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY cnt DESC, item
+    """,
+    doc="A20: approximate heavy hitters (approx_top_k, Spark 4.1 — a "
+    "frequent-items sketch behind an aggregate function): per-partition "
+    "sketches of bounded size merge associatively, so the top-k of a "
+    "100 TB column costs one map-side-combined agg and a few KB of "
+    "shuffle, vs the full groupBy+sort it replaces. Sized EXACTLY here "
+    "(maxItemsTracked=1024 >= NDV(o_orderpriority)=5, and k=NDV), which "
+    "is what makes a value oracle possible: when the tracked-item "
+    "budget covers the distinct count the sketch degrades to exact "
+    "counting — the same guarantee a production rollout validates "
+    "before trusting the approximate regime. Result re-sorted with a "
+    "deterministic (cnt DESC, item) tiebreak.",
+    tags=("aggregates", "sketch"),
+)
+def approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    topk = o.agg(
+        F.expr("approx_top_k(o_orderpriority, 5, 1024)").alias("tk")
+    )
+    return (
+        topk.select(F.explode("tk").alias("e"))
+        .select(
+            F.col("e.item").alias("item"),
+            F.col("e.count").cast("bigint").alias("cnt"),
+        )
+        .orderBy(F.col("cnt").desc(), "item")
+    )

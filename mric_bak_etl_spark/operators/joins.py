@@ -698,3 +698,163 @@ def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("a_id", "b_id")
     )
+
+
+@register(
+    "j13_null_safe_join",
+    oracle="""
+    WITH fact AS (
+      SELECT o_orderkey, o_totalprice, nullif(o_orderstatus, 'P') AS k
+      FROM orders
+    ),
+    dim AS (
+      SELECT DISTINCT nullif(o_orderstatus, 'P') AS k,
+             concat('grp_', coalesce(nullif(o_orderstatus, 'P'), 'pending'))
+               AS label
+      FROM orders
+    )
+    SELECT label, CAST(count(*) AS BIGINT) AS n,
+           round(sum(o_totalprice), 4) AS total
+    FROM fact JOIN dim ON fact.k IS NOT DISTINCT FROM dim.k
+    GROUP BY label
+    ORDER BY label
+    """,
+    doc="J13: null-safe equi-join (<=> / IS NOT DISTINCT FROM) — NULL "
+    "join keys MATCH each other instead of silently dropping (ANSI "
+    "NULL=NULL is UNKNOWN, so a plain inner join loses every NULL-keyed "
+    "row; the classic bug when an 'unknown' category is encoded as "
+    "NULL). eqNullSafe compiles to EqualNullSafe, which still hash-"
+    "partitions (NULL hashes like any value under the null-safe "
+    "comparator), so Catalyst keeps a BroadcastHashJoin here — NOT a "
+    "nested loop; the null-safe form costs nothing at 100 TB. The "
+    "NULL-keyed group is deliberately present (status 'P' mapped to "
+    "NULL on both sides) so the semantic difference is load-bearing in "
+    "the checked values.",
+    tags=("joins",),
+)
+def null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    fact = o.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.nullif(F.col("o_orderstatus"), F.lit("P")).alias("k"),
+    )
+    dim = (
+        o.select(F.nullif(F.col("o_orderstatus"), F.lit("P")).alias("k"))
+        .distinct()
+        .select(
+            "k",
+            F.concat(
+                F.lit("grp_"), F.coalesce(F.col("k"), F.lit("pending"))
+            ).alias("label"),
+        )
+    )
+    return (
+        fact.join(F.broadcast(dim), fact["k"].eqNullSafe(dim["k"]))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 4).alias("total"),
+        )
+        .orderBy("label")
+    )
+
+
+# Bloom pre-join filter geometry (j15): m bits sized for the dim-key
+# cardinality at the demo scale (~30k customers at sf0.1 with ~1/5
+# selected -> ~6k keys; m=64Ki bits, k=2 seeds => ~2% false positives).
+# At 100 TB m grows with the build side (Spark's own runtime filter
+# caps at spark.sql.optimizer.runtime.bloomFilter.maxNumBits, 64 MB
+# worth) — the words-map below grows linearly and stays broadcastable.
+_BLOOM_BITS = 1 << 16
+_BLOOM_SEEDS = (41, 97)
+
+
+def _bloom_pos_sql(key_sql: str, seed: int) -> str:
+    """SQL text of the bit position for one hash seed (shared by the
+    build and probe sides so they can never disagree)."""
+    return f"pmod(xxhash64({key_sql}, {seed}), {_BLOOM_BITS})"
+
+
+@register(
+    "j15_bloom_prejoin",
+    oracle="""
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+           round(sum(o_totalprice), 4) AS total
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="J15: bloom-filter pre-join pruning — the manual form of Spark's "
+    "AQE runtime row-level filter (InjectRuntimeFilter builds the same "
+    "bloom from the filtered build side): hash the dim keys twice "
+    "(xxhash64, 2 seeds) into a 64Ki-bit filter built as 64-bit WORDS "
+    "(groupBy word index + bit_or — one narrow shuffle of 2 positions "
+    "per key into <=1024 rows), collapse to a one-row map<word_idx,"
+    "word> and broadcast it; the fact side probes with element_at + "
+    "getbit as a pure map-side JVM expression BEFORE the join, so at "
+    "100 TB the non-matching fact rows die at the scan instead of "
+    "crossing the shuffle. False positives are removed by the real "
+    "join that follows — the bloom only prunes, never decides, so the "
+    "result is exact and the oracle is the plain join. Here the dim "
+    "also broadcasts (sizes are tiny); the pattern pays off when the "
+    "join must shuffle both sides.",
+    tags=("joins", "scale"),
+)
+def bloom_prejoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    dim = c.select("c_custkey")
+
+    # Build: dim keys -> bit positions -> 64-bit words -> one-row map.
+    positions = dim.select(
+        F.explode(
+            F.array(
+                *[
+                    F.expr(_bloom_pos_sql("c_custkey", seed))
+                    for seed in _BLOOM_SEEDS
+                ]
+            )
+        ).alias("pos")
+    )
+    words = positions.groupBy(
+        (F.col("pos") / 64).cast("int").alias("word_idx")
+    ).agg(
+        F.bit_or(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))")
+        ).alias("word")
+    )
+    bloom = words.agg(
+        F.map_from_entries(F.collect_list(F.struct("word_idx", "word"))).alias(
+            "bloom"
+        )
+    )
+
+    # Probe: map-side expression on the fact scan; a missing word means
+    # no dim key hashed into it -> definitely-absent.
+    probed = o.crossJoin(F.broadcast(bloom))
+    for seed in _BLOOM_SEEDS:
+        pos = _bloom_pos_sql("o_custkey", seed)
+        probed = probed.filter(
+            F.coalesce(
+                F.expr(
+                    f"getbit(element_at(bloom, CAST(({pos}) DIV 64 AS INT)), "
+                    f"CAST(({pos}) % 64 AS INT))"
+                ),
+                F.lit(0),
+            )
+            == 1
+        )
+
+    return (
+        probed.join(F.broadcast(c), probed["o_custkey"] == c["c_custkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 4).alias("total"),
+        )
+        .orderBy("o_orderpriority")
+    )

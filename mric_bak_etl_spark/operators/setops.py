@@ -161,3 +161,36 @@ def union_missing_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("o_orderkey")
         .limit(200)
     )
+
+
+@register(
+    "u4_intersect_all",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_keys,
+           CAST(sum(l_orderkey) AS BIGINT) AS key_sum
+    FROM (
+      SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+      INTERSECT ALL
+      SELECT l_orderkey FROM lineitem WHERE l_quantity >= 25
+    )
+    """,
+    doc="U4: INTERSECT ALL (multiset intersection, multiplicity-aware) — "
+    "each key survives min(count_left, count_right) times, vs u2's "
+    "INTERSECT which collapses to distinct. Catalyst plans it as ONE "
+    "count-compare hash aggregate over the union of tagged sides (same "
+    "shape as u2b's EXCEPT ALL) — one narrow-row shuffle on the "
+    "projected key, no join. The multiset semantics are load-bearing "
+    "in the checked values: n > n_keys because multi-line orders "
+    "appear in both slices more than once.",
+    tags=("setops",),
+)
+def intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    returned = li.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    bulky = li.filter(F.col("l_quantity") >= 25).select("l_orderkey")
+    return returned.intersectAll(bulky).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("l_orderkey").alias("n_keys"),
+        F.sum("l_orderkey").cast("bigint").alias("key_sum"),
+    )
