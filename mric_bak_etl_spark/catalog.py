@@ -107,7 +107,8 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "w2_lag_lead", "x1_unzip_payload", "f3_math",
     # round-3 additions (never driver-sampled; highest verification risk)
     "j13_null_safe_join", "j15_bloom_prejoin", "u4_intersect_all",
-    "a20_approx_topk",
+    "a20_approx_topk", "tx_entropy", "l21_bottomk_sample",
+    "l22_slice_divergence",
     "o4_limit_offset", "u5_union_missing_columns", "h6_forecast_revenue",
     "tx_fingerprint", "r2_listing_parse_latest", "o3_range_partitioned_sort",
     "f22_number_format", "x8_arrow_python_udf", "x5_map_in_arrow",

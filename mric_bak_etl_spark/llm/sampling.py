@@ -280,3 +280,45 @@ def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "l21_bottomk_sample",
+    oracle="""
+    SELECT doc_id, lang
+    FROM (
+      SELECT doc_id, lang
+      FROM documents
+      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+      LIMIT 50
+    )
+    ORDER BY doc_id
+    """,
+    doc="L21: deterministic fixed-SIZE sample — bottom-k by a content-"
+    "independent hash key (md5 of the doc id): the distributed "
+    "equivalent of reservoir sampling, but reproducible across runs, "
+    "engines and partitionings (a true reservoir depends on encounter "
+    "order, which Spark does not guarantee). Complements l6's hash-"
+    "THRESHOLD sampling: threshold gives an exact per-row rate but a "
+    "binomial size; bottom-k gives an exact size with every subset "
+    "equally likely under the hash's uniformity. Plans as "
+    "TakeOrderedAndProject — per-partition k-heaps, only k rows per "
+    "partition cross the wire — so a 50-row sample of a 100 TB corpus "
+    "shuffles ~k x partitions rows, never the corpus. The md5 tie "
+    "falls back to doc_id so the sample stays unique-keyed even if "
+    "two ids ever hashed equal.",
+    tags=("llm", "sampling"),
+)
+def bottomk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            F.md5(F.col("doc_id").cast("string").cast("binary")).alias("hkey"),
+        )
+        .orderBy("hkey", "doc_id")
+        .limit(50)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )

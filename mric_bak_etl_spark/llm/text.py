@@ -977,3 +977,135 @@ def oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(rate), 6).alias("mean_oov_rate"),
         F.sum((rate > 0.5).cast("bigint")).cast("bigint").alias("n_high_oov"),
     )
+
+
+@register(
+    "tx_entropy",
+    oracle="""
+    WITH tf AS (
+      SELECT doc_id, term, count(*) AS c
+      FROM (
+        SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS term
+        FROM documents
+      )
+      WHERE term <> ''
+      GROUP BY doc_id, term
+    )
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 4) AS entropy
+    FROM tf GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc="TX: per-document token Shannon entropy — the diversity signal "
+    "quality filters pair with tx_repetition's top-token share: near-"
+    "zero entropy means a degenerate document (one token repeated), "
+    "max entropy ln(n) means no repetition at all. Computed in TWO "
+    "hash aggs from one tokenize pass using the algebraic form "
+    "H = ln(n) - (Σ c·ln c)/n, so no per-document probability "
+    "normalization pass is needed — (doc, term) counts map-side-"
+    "combine, then collapse to the doc grain. Both shuffles carry "
+    "narrow count rows; nothing is quadratic in vocabulary.",
+    tags=("text", "quality"),
+)
+def entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load_table(spark, sf_dir, "documents"))
+    tf = (
+        d.select("doc_id", F.explode(tokens()).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .count()
+    )
+    return (
+        tf.groupBy("doc_id")
+        .agg(
+            F.sum("count").cast("bigint").alias("n_tokens"),
+            F.round(
+                F.log(F.sum("count"))
+                - F.sum(F.col("count") * F.log("count")) / F.sum("count"),
+                4,
+            ).alias("entropy"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "l22_slice_divergence",
+    oracle="""
+    WITH tf AS (
+      SELECT CASE WHEN source = 'src0' THEN 'a' ELSE 'b' END AS slice,
+             term, count(*) AS c
+      FROM (
+        SELECT source, unnest(string_split_regex(text, '\\s+')) AS term
+        FROM documents
+      )
+      WHERE term <> ''
+      GROUP BY 1, 2
+    ),
+    wide AS (
+      SELECT term,
+             sum(CASE WHEN slice = 'a' THEN c ELSE 0 END) AS ca,
+             sum(CASE WHEN slice = 'b' THEN c ELSE 0 END) AS cb
+      FROM tf GROUP BY term
+    ),
+    probs AS (
+      SELECT term,
+             ca / (sum(ca) OVER ()) AS p,
+             cb / (sum(cb) OVER ()) AS q
+      FROM wide
+    )
+    SELECT round(0.5 * sum(CASE WHEN p > 0 THEN p * ln(p / ((p + q) / 2))
+                                ELSE 0 END)
+               + 0.5 * sum(CASE WHEN q > 0 THEN q * ln(q / ((p + q) / 2))
+                                ELSE 0 END), 6) AS js_divergence,
+           CAST(count(*) AS BIGINT)                    AS vocab_union,
+           CAST(sum(CASE WHEN p > 0 AND q > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                                                       AS vocab_shared
+    FROM probs
+    """,
+    doc="L22: corpus-slice divergence — Jensen-Shannon divergence "
+    "between the token distributions of two slices (src0 vs the "
+    "rest): the mixture-drift monitor a training-data pipeline runs "
+    "when a new source lands or a filter changes (JS is symmetric, "
+    "bounded by ln 2, and zero-safe — absent-token terms drop out of "
+    "their side's sum, so no smoothing constant to tune). One "
+    "tokenize pass; counts pivot to (term, c_a, c_b) in a single "
+    "narrow-row shuffle on term; slice totals are a broadcast 1-row "
+    "aggregate joined back (no single-task global window — the e5/h15 "
+    "lesson); the JS sum collapses everything to one row. Nothing is "
+    "pairwise and no side is collected.",
+    tags=("llm", "sampling", "quality"),
+)
+def slice_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load_table(spark, sf_dir, "documents"))
+    wide = (
+        d.select(
+            F.when(F.col("source") == "src0", "a").otherwise("b").alias("slice"),
+            F.explode(tokens()).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(
+            F.sum(F.when(F.col("slice") == "a", 1).otherwise(0)).alias("ca"),
+            F.sum(F.when(F.col("slice") == "b", 1).otherwise(0)).alias("cb"),
+        )
+    )
+    totals = wide.agg(
+        F.sum("ca").alias("ta"), F.sum("cb").alias("tb")
+    )
+    probs = wide.crossJoin(F.broadcast(totals)).select(
+        (F.col("ca") / F.col("ta")).alias("p"),
+        (F.col("cb") / F.col("tb")).alias("q"),
+    )
+    m = (F.col("p") + F.col("q")) / 2
+    return probs.agg(
+        F.round(
+            0.5 * F.sum(F.when(F.col("p") > 0, F.col("p") * F.log(F.col("p") / m)).otherwise(0.0))
+            + 0.5 * F.sum(F.when(F.col("q") > 0, F.col("q") * F.log(F.col("q") / m)).otherwise(0.0)),
+            6,
+        ).alias("js_divergence"),
+        F.count(F.lit(1)).alias("vocab_union"),
+        F.sum(
+            F.when((F.col("p") > 0) & (F.col("q") > 0), 1).otherwise(0)
+        ).cast("bigint").alias("vocab_shared"),
+    )
