@@ -108,7 +108,8 @@ _VERIFY_FIRST: tuple[str, ...] = (
     # round-3 additions (never driver-sampled; highest verification risk)
     "j13_null_safe_join", "j15_bloom_prejoin", "u4_intersect_all",
     "a20_approx_topk", "tx_entropy", "l21_bottomk_sample",
-    "l22_slice_divergence",
+    "l22_slice_divergence", "g4_triangle_count", "s14_time_travel",
+    "t10_foreach_batch_upsert",
     "o4_limit_offset", "u5_union_missing_columns", "h6_forecast_revenue",
     "tx_fingerprint", "r2_listing_parse_latest", "o3_range_partitioned_sort",
     "f22_number_format", "x8_arrow_python_udf", "x5_map_in_arrow",

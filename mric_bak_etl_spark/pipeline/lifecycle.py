@@ -973,3 +973,78 @@ def scd2_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("version")
     )
+
+
+@register(
+    "s14_time_travel",
+    oracle="""
+    SELECT 1 AS version, CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(o_totalprice), 4) AS total
+    FROM orders WHERE o_orderkey % 3 <> 0
+    UNION ALL
+    SELECT 2 AS version, CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 1.1
+                          ELSE o_totalprice END), 4) AS total
+    FROM orders
+    ORDER BY version
+    """,
+    doc="S14: commit-log versioned table + time travel — the table-format "
+    "mechanics s11's doc points at (Iceberg/Delta reduced to their "
+    "essence): each write lands in an immutable versioned data dir and "
+    "appends one JSON commit record to a _log directory; READERS never "
+    "list data files — they read the log (spark.read.json over the "
+    "manifest-sized log dir), resolve either the max version (latest) "
+    "or any pinned historical version (AS OF), and scan exactly that "
+    "version's files. Old versions stay readable after new commits "
+    "(snapshot isolation for free), and the two driver actions here "
+    "are log-sized, same cardinality class as s11's audit row — the "
+    "data path stays fully distributed. The v2 commit rewrites prices "
+    "for a deterministic key slice, so version divergence is load-"
+    "bearing in the checked values.",
+    tags=("pipeline", "sink", "source"),
+)
+def time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json
+
+    base = tempfile.mkdtemp(prefix="s14_")
+    log_dir = os.path.join(base, "_log")
+    os.makedirs(log_dir)
+    o = load_table(spark, sf_dir, "orders")
+    versions = {
+        1: o.filter(F.col("o_orderkey") % 3 != 0),
+        2: o.withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") * 1.1
+            ).otherwise(F.col("o_totalprice")),
+        ),
+    }
+    for ver, df in versions.items():
+        path = os.path.join(base, f"v{ver}")
+        df.write.mode("overwrite").parquet(path)
+        # Commit is the atomic append of one log record (table formats
+        # make this a conditional PUT / atomic rename on object stores).
+        record = {"version": ver, "path": path}
+        tmp = os.path.join(log_dir, f".{ver}.json.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(record, fh)
+        os.rename(tmp, os.path.join(log_dir, f"{ver:020d}.json"))
+
+    log = spark.read.json(log_dir)
+    latest_ver = log.agg(F.max("version")).collect()[0][0]
+
+    def snapshot(version: int) -> DataFrame:
+        path = (
+            log.filter(F.col("version") == version).select("path").collect()
+        )[0][0]
+        return spark.read.parquet(path)
+
+    summaries = [
+        snapshot(v).agg(
+            F.lit(v).cast("int").alias("version"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.round(F.sum("o_totalprice"), 4).alias("total"),
+        )
+        for v in (1, int(latest_ver))
+    ]
+    return summaries[0].unionByName(summaries[1]).orderBy("version")

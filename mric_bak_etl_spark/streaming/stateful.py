@@ -221,3 +221,90 @@ def transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "n_events", "total_value")
         .orderBy("user_id")
     )
+
+
+def make_merge_sink(base: str, state: dict[str, int]):
+    """Build the t10 foreachBatch handler: merge each micro-batch's
+    per-user aggregate into the current target version, commit as the
+    next immutable version dir keyed by batch_id (idempotent on replay).
+    Factored out so tests can drive it across multiple batches/restarts.
+    """
+    from pyspark.sql import functions as F
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if state["version"] > batch_id:
+            return  # replayed batch already merged: idempotent skip
+        sess = batch_df.sparkSession
+        agg = batch_df.groupBy("user_id").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        if state["version"] > 0:
+            cur = sess.read.parquet(os.path.join(base, f"v{state['version']}"))
+            merged = (
+                cur.unionByName(agg)
+                .groupBy("user_id")
+                .agg(
+                    F.sum("n_events").cast("bigint").alias("n_events"),
+                    F.sum("total_value").alias("total_value"),
+                )
+            )
+        else:
+            merged = agg
+        merged.write.mode("overwrite").parquet(
+            os.path.join(base, f"v{batch_id + 1}")
+        )
+        state["version"] = batch_id + 1
+
+    return merge_batch
+
+
+@register(
+    "t10_foreach_batch_upsert",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 4)     AS total_value
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    doc="T10: foreachBatch MERGE sink — the streaming escape hatch for "
+    "sinks Spark has no native writer for (JDBC upsert, table-format "
+    "MERGE): each micro-batch arrives as a bounded DataFrame plus a "
+    "monotonically increasing batch_id; the handler aggregates the "
+    "batch, full-outer-merges it into the current target version, and "
+    "writes the result as the NEXT immutable version directory (the "
+    "s14 commit shape, so readers never see a half-written target). "
+    "batch_id is the idempotence key: on crash-replay the same batch "
+    "re-arrives with the same id, and a handler that already committed "
+    "version batch_id+1 skips it — exactly-once effects from at-least-"
+    "once delivery, which is THE foreachBatch contract to get right. "
+    "Merge work is per-batch-keys-sized and fully distributed; only "
+    "the version pointer touches the driver. Over bounded input the "
+    "final target equals the batch aggregate (the oracle); multi-batch "
+    "state carry is exercised in tests/test_streaming.py.",
+    tags=("streaming", "sink", "stateful"),
+)
+def foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from mric_bak_etl_spark.streaming.windows import stream_events
+
+    base = tempfile.mkdtemp(prefix="t10_tgt_")
+    state = {"version": 0}
+    merge_batch = make_merge_sink(base, state)
+
+    ckpt = tempfile.mkdtemp(prefix="t10_ckpt_")
+    q = (
+        stream_events(spark, sf_dir)
+        .writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", os.path.join(ckpt, "state"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    final = spark.read.parquet(os.path.join(base, f"v{state['version']}"))
+    return final.select(
+        "user_id", "n_events", F.round("total_value", 4).alias("total_value")
+    ).orderBy("user_id")

@@ -360,3 +360,56 @@ def test_append_mode_emits_only_watermark_closed_windows(spark, tmp_path):
     q.awaitTermination()
     got = {(str(r["ws"]), r["n"]) for r in spark.sql("SELECT * FROM t_append").collect()}
     assert got == {("2024-01-01 09:00:00", 2)}
+
+
+def test_foreachbatch_merge_accumulates_across_batches(spark, tmp_path):
+    """t10's merge sink: per-user totals accumulate across micro-batches
+    (maxFilesPerTrigger=1 forces one batch per input file), the final
+    target equals the global aggregate, and a replayed stale batch_id is
+    an idempotent no-op."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from mric_bak_etl_spark.streaming.stateful import make_merge_sink
+
+    d = str(tmp_path / "t10_in")
+    os.makedirs(d)
+    schema = "user_id long, value double"
+    spark.createDataFrame([(1, 10.0), (2, 1.0)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(d)
+    spark.createDataFrame([(1, 5.0), (3, 7.0)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(d)
+
+    base = str(tmp_path / "t10_tgt")
+    state = {"version": 0}
+    sink = make_merge_sink(base, state)
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "t10_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert state["version"] == 2  # two files -> two micro-batches merged
+
+    final = spark.read.parquet(os.path.join(base, f"v{state['version']}"))
+    got = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in final.collect()
+    }
+    assert got == {1: (2, 15.0), 2: (1, 1.0), 3: (1, 7.0)}
+
+    # Replay of an already-merged batch id: idempotent skip, target unchanged.
+    replay = spark.createDataFrame([(1, 999.0)], schema)
+    sink(replay, 0)
+    assert state["version"] == 2
+    again = spark.read.parquet(os.path.join(base, f"v{state['version']}"))
+    assert {
+        r["user_id"]: (r["n_events"], r["total_value"]) for r in again.collect()
+    } == got
