@@ -776,6 +776,56 @@ def _bloom_pos_sql(key_sql: str, seed: int) -> str:
     return f"pmod(xxhash64({key_sql}, {seed}), {_BLOOM_BITS})"
 
 
+def bloom_probe(fact: DataFrame, keys: DataFrame, build_key: str, probe_key: str) -> DataFrame:
+    """Build a bloom filter from ``keys[build_key]`` and return ``fact``
+    filtered map-side to rows whose ``probe_key`` might be present.
+
+    Exposed as a helper so tests can measure probe selectivity directly
+    (a build/probe hash mismatch would silently degrade to
+    pass-everything — correct results, dead pattern).
+    """
+    # Build: dim keys -> bit positions -> 64-bit words -> one-row map.
+    positions = keys.select(
+        F.explode(
+            F.array(
+                *[
+                    F.expr(_bloom_pos_sql(build_key, seed))
+                    for seed in _BLOOM_SEEDS
+                ]
+            )
+        ).alias("pos")
+    )
+    words = positions.groupBy(
+        (F.col("pos") / 64).cast("int").alias("word_idx")
+    ).agg(
+        F.bit_or(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))")
+        ).alias("word")
+    )
+    bloom = words.agg(
+        F.map_from_entries(F.collect_list(F.struct("word_idx", "word"))).alias(
+            "bloom"
+        )
+    )
+
+    # Probe: map-side expression on the fact scan; a missing word means
+    # no dim key hashed into it -> definitely-absent.
+    probed = fact.crossJoin(F.broadcast(bloom))
+    for seed in _BLOOM_SEEDS:
+        pos = _bloom_pos_sql(probe_key, seed)
+        probed = probed.filter(
+            F.coalesce(
+                F.expr(
+                    f"getbit(element_at(bloom, CAST(({pos}) DIV 64 AS INT)), "
+                    f"CAST(({pos}) % 64 AS INT))"
+                ),
+                F.lit(0),
+            )
+            == 1
+        )
+    return probed.drop("bloom")
+
+
 @register(
     "j15_bloom_prejoin",
     oracle="""
@@ -807,48 +857,7 @@ def bloom_prejoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
     )
-    dim = c.select("c_custkey")
-
-    # Build: dim keys -> bit positions -> 64-bit words -> one-row map.
-    positions = dim.select(
-        F.explode(
-            F.array(
-                *[
-                    F.expr(_bloom_pos_sql("c_custkey", seed))
-                    for seed in _BLOOM_SEEDS
-                ]
-            )
-        ).alias("pos")
-    )
-    words = positions.groupBy(
-        (F.col("pos") / 64).cast("int").alias("word_idx")
-    ).agg(
-        F.bit_or(
-            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))")
-        ).alias("word")
-    )
-    bloom = words.agg(
-        F.map_from_entries(F.collect_list(F.struct("word_idx", "word"))).alias(
-            "bloom"
-        )
-    )
-
-    # Probe: map-side expression on the fact scan; a missing word means
-    # no dim key hashed into it -> definitely-absent.
-    probed = o.crossJoin(F.broadcast(bloom))
-    for seed in _BLOOM_SEEDS:
-        pos = _bloom_pos_sql("o_custkey", seed)
-        probed = probed.filter(
-            F.coalesce(
-                F.expr(
-                    f"getbit(element_at(bloom, CAST(({pos}) DIV 64 AS INT)), "
-                    f"CAST(({pos}) % 64 AS INT))"
-                ),
-                F.lit(0),
-            )
-            == 1
-        )
-
+    probed = bloom_probe(o, c.select("c_custkey"), "c_custkey", "o_custkey")
     return (
         probed.join(F.broadcast(c), probed["o_custkey"] == c["c_custkey"])
         .groupBy("o_orderpriority")
