@@ -1147,3 +1147,102 @@ def map_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(big_only).cast("bigint").alias("n_big"),
         F.element_at(zipped, "k").alias("combined"),
     ).orderBy("event_id")
+
+
+@register(
+    "f26_regexp_family",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[0-9]+')) AS INT) AS n_number_runs,
+           nullif(regexp_extract(text, '[0-9]+', 0), '')        AS first_number,
+           CASE WHEN regexp_extract(text, '[0-9]+', 0) = ''
+                THEN 0
+                ELSE strpos(text, regexp_extract(text, '[0-9]+', 0))
+           END                                                  AS first_pos,
+           CAST(len(regexp_extract_all(text, '[a-z]{5,}')) AS INT)
+                                                                AS n_long_words
+    FROM documents
+    WHERE doc_id % 7 = 0
+    ORDER BY doc_id
+    """,
+    doc="F26: complete regexp surface — regexp_count (occurrences), "
+    "regexp_substr (first match), regexp_instr (1-based position), "
+    "regexp_extract_all (cardinality check) — the extraction toolkit "
+    "under log parsing and PII scans (tx_redaction uses the rewrite "
+    "face; this is the locate/count face). All codegen'd JVM "
+    "expressions with a compiled-once pattern: zero shuffle. Oracle "
+    "mirrors: DuckDB lacks regexp_instr, but for leftmost-first "
+    "matching (no lookaround) the first match's text cannot occur "
+    "earlier in the string than the match itself — an earlier "
+    "occurrence would itself be a match at an earlier start — so "
+    "strpos(text, first_match) IS the match position; no-match maps "
+    "to 0/NULL identically on both engines.",
+    tags=("functions", "strings"),
+)
+def regexp_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0)
+    num = F.lit("[0-9]+")
+    return d.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), num).alias("n_number_runs"),
+        F.regexp_substr(F.col("text"), num).alias("first_number"),
+        F.regexp_instr(F.col("text"), num).alias("first_pos"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[a-z]{5,}"), F.lit(0))).alias(
+            "n_long_words"
+        ),
+    ).orderBy("doc_id")
+
+
+@register(
+    "q5_sql_udf",
+    oracle="""
+    WITH per_line AS (
+      SELECT l_returnflag,
+             l_extendedprice * (1 - l_discount) AS disc_price,
+             CASE WHEN l_quantity >= 40 THEN 'bulk'
+                  WHEN l_quantity >= 15 THEN 'mid'
+                  ELSE 'small' END AS size_band
+      FROM lineitem
+    )
+    SELECT l_returnflag, size_band,
+           CAST(count(*) AS BIGINT)   AS n,
+           round(sum(disc_price), 4)  AS revenue
+    FROM per_line
+    GROUP BY l_returnflag, size_band
+    ORDER BY l_returnflag, size_band
+    """,
+    doc="Q5: SQL user-defined functions (Spark 4 CREATE FUNCTION ... "
+    "RETURN) — governed, reusable business logic DECLARED IN SQL: a "
+    "scalar UDF (discounted price) and a scalar CASE-band UDF, both "
+    "inlined by Catalyst into the calling query's plan (they are "
+    "expression templates, NOT black boxes — predicate pushdown, "
+    "codegen and vectorization all still apply, unlike a Python UDF "
+    "at the same spot). This is the mechanism that replaces the "
+    "copy-pasted expression logic a script-per-dataset shop (the "
+    "reference's world) accumulates. The oracle inlines the UDF "
+    "bodies — which is exactly what the optimizer does.",
+    tags=("sql", "functions"),
+)
+def sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mric_bak_etl_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION disc_price(p DOUBLE, d DOUBLE) "
+        "RETURNS DOUBLE RETURN p * (1 - d)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION size_band(q DOUBLE) "
+        "RETURNS STRING RETURN CASE WHEN q >= 40 THEN 'bulk' "
+        "WHEN q >= 15 THEN 'mid' ELSE 'small' END"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag, size_band(l_quantity) AS size_band,
+               CAST(count(*) AS BIGINT)                          AS n,
+               round(sum(disc_price(l_extendedprice, l_discount)), 4) AS revenue
+        FROM lineitem
+        GROUP BY l_returnflag, size_band(l_quantity)
+        ORDER BY l_returnflag, size_band
+        """
+    )

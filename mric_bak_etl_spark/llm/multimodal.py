@@ -626,3 +626,45 @@ def arrow_python_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id")
         .limit(100)
     )
+
+
+@register(
+    "x9_iter_pandas_udf",
+    oracle="""
+    SELECT doc_id,
+           round((n_chars - 250.0) / 100.0, 6) AS scaled_len
+    FROM documents
+    ORDER BY doc_id
+    LIMIT 100
+    """,
+    doc="X9: iterator-of-series pandas UDF (SCALAR_ITER) — the variant "
+    "for EXPENSIVE ONE-TIME SETUP: the function body runs once per "
+    "executor task, initializes state (here a scaler 'model' with "
+    "fixed parameters; in production a tokenizer, an ONNX session, a "
+    "GPU context), then streams every Arrow batch of the partition "
+    "through it — amortizing init over the whole task instead of "
+    "paying it per batch like x4's plain scalar form. Same Arrow "
+    "transport, same vectorized numpy math; the iterator contract is "
+    "the ONLY difference, and it is the one that matters when setup "
+    "costs seconds and a 100 TB scan has millions of batches. "
+    "Deterministic closed form keeps it oracle-checkable.",
+    tags=("llm", "udf"),
+)
+def iter_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def scaled_len(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        # One-time per-task init: the "model" (center/scale) loads here,
+        # NOT once per batch.
+        center, scale = 250.0, 100.0
+        for n_chars in batches:
+            yield np.round((n_chars - center) / scale, 6)
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return (
+        d.select("doc_id", scaled_len("n_chars").alias("scaled_len"))
+        .orderBy("doc_id")
+        .limit(100)
+    )
