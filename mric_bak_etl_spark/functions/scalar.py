@@ -1246,3 +1246,44 @@ def sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY l_returnflag, size_band
         """
     )
+
+
+@register(
+    "q6_pipe_syntax",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           round(avg(l_quantity), 4) AS avg_qty
+    FROM lineitem
+    WHERE l_quantity >= 10
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="Q6: SQL pipe syntax (Spark 4.1, SQL:2023-era pipe operators) — "
+    "the same logical plan as q1's nested SQL, written as a linear "
+    "dataflow: FROM |> WHERE |> EXTEND |> AGGREGATE ... GROUP BY |> "
+    "ORDER BY. Each |> stage is parsed into the identical Catalyst "
+    "operators (this is syntax, not a new engine path), so pushdown, "
+    "partial aggregation and codegen are unchanged — verified by the "
+    "oracle equivalence with the plain-SQL form. The pipe form is the "
+    "SQL face of the DataFrame chain: stage order reads top-to-bottom "
+    "like .filter().withColumn().groupBy().agg().",
+    tags=("sql",),
+)
+def pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mric_bak_etl_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        FROM lineitem
+        |> WHERE l_quantity >= 10
+        |> EXTEND l_extendedprice * (1 - l_discount) AS disc_price
+        |> AGGREGATE CAST(count(*) AS BIGINT) AS n,
+                     round(sum(disc_price), 4) AS revenue,
+                     round(avg(l_quantity), 4) AS avg_qty
+           GROUP BY l_returnflag
+        |> ORDER BY l_returnflag
+        """
+    )
