@@ -59,6 +59,11 @@ HEADLINE = [
     "a18_bitmap_exact_distinct",  # mergeable exact distinct via bitmaps
     "j12_interval_overlap_join",  # two-sided interval overlap as bucket equi-join
     "l19_kmeans",           # Lloyd's k-means: broadcast centroids, map-side assign
+    # round-3 additions
+    "j15_bloom_prejoin",    # bloom build + map-side probe before the join
+    "g4_triangle_count",    # oriented wedge counting on the co-activity graph
+    "l22_slice_divergence", # JS divergence between corpus slices (drift monitor)
+    "r21_incremental_agg",  # IVM: old agg + group-grain deltas from the diff
 ]
 
 

@@ -420,11 +420,14 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("t"),
         )
     )
-    # Wedge build + closing-edge check: both joins reuse the oriented
-    # edge table; at cluster scale it would be persisted once.
-    from mric_bak_etl_spark.tables import materialize
-
-    o = materialize(oriented)
+    # Wedge build + closing-edge check: three consumers of the oriented
+    # table share its shuffle stages via ReusedExchange, so plain
+    # lineage re-reads shuffle output rather than recomputing the joins
+    # — measured faster than an eager localCheckpoint at every tested
+    # scale (the checkpoint pays a full extra job up front); persist()
+    # becomes worthwhile only when the post-shuffle projection itself
+    # is expensive, which a when/otherwise column swap is not.
+    o = oriented
     e1, e2, e3 = o.alias("e1"), o.alias("e2"), o.alias("e3")
     wedges = e1.join(e2, F.col("e2.s") == F.col("e1.t")).select(
         F.col("e1.s").alias("x"), F.col("e1.t").alias("y"), F.col("e2.t").alias("z")
