@@ -86,3 +86,123 @@ def test_groupby_sum_invariant_to_repartitioning(spark, rows):
         .collect()
     }
     assert base == reparted
+
+
+KEYSETS = st.lists(
+    st.integers(min_value=0, max_value=10_000), min_size=1, max_size=60
+)
+
+
+@PROP_SETTINGS
+@given(members=KEYSETS, probes=KEYSETS)
+def test_bloom_probe_never_false_negative(spark, members, probes):
+    # Bloom invariant on arbitrary key sets: every probe key that IS a
+    # member must survive the probe stage (false positives allowed,
+    # false negatives never).
+    from mric_bak_etl_spark.operators.joins import bloom_probe
+
+    keys = spark.createDataFrame([(k,) for k in set(members)], "bk bigint")
+    fact = spark.createDataFrame([(p,) for p in probes], "pk bigint")
+    survivors = {
+        r["pk"] for r in bloom_probe(fact, keys, "bk", "pk").collect()
+    }
+    member_probes = set(members) & set(probes)
+    assert member_probes <= survivors
+
+
+@PROP_SETTINGS
+@given(rows=ROWS)
+def test_entropy_bounds(spark, rows):
+    # Token-entropy algebraic form: 0 <= ln(n) - (sum c ln c)/n <= ln(n),
+    # with equality at 0 iff one distinct token. Build a tiny corpus from
+    # the generated (k, v) pairs as "tokens" per doc v.
+    df = _df(spark, rows).selectExpr("v as doc_id", "cast(k as string) as term")
+    tf = df.groupBy("doc_id", "term").count()
+    ent = tf.groupBy("doc_id").agg(
+        (
+            F.log(F.sum("count"))
+            - F.sum(F.col("count") * F.log("count")) / F.sum("count")
+        ).alias("h"),
+        F.sum("count").alias("n"),
+        F.count(F.lit(1)).alias("n_distinct"),
+    )
+    for r in ent.collect():
+        assert -1e-9 <= r["h"] <= float(__import__("math").log(r["n"])) + 1e-9
+        if r["n_distinct"] == 1:
+            assert abs(r["h"]) < 1e-9
+
+
+@PROP_SETTINGS
+@given(rows=ROWS)
+def test_js_divergence_bounds_and_identity(spark, rows):
+    # JS divergence between the two halves of an arbitrary multiset is in
+    # [0, ln 2]; JS of a distribution with itself is 0.
+    import math
+
+    df = _df(spark, rows)
+    wide = df.groupBy("k").agg(
+        F.sum(F.when(F.col("v") % 2 == 0, 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("v") % 2 == 1, 1).otherwise(0)).alias("cb"),
+    )
+    totals = wide.agg(F.sum("ca").alias("ta"), F.sum("cb").alias("tb")).collect()[0]
+    if not totals["ta"] or not totals["tb"]:
+        return  # an empty side has no distribution
+    probs = wide.select(
+        (F.col("ca") / F.lit(totals["ta"])).alias("p"),
+        (F.col("cb") / F.lit(totals["tb"])).alias("q"),
+    )
+    m = (F.col("p") + F.col("q")) / 2
+    js = probs.agg(
+        (
+            0.5 * F.sum(F.when(F.col("p") > 0, F.col("p") * F.log(F.col("p") / m)).otherwise(0.0))
+            + 0.5 * F.sum(F.when(F.col("q") > 0, F.col("q") * F.log(F.col("q") / m)).otherwise(0.0))
+        ).alias("js")
+    ).collect()[0]["js"]
+    assert -1e-9 <= js <= math.log(2) + 1e-9
+    # identity: JS(p, p) == 0
+    js_self = probs.agg(
+        (
+            0.5 * F.sum(F.when(F.col("p") > 0, F.col("p") * F.log(F.col("p") / F.col("p"))).otherwise(0.0))
+            + 0.5 * F.sum(F.when(F.col("p") > 0, F.col("p") * F.log(F.col("p") / F.col("p"))).otherwise(0.0))
+        ).alias("js")
+    ).collect()[0]["js"]
+    assert abs(js_self) < 1e-12
+
+
+@PROP_SETTINGS
+@given(rows=ROWS)
+def test_incremental_agg_equals_direct(spark, rows):
+    # IVM identity on arbitrary data: old aggregate + deltas from an
+    # arbitrary row-level change set == direct aggregate of the new state.
+    old = _df(spark, rows)
+    # new state: drop v==0 rows, double v for k>0, insert a fresh row
+    new = (
+        old.filter(F.col("v") != 0)
+        .withColumn("v", F.when(F.col("k") > 0, F.col("v") * 2).otherwise(F.col("v")))
+        .unionByName(spark.createDataFrame([(99, 3)], "k int, v int"))
+    )
+    direct = {
+        r["k"]: (r["n"], r["s"])
+        for r in new.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+        .collect()
+    }
+    old_agg = old.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")
+    )
+    # deltas: full dissolve into -old +new contributions (key-less rows,
+    # so the generic multiset form rather than r21's keyed diff)
+    minus = old.select("k", F.lit(-1).alias("dn"), (-F.col("v")).alias("ds"))
+    plus = new.select("k", F.lit(1).alias("dn"), F.col("v").alias("ds"))
+    delta = (
+        minus.unionByName(plus)
+        .groupBy("k")
+        .agg(F.sum("dn").alias("dn"), F.sum("ds").alias("ds"))
+    )
+    merged = old_agg.join(delta, "k", "full").select(
+        "k",
+        (F.coalesce("n", F.lit(0)) + F.coalesce("dn", F.lit(0))).alias("n"),
+        (F.coalesce("s", F.lit(0)) + F.coalesce("ds", F.lit(0))).alias("s"),
+    ).filter(F.col("n") > 0)
+    maintained = {r["k"]: (r["n"], r["s"]) for r in merged.collect()}
+    assert maintained == direct
