@@ -618,3 +618,125 @@ def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+_WRAPPED_CORPUS_ORACLE = """
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT d.doc_id + 2000000 AS doc_id,
+             d.text || ' ' || n1.text || ' ' || n2.text AS text
+      FROM documents d
+      JOIN documents n1 ON n1.doc_id = d.doc_id + 1
+      JOIN documents n2 ON n2.doc_id = d.doc_id + 2
+      WHERE d.doc_id % 20 = 0
+"""
+
+
+@register(
+    "l23_containment_neardup",
+    oracle=f"""
+    WITH corpus AS ({_WRAPPED_CORPUS_ORACLE}),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(string_split_regex(text, '\\s+')) - 2, 1) + 1),
+               i -> array_to_string(string_split_regex(text, '\\s+')[i:i+2], ' ')
+             )) AS sh
+      FROM corpus
+    ),
+    inv AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY doc_a, doc_b
+    ),
+    scored AS (
+      SELECT doc_a, doc_b,
+             round(CAST(n_common AS DOUBLE) / least(len(sa.sh), len(sb.sh)), 4)
+               AS containment,
+             round(CAST(n_common AS DOUBLE)
+                   / (len(sa.sh) + len(sb.sh) - n_common), 4) AS jaccard
+      FROM common
+      JOIN sh sa ON sa.doc_id = doc_a
+      JOIN sh sb ON sb.doc_id = doc_b
+    )
+    SELECT doc_a, doc_b, containment, jaccard
+    FROM scored
+    WHERE containment >= 0.9 AND jaccard < 0.5
+    ORDER BY doc_a, doc_b
+    """,
+    doc="L23: asymmetric CONTAINMENT near-dup — catches doc-in-doc "
+    "duplication (a document quoted/wrapped inside a longer one: "
+    "boilerplate-wrapped articles, quoted posts, concatenated crawls) "
+    "that symmetric Jaccard structurally MISSES: containment = "
+    "|A∩B| / min(|A|,|B|) is ~1 when the small doc rides inside the "
+    "big one while Jaccard ≈ |small|/|big| sinks below any sane "
+    "threshold. The output filter (containment >= 0.9 AND jaccard < "
+    "0.5) is exactly the blind spot: every emitted pair is one l2b "
+    "would not flag. Fixture plants wrapped variants (doc + two "
+    "neighbor docs appended); same one-pass shingle table and "
+    "inverted-index join as l2b — at 100 TB this runs on LSH-survivor "
+    "candidates, and the LSH for containment uses per-doc-size banded "
+    "thresholds (the standard containment-LSH adjustment).",
+    tags=("llm", "dedup"),
+)
+def containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mric_bak_etl_spark.tables import materialize
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n1 = d.select((F.col("doc_id") - 1).alias("doc_id"), F.col("text").alias("t1"))
+    n2 = d.select((F.col("doc_id") - 2).alias("doc_id"), F.col("text").alias("t2"))
+    wrapped = (
+        d.filter(F.col("doc_id") % 20 == 0)
+        .join(n1, "doc_id")
+        .join(n2, "doc_id")
+        .select(
+            (F.col("doc_id") + 2_000_000).alias("doc_id"),
+            F.concat_ws(" ", "text", "t1", "t2").alias("text"),
+        )
+    )
+    corpus = spread(d.unionByName(wrapped), "doc_id")
+
+    sh_tbl = materialize(corpus.select("doc_id", shingles().alias("sh")))
+    inv = sh_tbl.select("doc_id", F.explode("sh").alias("shingle"))
+    a, b = inv.alias("a"), inv.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sizes = sh_tbl.select("doc_id", F.size("sh").alias("n_sh"))
+    scored = (
+        common.join(
+            sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"),
+            "doc_a",
+        )
+        .join(
+            sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_common").cast("double")
+                / F.least(F.col("n_a"), F.col("n_b")),
+                4,
+            ).alias("containment"),
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+    return (
+        scored.filter((F.col("containment") >= 0.9) & (F.col("jaccard") < 0.5))
+        .orderBy("doc_a", "doc_b")
+    )

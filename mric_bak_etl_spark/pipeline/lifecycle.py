@@ -1156,3 +1156,74 @@ def incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "dq6_schema_drift",
+    oracle="""
+    WITH v1_cols(col, dtype) AS (VALUES
+      ('o_orderkey', 'bigint'), ('o_custkey', 'bigint'),
+      ('o_orderstatus', 'string'), ('o_totalprice', 'double'),
+      ('o_orderdate', 'timestamp'), ('o_orderpriority', 'string')
+    ),
+    v2_cols(col, dtype) AS (VALUES
+      ('o_orderkey', 'bigint'), ('o_custkey', 'bigint'),
+      ('o_totalprice', 'double'), ('o_orderdate', 'timestamp'),
+      ('o_orderpriority', 'string'), ('load_channel', 'string')
+    )
+    SELECT coalesce(a.col, b.col) AS col,
+           CASE WHEN b.col IS NULL THEN 'removed'
+                WHEN a.col IS NULL THEN 'added'
+                WHEN a.dtype <> b.dtype THEN 'retyped'
+                ELSE 'unchanged' END AS drift
+    FROM v1_cols a FULL JOIN v2_cols b ON a.col = b.col
+    WHERE NOT (a.col IS NOT NULL AND b.col IS NOT NULL AND a.dtype = b.dtype)
+    ORDER BY col
+    """,
+    doc="DQ6: schema-drift gate — the check a snapshot load runs BEFORE "
+    "s6's mergeSchema read papers over a change: the incoming "
+    "generation's schema (read from the parquet FOOTER — no data scan) "
+    "full-outer-compared to the registered contract, each divergence "
+    "classified added/removed/retyped. The reference loads whatever "
+    "schema the .bak carries, silently (src/bak_unload.ps1:90-103); "
+    "drift detection is what turns that into a governed evolution: "
+    "'added' is usually safe (s6/u5 handle it), 'removed'/'retyped' "
+    "break downstream readers and should hold the swap like dq1's "
+    "row-level gate. Fixture writes two generations with a dropped "
+    "column, an added column, and the rest unchanged; the schema "
+    "comparison itself is metadata-only — O(columns), free at any "
+    "data scale.",
+    tags=("pipeline", "quality"),
+)
+def schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    base = tempfile.mkdtemp(prefix="dq6_")
+    v1 = os.path.join(base, "v1")
+    v2 = os.path.join(base, "v2")
+    o.write.mode("overwrite").parquet(v1)
+    (
+        o.drop("o_orderstatus")
+        .withColumn("load_channel", F.lit("azcopy"))
+        .write.mode("overwrite")
+        .parquet(v2)
+    )
+
+    def schema_rows(path: str):
+        # Footer-only: spark.read.parquet resolves the schema without
+        # scanning row groups.
+        schema = spark.read.parquet(path).schema
+        return [(f.name, f.dataType.simpleString()) for f in schema.fields]
+
+    a = spark.createDataFrame(schema_rows(v1), "col string, dtype string")
+    b = spark.createDataFrame(schema_rows(v2), "col string, dtype string")
+    aa, bb = a.alias("a"), b.alias("b")
+    j = aa.join(bb, F.col("a.col") == F.col("b.col"), "full")
+    drift = j.select(
+        F.coalesce(F.col("a.col"), F.col("b.col")).alias("col"),
+        F.when(F.col("b.col").isNull(), "removed")
+        .when(F.col("a.col").isNull(), "added")
+        .when(F.col("a.dtype") != F.col("b.dtype"), "retyped")
+        .otherwise("unchanged")
+        .alias("drift"),
+    )
+    return drift.filter(F.col("drift") != "unchanged").orderBy("col")
