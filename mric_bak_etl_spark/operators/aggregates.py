@@ -837,3 +837,40 @@ def approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("cnt").desc(), "item")
     )
+
+
+@register(
+    "a23_sketch_rollup",
+    oracle=None,  # sketch binary is engine-specific; merge identity is
+    # asserted locally (tests/test_plans.py: union of daily sketches ==
+    # direct sketch of the union) and the estimate is deterministic.
+    doc="A23: sketch ROLLUP — the incremental face of a14's HLL: per-day "
+    "user sketches (hll_sketch_agg) stored at the day grain, then "
+    "hll_union_agg merges the stored sketches into month-level "
+    "distinct-user estimates WITHOUT revisiting the events. This "
+    "two-level shape is the entire 100 TB cardinality posture: the "
+    "expensive pass over raw data happens once per day over one day's "
+    "slice; every rollup window after that (week, month, arbitrary "
+    "date ranges) is an O(days × 1.5 KB) merge of stored sketches. "
+    "Deterministic for fixed input, so the driver's rows-only check "
+    "is stable; the merge-equals-direct identity (union of daily "
+    "sketches estimates EXACTLY what one sketch over all days "
+    "estimates — HLL merge is lossless) is asserted in tests.",
+    tags=("aggregates", "sketch", "scale"),
+)
+def sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.date_trunc("month", F.col("ts")).alias("month"),
+        F.to_date("ts").alias("day"),
+    ).agg(F.expr("hll_sketch_agg(user_id)").alias("sketch"))
+    return (
+        daily.groupBy("month")
+        .agg(
+            F.expr("hll_sketch_estimate(hll_union_agg(sketch))").alias(
+                "distinct_users_est"
+            ),
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        )
+        .orderBy("month")
+    )

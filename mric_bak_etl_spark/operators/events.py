@@ -446,3 +446,79 @@ def interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "e8_attribution",
+    oracle="""
+    WITH purchases AS (
+      SELECT event_id, user_id, ts::TIMESTAMP AS pts, value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    touches AS (
+      SELECT p.event_id, p.value, e.event_type
+      FROM purchases p
+      JOIN events e
+        ON e.user_id = p.user_id
+       AND e.event_type <> 'purchase'
+       AND e.ts::TIMESTAMP >= p.pts - INTERVAL 1 HOUR
+       AND e.ts::TIMESTAMP <  p.pts
+    ),
+    credited AS (
+      SELECT event_type,
+             value / (count(*) OVER (PARTITION BY event_id)) AS credit
+      FROM touches
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT)  AS n_touches,
+           round(sum(credit), 4)     AS credit
+    FROM credited
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="E8: multi-touch attribution (linear model) — every purchase's "
+    "value split equally across the user's touch events in the "
+    "preceding hour, credited to the touch's channel (event_type "
+    "stands in for channel). The join is user_id-EQUI with the hour "
+    "window as a residual range predicate, so Catalyst plans a hash "
+    "join — never a time-only nested loop; the per-purchase touch "
+    "count is a window over the already-joined touches (partitioned "
+    "by purchase id: bounded fan-in, no global funnel). Purchases "
+    "with zero preceding touches drop from the inner join — the "
+    "'unattributed' bucket a production report tracks separately. At "
+    "100 TB the user_id shuffle is the same exchange every per-user "
+    "operator shares, and per-user×hour touch volumes bound the "
+    "residual's fan-out.",
+    tags=("events", "joins"),
+)
+def attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("pts"),
+        F.col("value").alias("p_value"),
+    )
+    t = e.filter(F.col("event_type") != "purchase").select(
+        "user_id", "event_type", "ts"
+    )
+    touches = p.join(
+        t,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("ts") >= F.col("pts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("ts") < F.col("pts")),
+    )
+    w = Window.partitionBy("p_id")
+    credited = touches.select(
+        "event_type", (F.col("p_value") / F.count(F.lit(1)).over(w)).alias("credit")
+    )
+    return (
+        credited.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.round(F.sum("credit"), 4).alias("credit"),
+        )
+        .orderBy("event_type")
+    )

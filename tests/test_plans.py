@@ -499,3 +499,24 @@ def test_triangle_orientation_halves_edges(spark, sf_dir):
     # orientation bijection: u<v edges count equals oriented count
     # (oriented table is a projection of edges — same cardinality)
     assert n_edges == edges.select("u", "v").distinct().count()
+
+
+def test_hll_sketch_merge_is_lossless(spark, sf_dir):
+    """a23: union of per-day sketches must estimate exactly what one
+    sketch over the whole range estimates — the identity that makes
+    stored-sketch rollups trustworthy."""
+    from pyspark.sql import functions as F
+
+    from mric_bak_etl_spark.tables import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.expr("hll_sketch_agg(user_id)").alias("sketch")
+    )
+    merged = daily.agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sketch))").alias("est")
+    ).collect()[0]["est"]
+    direct = e.agg(
+        F.expr("hll_sketch_estimate(hll_sketch_agg(user_id))").alias("est")
+    ).collect()[0]["est"]
+    assert merged == direct
