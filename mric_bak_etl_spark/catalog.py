@@ -112,7 +112,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "t10_foreach_batch_upsert", "f26_regexp_family", "q5_sql_udf",
     "x9_iter_pandas_udf", "q6_pipe_syntax", "r21_incremental_agg",
     "l23_containment_neardup", "dq6_schema_drift", "e8_attribution",
-    "a23_sketch_rollup",
+    "a23_sketch_rollup", "w8_interpolation", "l24_bigram_lm",
     "o4_limit_offset", "u5_union_missing_columns", "h6_forecast_revenue",
     "tx_fingerprint", "r2_listing_parse_latest", "o3_range_partitioned_sort",
     "f22_number_format", "x8_arrow_python_udf", "x5_map_in_arrow",

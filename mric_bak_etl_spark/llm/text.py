@@ -1109,3 +1109,104 @@ def slice_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when((F.col("p") > 0) & (F.col("q") > 0), 1).otherwise(0)
         ).cast("bigint").alias("vocab_shared"),
     )
+
+
+@register(
+    "l24_bigram_lm",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang, string_split_regex(text, '\\s+') AS t
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, lang, t[i] AS w1, t[i + 1] AS w2
+      FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i) g
+      WHERE t[i] <> '' AND t[i + 1] <> ''
+    ),
+    c12 AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY 1, 2),
+    c1 AS (SELECT w1, sum(c) AS cc FROM c12 GROUP BY 1),
+    v AS (
+      SELECT count(DISTINCT tok) AS vv
+      FROM (SELECT unnest(t) AS tok FROM toks)
+      WHERE tok <> ''
+    ),
+    scored AS (
+      SELECT b.doc_id, b.lang,
+             -ln((c.c + 1.0) / (k.cc + v.vv)) AS nll
+      FROM bg b
+      JOIN c12 c ON c.w1 = b.w1 AND c.w2 = b.w2
+      JOIN c1 k ON k.w1 = b.w1
+      CROSS JOIN v
+    ),
+    per_doc AS (
+      SELECT doc_id, lang, avg(nll) AS doc_nll
+      FROM scored GROUP BY 1, 2
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(doc_nll), 4)   AS avg_nll
+    FROM per_doc GROUP BY lang ORDER BY lang
+    """,
+    doc="L24: bigram language-model scoring — the first-order upgrade of "
+    "l18's unigram fluency score: per-document mean negative "
+    "log-likelihood under the corpus's OWN bigram distribution with "
+    "add-one smoothing, P(w2|w1) = (c(w1,w2)+1)/(c(w1)+V). Context "
+    "counts c(w1) derive FROM the bigram relation (one groupBy-sum — "
+    "no second tokenize pass), V is a broadcast scalar, and scoring "
+    "joins each doc's bigrams to the count tables on narrow string "
+    "keys; everything map-side-combines. Degenerate repeated-phrase "
+    "docs score artificially FLUENT under their own corpus statistics "
+    "— production decontaminates the LM corpus first (l1/l2) exactly "
+    "because of this feedback; the mechanism here is what scales. "
+    "Summarized to the (lang, avg NLL) grain.",
+    tags=("llm", "text"),
+)
+def bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    t = d.select("doc_id", "lang", tokens().alias("t"))
+    idx = F.when(
+        F.size("t") > 1, F.sequence(F.lit(1), F.size("t") - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    bg = (
+        t.select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.transform(
+                    idx,
+                    lambda i: F.struct(
+                        F.element_at("t", i).alias("w1"),
+                        F.element_at("t", i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "lang", "p.w1", "p.w2")
+        .filter((F.col("w1") != "") & (F.col("w2") != ""))
+    )
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    c1 = c12.groupBy("w1").agg(F.sum("c").alias("cc"))
+    vocab = (
+        t.select(F.explode("t").alias("tok"))
+        .filter(F.col("tok") != "")
+        .agg(F.countDistinct("tok").alias("vv"))
+    )
+    scored = (
+        bg.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            "lang",
+            (-F.log((F.col("c") + 1.0) / (F.col("cc") + F.col("vv")))).alias("nll"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id", "lang").agg(F.avg("nll").alias("doc_nll"))
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(F.avg("doc_nll"), 4).alias("avg_nll"),
+        )
+        .orderBy("lang")
+    )

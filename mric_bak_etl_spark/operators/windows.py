@@ -328,3 +328,99 @@ def running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_new").cast("bigint").alias("n_new_users"),
         F.sum("n_new").over(w).cast("bigint").alias("cum_distinct_users"),
     ).orderBy("event_type", "day")
+
+
+@register(
+    "w8_interpolation",
+    oracle="""
+    WITH sparse AS (
+      SELECT event_id, user_id, ts::TIMESTAMP AS ts,
+             epoch_us(ts::TIMESTAMP) AS t_us,
+             CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END AS v
+      FROM events
+    ),
+    bounded AS (
+      SELECT event_id, user_id, v,
+             last_value(v IGNORE NULLS) OVER w_prev  AS v_prev,
+             last_value(CASE WHEN v IS NOT NULL THEN t_us END IGNORE NULLS)
+               OVER w_prev                            AS t_prev,
+             first_value(v IGNORE NULLS) OVER w_next AS v_next,
+             first_value(CASE WHEN v IS NOT NULL THEN t_us END IGNORE NULLS)
+               OVER w_next                            AS t_next,
+             t_us
+      FROM sparse
+      WINDOW
+        w_prev AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        w_next AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_id, user_id, v,
+           round(CASE
+             WHEN v_prev IS NULL THEN v_next
+             WHEN v_next IS NULL THEN v_prev
+             WHEN t_next = t_prev THEN v_prev
+             ELSE v_prev + (v_next - v_prev)
+                  * (t_us - t_prev) / (t_next - t_prev)
+           END, 4) AS v_interp
+    FROM bounded
+    ORDER BY user_id, event_id
+    """,
+    doc="W8: linear gap interpolation — the time-WEIGHTED completion of "
+    "w5's LOCF: a missing reading is reconstructed from the previous "
+    "and next observed values, weighted by where the gap row sits in "
+    "time between them (sensor streams, metric downsampling repair, "
+    "financial curve building). Two mirrored frames per user — last "
+    "IGNORE NULLS over the preceding rows, first IGNORE NULLS over "
+    "the following — carry (value, epoch-µs) pairs; the interpolation "
+    "itself is pure row-local arithmetic. Observed rows fall out "
+    "unchanged (fraction 0), leading/trailing gaps degrade to "
+    "BOCF/LOCF, all-null keys stay null. ONE shuffle on user_id, both "
+    "frames evaluated in the same sorted pass — the second frame "
+    "direction costs a window re-scan, not a second exchange.",
+    tags=("window",),
+)
+def interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    sparse = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
+        F.when(F.col("event_id") % 3 == 0, None).otherwise(F.col("value")).alias("v"),
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    t_known = F.when(F.col("v").isNotNull(), F.col("t_us"))
+    bounded = sparse.select(
+        "event_id",
+        "user_id",
+        "v",
+        "t_us",
+        F.last("v", ignorenulls=True).over(w_prev).alias("v_prev"),
+        F.last(t_known, ignorenulls=True).over(w_prev).alias("t_prev"),
+        F.first("v", ignorenulls=True).over(w_next).alias("v_next"),
+        F.first(t_known, ignorenulls=True).over(w_next).alias("t_next"),
+    )
+    interp = (
+        F.when(F.col("v_prev").isNull(), F.col("v_next"))
+        .when(F.col("v_next").isNull(), F.col("v_prev"))
+        .when(F.col("t_next") == F.col("t_prev"), F.col("v_prev"))
+        .otherwise(
+            F.col("v_prev")
+            + (F.col("v_next") - F.col("v_prev"))
+            * (F.col("t_us") - F.col("t_prev"))
+            / (F.col("t_next") - F.col("t_prev"))
+        )
+    )
+    return bounded.select(
+        "event_id", "user_id", "v", F.round(interp, 4).alias("v_interp")
+    ).orderBy("user_id", "event_id")
