@@ -740,3 +740,73 @@ def containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.filter((F.col("containment") >= 0.9) & (F.col("jaccard") < 0.5))
         .orderBy("doc_a", "doc_b")
     )
+
+
+@register(
+    "l25_url_dedup",
+    oracle="""
+    WITH urls AS (
+      SELECT doc_id, n_chars, source,
+             'https://' || source || '.example.com/' || lang || '/doc-'
+               || (doc_id % 40) || '?utm=u' || doc_id AS url
+      FROM documents
+    ),
+    canon AS (
+      SELECT source, regexp_replace(url, '\\?.*$', '') AS curl, n_chars
+      FROM urls
+    ),
+    groups AS (
+      SELECT source, curl, count(*) AS n, max(n_chars) AS kept_chars
+      FROM canon GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(sum(n) AS BIGINT)            AS n_docs,
+           CAST(count(*) AS BIGINT)          AS n_canonical,
+           CAST(sum(n) - count(*) AS BIGINT) AS n_removed,
+           CAST(sum(kept_chars) AS BIGINT)   AS kept_chars
+    FROM groups GROUP BY source ORDER BY source
+    """,
+    doc="L25: URL-canonical dedup — the cheapest, highest-yield dedup "
+    "stage of a web-corpus pipeline, run BEFORE content hashing (l1) "
+    "and near-dup (l2): normalize the crawl URL (strip the query "
+    "string — session ids, utm trackers — keeping scheme/host/path) "
+    "and keep ONE document per canonical URL, preferring the longest "
+    "capture (max n_chars — the 'best snapshot' rule; crawls revisit "
+    "the same page with varying truncation). One narrow shuffle on "
+    "the canonical-URL hash; the keeper pick is a max aggregate, not "
+    "a sort. The synthesized URLs plant real collisions (doc_id mod "
+    "40 path slots per (source, lang)) so the removal counts are "
+    "load-bearing. Production canonicalization adds host lowercasing, "
+    "default-port and trailing-slash rules — same one-expression "
+    "shape.",
+    tags=("llm", "dedup"),
+)
+def url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    urls = d.select(
+        "source",
+        "n_chars",
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com/"),
+            F.col("lang"), F.lit("/doc-"), (F.col("doc_id") % 40),
+            F.lit("?utm=u"), F.col("doc_id"),
+        ).alias("url"),
+    )
+    canon = urls.select(
+        "source",
+        F.regexp_replace("url", r"\?.*$", "").alias("curl"),
+        "n_chars",
+    )
+    groups = canon.groupBy("source", "curl").agg(
+        F.count(F.lit(1)).alias("n"), F.max("n_chars").alias("kept_chars")
+    )
+    return (
+        groups.groupBy("source")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_canonical"),
+            (F.sum("n") - F.count(F.lit(1))).cast("bigint").alias("n_removed"),
+            F.sum("kept_chars").cast("bigint").alias("kept_chars"),
+        )
+        .orderBy("source")
+    )

@@ -592,3 +592,142 @@ def kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+# Product-quantization geometry (l3e): dim 64 = PQ_M subspaces x PQ_D dims,
+# PQ_K centroids per subspace. Codebook rows are a deterministic data
+# sample (vec_id % 31 == 1, 16 smallest) — production trains it with l19's
+# k-means per subspace; the pipeline shape is identical.
+PQ_M = 8
+PQ_D = 8
+PQ_K = 16
+
+
+def _sq_l2_sql(a: str, b: str, n: int = PQ_D, base: int = 0) -> str:
+    """Explicit n-term squared-L2 as generated SQL text — the same term
+    ORDER and element-wise double casts run in Spark (F.expr, base=0
+    subscripts) and DuckDB (base=1 subscripts), so both engines execute
+    identical IEEE ops in identical order and the distances (hence the
+    argmin codes) match EXACTLY, not approximately. Only the subscript
+    base differs between the engines' array semantics."""
+    terms = [
+        f"(CAST({a}[{i}] AS DOUBLE) - CAST({b}[{i}] AS DOUBLE)) "
+        f"* (CAST({a}[{i}] AS DOUBLE) - CAST({b}[{i}] AS DOUBLE))"
+        for i in range(base, n + base)
+    ]
+    return " + ".join(terms)
+
+
+@register(
+    "l3e_pq_topk",
+    oracle=f"""
+    WITH cb AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, embedding
+      FROM embeddings WHERE vec_id % 31 = 1 ORDER BY vec_id LIMIT {PQ_K}
+    ),
+    subs AS (SELECT unnest(range(0, {PQ_M})) AS s),
+    subcb AS (
+      SELECT s, c, embedding[s*{PQ_D}+1 : s*{PQ_D}+{PQ_D}] AS cent
+      FROM cb, subs
+    ),
+    vecsub AS (
+      SELECT vec_id, s, embedding[s*{PQ_D}+1 : s*{PQ_D}+{PQ_D}] AS sub
+      FROM embeddings, subs
+    ),
+    dists AS (
+      SELECT vec_id, v.s, c, {_sq_l2_sql("sub", "cent", base=1)} AS dd
+      FROM vecsub v JOIN subcb cb ON cb.s = v.s
+    ),
+    codes AS (
+      SELECT vec_id, s, c AS code
+      FROM (
+        SELECT vec_id, s, c,
+               row_number() OVER (PARTITION BY vec_id, s ORDER BY dd, c) AS rn
+        FROM dists
+      ) WHERE rn = 1
+    ),
+    qd AS (
+      SELECT s, c, dd AS qdist FROM dists WHERE vec_id = 0
+    ),
+    adc AS (
+      SELECT codes.vec_id, sum(qdist) AS dist
+      FROM codes JOIN qd ON qd.s = codes.s AND qd.c = codes.code
+      GROUP BY codes.vec_id
+    )
+    SELECT vec_id, round(dist, 4) AS pq_dist
+    FROM adc ORDER BY dist, vec_id LIMIT 10
+    """,
+    doc="L3e: product-quantization ANN (the IVF-PQ scale path beyond "
+    "l3d's coarse quantizer) — 64-dim vectors split into "
+    f"{PQ_M} subspaces, each encoded as its nearest of {PQ_K} subspace "
+    "centroids, so a vector compresses to 8 bytes and query distance "
+    "becomes ADC: per-subspace (query, centroid) distances are "
+    f"computed ONCE ({PQ_M}x{PQ_K} rows, broadcast) and each corpus "
+    "vector's approximate distance is 8 table lookups + a sum — no "
+    "full-vector math ever touches the corpus at query time. Encoding "
+    "is map-side (codebook broadcast, argmin as a min_by aggregate "
+    "over the exploded subspace fan-out); at 100 TB codes are "
+    "precomputed at ingest and a query costs one broadcast-join + "
+    "narrow agg over 8-byte codes. The DuckDB oracle mirrors the "
+    "arithmetic TERM-FOR-TERM (shared generated SQL with explicit "
+    "double casts), so codes and ADC distances match exactly — an "
+    "approximate INDEX with an exact differential test. Codebook here "
+    "is a deterministic data sample; production trains it per "
+    "subspace with l19's k-means. Recall caveat, stated honestly: the "
+    "fixture's embeddings are isotropic random — the PQ worst case (no "
+    "cluster structure for the codebook to exploit), so candidate "
+    "recall here is modest and asserted as a floor in tests; "
+    "production PQ re-ranks the ADC candidate list with exact "
+    "distances (l3's brute-force over candidates) and trains the "
+    "codebook, recovering recall. The query's own row ranking first "
+    "by ADC is the built-in self-retrieval sanity check.",
+    tags=("llm", "similarity", "scale"),
+)
+def pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cb = (
+        e.filter(F.col("vec_id") % 31 == 1)
+        .orderBy("vec_id")
+        .limit(PQ_K)
+        .select(
+            (F.row_number().over(Window.orderBy("vec_id")) - 1).alias("c"),
+            "embedding",
+        )
+    )
+    subs = spark.range(PQ_M).select(F.col("id").cast("int").alias("s"))
+    subcb = cb.crossJoin(subs).select(
+        "s", "c",
+        F.expr(f"slice(embedding, s*{PQ_D}+1, {PQ_D})").alias("cent"),
+    )
+    vecsub = (
+        spread(e, "vec_id")
+        .crossJoin(F.broadcast(subs))
+        .select(
+            "vec_id", "s",
+            F.expr(f"slice(embedding, s*{PQ_D}+1, {PQ_D})").alias("sub"),
+        )
+    )
+    dists = vecsub.join(F.broadcast(subcb), "s").select(
+        "vec_id", "s", "c", F.expr(_sq_l2_sql("sub", "cent")).alias("dd")
+    )
+    codes = dists.groupBy("vec_id", "s").agg(
+        F.expr("min_by(c, struct(dd, c))").alias("code")
+    )
+    qd = dists.filter(F.col("vec_id") == 0).select(
+        F.col("s").alias("qs"), F.col("c").alias("qc"), F.col("dd").alias("qdist")
+    )
+    adc = (
+        codes.join(
+            F.broadcast(qd),
+            (F.col("qs") == F.col("s")) & (F.col("qc") == F.col("code")),
+        )
+        .groupBy("vec_id")
+        .agg(F.sum("qdist").alias("dist"))
+    )
+    return (
+        adc.orderBy("dist", "vec_id")
+        .limit(10)
+        .select("vec_id", F.round("dist", 4).alias("pq_dist"))
+    )

@@ -155,3 +155,38 @@ def test_chunking_edge_cases(spark):
     assert got[(4, 0)] == got[(4, 1)] == got[(4, 2)] == CHUNK_TOKENS
     assert got[(4, 3)] == n4 - 3 * CHUNK_STRIDE
     assert (4, 4) not in got
+
+
+def test_pq_self_retrieval_and_candidate_recall(spark, duck, sf_dir):
+    """l3e: the query's own vector must rank FIRST by ADC distance
+    (quantization error is minimal against itself), and widening the
+    ADC candidate list must recover a floor of the exact-L2 top-10 —
+    a codebook/encode mismatch would send recall to ~0."""
+    from mric_bak_etl_spark.catalog import all_specs
+
+    spec = all_specs()["l3e_pq_topk"]
+    top = spec.builder(spark, sf_dir).collect()
+    assert top[0]["vec_id"] == 0  # self-retrieval sanity
+
+    exact = {
+        r[0]
+        for r in duck.execute(
+            """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+            q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+            SELECT e.vec_id FROM e, q WHERE e.vec_id <> 0
+            ORDER BY list_sum(list_transform(range(1, 65),
+                     i -> (e.v[i]-q.qv[i])^2)), e.vec_id
+            LIMIT 10
+            """
+        ).fetchall()
+    }
+    pq50 = {
+        r[0]
+        for r in duck.execute(
+            spec.oracle.replace("LIMIT 10", "LIMIT 51")
+        ).fetchall()
+    }
+    # Floor, not a target: isotropic random vectors are PQ's worst case.
+    assert len(exact & pq50) >= 2
