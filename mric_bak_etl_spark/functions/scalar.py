@@ -1287,3 +1287,155 @@ def pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> ORDER BY l_returnflag
         """
     )
+
+
+@register(
+    "f27_csv_expressions",
+    oracle="""
+    WITH lines AS (
+      SELECT o_orderkey,
+             o_orderkey || ',' || o_orderstatus || ',' || o_totalprice AS line
+      FROM orders WHERE o_orderkey % 13 = 0
+    ),
+    parsed AS (
+      SELECT o_orderkey, line,
+             CAST(string_split(line, ',')[1] AS BIGINT)  AS k,
+             string_split(line, ',')[2]                  AS status,
+             CAST(string_split(line, ',')[3] AS DOUBLE)  AS price
+      FROM lines
+    )
+    SELECT status,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(price), 4)     AS total,
+           CAST(sum(CASE WHEN CAST(k AS VARCHAR) || ',' || status || ','
+                              || CAST(price AS VARCHAR) IS NOT NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_roundtrip
+    FROM parsed GROUP BY status ORDER BY status
+    """,
+    doc="F27: CSV expression family — from_csv (typed parse of an "
+    "embedded CSV line with an explicit schema: the message-in-a-"
+    "column shape of queue payloads), to_csv (struct back to a wire "
+    "line). Unlike the s5 file-level CSV source, these run as codegen "
+    "row expressions inside any pipeline stage — no separate read "
+    "job, schema violations become NULLs per PERMISSIVE semantics "
+    "(f19's contract). The oracle parses with string_split + casts; "
+    "the roundtrip count just pins that to_csv emitted a line per "
+    "row.",
+    tags=("functions", "csv"),
+)
+def csv_expressions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 13 == 0)
+    lines = o.select(
+        "o_orderkey",
+        F.concat_ws(
+            ",", F.col("o_orderkey"), F.col("o_orderstatus"), F.col("o_totalprice")
+        ).alias("line"),
+    )
+    parsed = lines.select(
+        F.from_csv(
+            F.col("line"), F.lit("k BIGINT, status STRING, price DOUBLE")
+        ).alias("rec")
+    ).select("rec.k", "rec.status", "rec.price")
+    back = parsed.withColumn(
+        "wire", F.to_csv(F.struct("k", "status", "price"))
+    )
+    return (
+        back.groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("price"), 4).alias("total"),
+            F.sum(F.when(F.col("wire").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_roundtrip"),
+        )
+        .orderBy("status")
+    )
+
+
+@register(
+    "q7_exec_immediate",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(o_totalprice), 4) AS total
+    FROM orders
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY o_orderpriority
+    """,
+    doc="Q7: EXECUTE IMMEDIATE (Spark 4 dynamic SQL) — a query TEXT "
+    "assembled at runtime but executed with parameter-marker binding "
+    "(USING), so runtime values bind as typed values in the parsed "
+    "plan rather than being spliced into the string: the governed "
+    "form of the dynamic SQL every metadata-driven pipeline "
+    "eventually needs (table/filter names from a config table), and "
+    "the injection-safe complement of q4's static parameterized "
+    "queries. The executed plan is identical to the static form — "
+    "which is the oracle.",
+    tags=("sql",),
+)
+def exec_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mric_bak_etl_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    spark.sql("DECLARE OR REPLACE VARIABLE target_pri STRING")
+    spark.sql("SET VAR target_pri = '1-URGENT'")
+    return spark.sql(
+        """
+        EXECUTE IMMEDIATE
+          'SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+                  round(sum(o_totalprice), 4) AS total
+           FROM orders WHERE o_orderpriority = ?
+           GROUP BY o_orderpriority'
+        USING target_pri
+        """
+    )
+
+
+@register(
+    "q8_sql_scripting",
+    oracle="""
+    WITH ks AS (SELECT unnest(range(0, 21)) AS k),
+    counts AS (
+      SELECT k,
+             (SELECT count(*) FROM orders
+              WHERE o_totalprice > 500000 / pow(2, k)) AS n
+      FROM ks
+    )
+    SELECT CAST(k AS INT)                 AS k,
+           round(500000 / pow(2, k), 4)   AS threshold,
+           CAST(n AS BIGINT)              AS n_orders
+    FROM counts WHERE n >= 100 ORDER BY k LIMIT 1
+    """,
+    doc="Q8: SQL scripting (Spark 4.1 BEGIN...END with DECLARE/WHILE/"
+    "SET) — procedural control flow INSIDE the SQL surface: the "
+    "script halves a price threshold until at least 100 orders "
+    "qualify, the parameter-search shape (binary-search a cutoff, "
+    "retry-until-nonempty) that previously forced a driver-side "
+    "Python loop. Each iteration's scalar lands in a session "
+    "variable; only the final SELECT materializes a result. The "
+    "oracle replays the same search declaratively (generate k, take "
+    "the first satisfying row) — same answer, which is exactly the "
+    "point: scripting adds CONTROL FLOW, not new semantics.",
+    tags=("sql",),
+)
+def sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mric_bak_etl_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE k INT DEFAULT 0;
+          DECLARE n BIGINT DEFAULT 0;
+          SET n = (SELECT count(*) FROM orders WHERE o_totalprice > 500000);
+          WHILE n < 100 AND k < 20 DO
+            SET k = k + 1;
+            SET n = (SELECT count(*) FROM orders
+                     WHERE o_totalprice > 500000 / pow(2, k));
+          END WHILE;
+          SELECT CAST(k AS INT)               AS k,
+                 round(500000 / pow(2, k), 4) AS threshold,
+                 CAST(n AS BIGINT)            AS n_orders;
+        END
+        """
+    )
