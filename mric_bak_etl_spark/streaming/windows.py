@@ -343,3 +343,56 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_name")
     )
+
+
+@register(
+    "t11_dedup_within_watermark",
+    oracle="""
+    SELECT event_type, count(DISTINCT user_id) AS n_unique_users
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="T11: dropDuplicatesWithinWatermark, driven through a REAL "
+    "streaming query (readStream → watermark → dedup → memory sink, "
+    "AvailableNow) — the BOUNDED-state form of t5's streaming dedup: "
+    "plain dropDuplicates keys state forever (the unbounded-growth "
+    "failure mode at 100 TB/day), while the within-watermark variant "
+    "evicts a key's state once the watermark passes its event time, "
+    "trading 'exactly-once forever' for 'exactly-once within the "
+    "lateness horizon' — the correct production contract when "
+    "duplicates arrive close together (retries, at-least-once "
+    "sources). Over the bounded fixture with a delay longer than the "
+    "stream's span, no state evicts mid-run, so the result equals "
+    "full distinct — the oracle; eviction behavior across batches is "
+    "t5's existing multi-batch test territory. The dedup itself "
+    "shuffles once on the dedup keys; the post-sink aggregate is "
+    "batch.",
+    tags=("streaming", "stateful"),
+)
+def dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    deduped = (
+        stream_events(spark, sf_dir)
+        .withWatermark("ts", "30 days")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    ckpt = tempfile.mkdtemp(prefix="t11_ckpt_")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("t11_sink")
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(ckpt, "state"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table("t11_sink")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_unique_users"))
+        .orderBy("event_type")
+    )
