@@ -15,7 +15,7 @@ max/limit, never a full sort.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mric_bak_etl_spark.catalog import register
@@ -135,3 +135,70 @@ def limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
         .offset(40)
         .limit(20)
     )
+
+
+@register(
+    "o5_distributed_row_number",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_orderkey, o_totalprice,
+             row_number() OVER (ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders
+    )
+    SELECT CAST(rn AS BIGINT) AS rn, o_orderkey, o_totalprice
+    FROM ranked WHERE rn % 97 = 0 ORDER BY rn
+    """,
+    doc="O5: GLOBAL row numbering without the single-partition window — "
+    "row_number() OVER (ORDER BY ...) with no PARTITION BY funnels "
+    "100 TB through ONE task (the canonical window anti-pattern); the "
+    "distributed form is: range-partition on the sort key, number "
+    "rows LOCALLY per partition, and add each partition's prefix "
+    "offset (cumulative count of earlier partitions). The offsets "
+    "table has one row PER PARTITION — cluster-sized, not data-sized "
+    "— so its tiny ordering window and broadcast back are free; and "
+    "because the sort key is a total order, the global numbering is "
+    "INVARIANT to where the range boundaries land, which is what "
+    "makes the result deterministic under sampled partitioning. "
+    "Every-97th-row projection keeps the checked output small while "
+    "pinning ranks across the whole range.",
+    tags=("sort", "scale"),
+)
+def distributed_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mric_bak_etl_spark.tables import sized_parallelism
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    from mric_bak_etl_spark.tables import materialize
+
+    n = sized_parallelism(sf_dir, "orders")
+    # Pin the partitioning ONCE: the offsets branch and the ranking
+    # branch must observe the SAME range boundaries — re-executing the
+    # range exchange per consumer re-samples boundaries independently
+    # (and AQE may re-coalesce), silently misaligning offsets with
+    # local ranks. materialize (localCheckpoint; persist on a cluster)
+    # freezes pid for both consumers.
+    parts = materialize(
+        o.repartitionByRange(n, "o_orderdate", "o_orderkey").withColumn(
+            "pid", F.spark_partition_id()
+        )
+    )
+    counts = parts.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
+    # Offsets: cumulative counts over the partition-count-sized table —
+    # the single-task window here ranges over ~dozens of rows (one per
+    # partition), never over data.
+    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "pid", F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("off")
+    )
+    w_local = Window.partitionBy("pid").orderBy("o_orderdate", "o_orderkey")
+    ranked = (
+        parts.withColumn("local_rn", F.row_number().over(w_local))
+        .join(F.broadcast(offsets), "pid")
+        .select(
+            (F.col("local_rn") + F.col("off")).cast("bigint").alias("rn"),
+            "o_orderkey",
+            "o_totalprice",
+        )
+    )
+    return ranked.filter(F.col("rn") % 97 == 0).orderBy("rn")

@@ -1227,3 +1227,97 @@ def schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("drift"),
     )
     return drift.filter(F.col("drift") != "unchanged").orderBy("col")
+
+
+@register(
+    "dq7_psi_drift",
+    oracle="""
+    WITH old AS (
+      SELECT CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 0.9
+                  ELSE o_totalprice END AS p
+      FROM orders WHERE o_orderkey % 11 <> 0
+    ),
+    new AS (SELECT o_totalprice AS p FROM orders),
+    bounds AS (
+      SELECT min(p) AS lo, max(p) AS hi
+      FROM (SELECT p FROM old UNION ALL SELECT p FROM new)
+    ),
+    b_old AS (
+      SELECT least(CAST(floor((p - lo) / ((hi - lo) / 10)) AS INT), 9) AS b
+      FROM old, bounds
+    ),
+    b_new AS (
+      SELECT least(CAST(floor((p - lo) / ((hi - lo) / 10)) AS INT), 9) AS b
+      FROM new, bounds
+    ),
+    spine AS (SELECT unnest(range(0, 10)) AS b),
+    c_old AS (SELECT b, count(*) AS c FROM b_old GROUP BY b),
+    c_new AS (SELECT b, count(*) AS c FROM b_new GROUP BY b),
+    per_bucket AS (
+      SELECT spine.b,
+             (coalesce(c_old.c, 0) + 1.0)
+               / ((SELECT count(*) FROM old) + 10.0) AS p,
+             (coalesce(c_new.c, 0) + 1.0)
+               / ((SELECT count(*) FROM new) + 10.0) AS q
+      FROM spine
+      LEFT JOIN c_old ON c_old.b = spine.b
+      LEFT JOIN c_new ON c_new.b = spine.b
+    )
+    SELECT round(sum((q - p) * ln(q / p)), 6) AS psi,
+           CAST(count(*) AS BIGINT)           AS n_buckets
+    FROM per_bucket
+    """,
+    doc="DQ7: population-stability-index drift gate — the numeric-"
+    "distribution complement of dq2's volume z-score and l22's token "
+    "JS divergence: the price distribution of the incoming snapshot "
+    "vs the previous generation, bucketed into 10 equal-width bins "
+    "over the COMBINED range (one broadcast min/max — bins must be "
+    "shared or the comparison is meaningless), Laplace +1 smoothing "
+    "so emptied/new buckets contribute finitely, PSI = Σ(q-p)·ln(q/p). "
+    "The classic gates: PSI < 0.1 stable, 0.1-0.25 investigate, "
+    "> 0.25 hold the swap. Planted drift (10%% price cut on a key "
+    "slice plus missing rows) makes the value load-bearing. Two "
+    "narrow bucket-grain aggregations; nothing data-sized crosses "
+    "the driver.",
+    tags=("pipeline", "quality"),
+)
+def psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    old = o.filter(F.col("o_orderkey") % 11 != 0).select(
+        F.when(F.col("o_orderkey") % 3 == 0, F.col("o_totalprice") * 0.9)
+        .otherwise(F.col("o_totalprice"))
+        .alias("p")
+    )
+    new = o.select(F.col("o_totalprice").alias("p"))
+    both = old.unionByName(new)
+    bounds = both.agg(F.min("p").alias("lo"), F.max("p").alias("hi"))
+
+    def bucketed(df: DataFrame) -> DataFrame:
+        return df.crossJoin(F.broadcast(bounds)).select(
+            F.least(
+                F.floor(
+                    (F.col("p") - F.col("lo")) / ((F.col("hi") - F.col("lo")) / 10)
+                ).cast("int"),
+                F.lit(9),
+            ).alias("b")
+        )
+
+    c_old = bucketed(old).groupBy("b").agg(F.count(F.lit(1)).alias("c_old"))
+    c_new = bucketed(new).groupBy("b").agg(F.count(F.lit(1)).alias("c_new"))
+    n_old = old.agg(F.count(F.lit(1)).alias("n_old"))
+    n_new = new.agg(F.count(F.lit(1)).alias("n_new"))
+    spine = spark.range(10).select(F.col("id").cast("int").alias("b"))
+    per_bucket = (
+        spine.join(c_old, "b", "left")
+        .join(c_new, "b", "left")
+        .crossJoin(F.broadcast(n_old))
+        .crossJoin(F.broadcast(n_new))
+        .select(
+            ((F.coalesce(F.col("c_old"), F.lit(0)) + 1.0) / (F.col("n_old") + 10.0)).alias("p"),
+            ((F.coalesce(F.col("c_new"), F.lit(0)) + 1.0) / (F.col("n_new") + 10.0)).alias("q"),
+        )
+    )
+    return per_bucket.agg(
+        F.round(F.sum((F.col("q") - F.col("p")) * F.log(F.col("q") / F.col("p"))), 6).alias("psi"),
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+    )
