@@ -1210,3 +1210,151 @@ def bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# BPE trainer geometry (l26): merge rounds over the frequency-weighted
+# word table (standard BPE trains on word counts, never the raw corpus),
+# restricted to clean lowercase words so merged symbols stay regex-inert
+# in the shared fold expression.
+BPE_ROUNDS = 6
+BPE_VOCAB_WORDS = 150
+
+# The leftmost non-overlapping merge fold, shared semantics in both
+# engines: accumulator is the space-joined symbol string; a step either
+# fuses the pending last symbol with x (when they equal the round's best
+# pair) or appends x. Plain string replace() CANNOT express this — on a
+# symbol run like "a a a a" one replace pass merges (1,2) and (4,5),
+# where BPE's leftmost scan merges (1,2) and (3,4).
+_MERGE_FOLD_DUCK = (
+    "list_reduce(string_split(syms, ' '), (acc, x) -> "
+    "CASE WHEN regexp_extract(acc, '([^ ]+)$', 1) = {A} AND x = {B} "
+    "THEN regexp_replace(acc, '([^ ]+)$', {AB}) "
+    "ELSE acc || ' ' || x END)"
+)
+
+
+def _bpe_oracle() -> str:
+    rounds = []
+    for r in range(1, BPE_ROUNDS + 1):
+        prev = f"w{r - 1}"
+        fold = _MERGE_FOLD_DUCK.format(
+            A=f"b{r}.a", B=f"b{r}.b", AB=f"b{r}.a || b{r}.b"
+        )
+        rounds.append(f"""
+    p{r} AS (
+      SELECT s[i] AS a, s[i + 1] AS b, sum(freq) AS c
+      FROM (SELECT string_split(syms, ' ') AS s, freq FROM {prev}),
+           LATERAL (SELECT unnest(range(1, len(s))) AS i) g
+      GROUP BY 1, 2
+    ),
+    b{r} AS (SELECT a, b, c FROM p{r} ORDER BY c DESC, a, b LIMIT 1),
+    w{r} AS (SELECT word, freq, {fold} AS syms FROM {prev}, b{r})""")
+    finals = " UNION ALL ".join(
+        f"SELECT {r} AS rank, a, b, CAST(c AS BIGINT) AS pair_freq FROM b{r}"
+        for r in range(1, BPE_ROUNDS + 1)
+    )
+    return f"""
+    WITH freqs AS (
+      SELECT term AS word, count(*) AS freq
+      FROM (SELECT unnest(string_split_regex(text, '\\s+')) AS term
+            FROM documents)
+      WHERE regexp_matches(term, '^[a-z]+$')
+      GROUP BY term
+      ORDER BY freq DESC, word LIMIT {BPE_VOCAB_WORDS}
+    ),
+    w0 AS (
+      SELECT word, freq,
+             array_to_string(string_split(word, ''), ' ') AS syms
+      FROM freqs
+    ),{",".join(rounds)}
+    SELECT CAST(rank AS INT) AS rank, a, b, pair_freq
+    FROM ({finals}) ORDER BY rank
+    """
+
+
+@register(
+    "l26_bpe_merges",
+    oracle=_bpe_oracle(),
+    doc="L26: BPE tokenizer training — the merge-learning loop under "
+    "every modern tokenizer, run distributed for "
+    f"{BPE_ROUNDS} rounds over the frequency-weighted word table "
+    f"(top {BPE_VOCAB_WORDS} clean words; standard BPE never touches "
+    "the raw corpus, only word counts — vocabulary-sized state). Each "
+    "round: adjacent symbol-pair counts weighted by word frequency "
+    "(explode + map-side-combined agg), argmax with (count DESC, "
+    "pair ASC) tiebreak — a 1-row driver probe per round, the g1/l19 "
+    "iteration pattern — then a leftmost non-overlapping merge fold "
+    "applied to every word's symbol string as a pure expression. The "
+    "fold semantics are load-bearing: naive string replace merges "
+    "runs differently ('a a a a' → BPE merges positions 1-2 and 3-4, "
+    "replace() merges 1-2 and 4-5); both engines execute the "
+    "identical fold, DuckDB via list_reduce in an unrolled "
+    f"{BPE_ROUNDS}-round CTE. Output = the learned merge table "
+    "(rank, pair, weighted frequency) — the artifact a tokenizer "
+    "ships. Word-table state is materialized per round "
+    "(vocabulary-sized), so lineage stays flat.",
+    tags=("llm", "text", "iterative"),
+)
+def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mric_bak_etl_spark.tables import materialize
+
+    d = spread(load_table(spark, sf_dir, "documents").select("text"))
+    freqs = (
+        d.select(F.explode(tokens()).alias("word"))
+        .filter(F.col("word").rlike("^[a-z]+$"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("word"))
+        .limit(BPE_VOCAB_WORDS)
+    )
+    words = materialize(
+        freqs.select(
+            "word",
+            "freq",
+            F.array_join(F.split("word", ""), " ").alias("syms"),
+        )
+    )
+
+    best_rows = []
+    for r in range(1, BPE_ROUNDS + 1):
+        pairs = (
+            words.select(F.split("syms", " ").alias("s"), "freq")
+            .select(
+                F.explode(
+                    F.expr(
+                        "CASE WHEN size(s) > 1 THEN transform("
+                        "sequence(0, size(s) - 2), i -> struct(s[i] AS a, s[i+1] AS b)) "
+                        "ELSE array() END"
+                    )
+                ).alias("p"),
+                "freq",
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("freq").alias("c"))
+        )
+        best_df = pairs.orderBy(F.col("c").desc(), "a", "b").limit(1)
+        best = best_df.collect()[0]  # 1-row round probe (g1/l19 pattern)
+        best_rows.append(
+            best_df.select(
+                F.lit(r).cast("int").alias("rank"),
+                "a",
+                "b",
+                F.col("c").cast("bigint").alias("pair_freq"),
+            )
+        )
+        a, b, ab = best["a"], best["b"], best["a"] + best["b"]
+        fold = (
+            "aggregate(slice(s, 2, size(s) - 1), s[0], (acc, x) -> "
+            f"CASE WHEN regexp_extract(acc, '([^ ]+)$', 1) = '{a}' AND x = '{b}' "
+            f"THEN regexp_replace(acc, '([^ ]+)$', '{ab}') "
+            "ELSE concat(acc, ' ', x) END)"
+        )
+        words = materialize(
+            words.select(F.split("syms", " ").alias("s"), "word", "freq")
+            .select("word", "freq", F.expr(fold).alias("syms"))
+        )
+
+    out = best_rows[0]
+    for b_df in best_rows[1:]:
+        out = out.unionByName(b_df)
+    return out.orderBy("rank")
