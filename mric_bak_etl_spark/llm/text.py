@@ -1307,8 +1307,12 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("freq").desc(), F.col("word"))
         .limit(BPE_VOCAB_WORDS)
     )
+    # The merge loop's working set is the 150-row word table — schedule
+    # it as ONE partition (6 rounds x several stages over 32 partitions
+    # of ~5 rows each is pure task-scheduling overhead; at a real vocab
+    # scale sized_parallelism applies instead).
     words = materialize(
-        freqs.select(
+        freqs.coalesce(1).select(
             "word",
             "freq",
             F.array_join(F.split("word", ""), " ").alias("syms"),
