@@ -1,0 +1,177 @@
+"""Differential query fuzzing: random plans from a small grammar, executed
+on BOTH engines (SURVEY §5.2's adversarial face).
+
+The fixed catalog oracles pin 226 hand-written queries; this fuzzer pins
+the COMPOSITION RULES — any filter x group-key x aggregate drawn from the
+grammar must agree between the Spark DataFrame chain and the equivalent
+DuckDB SQL. Each generated case renders to both forms from one AST, so a
+disagreement is an engine-semantics bug (null handling, type widening,
+float summation), not a transcription gap.
+
+Derandomized (fixed seed) like the rest of the property suite: a failing
+case replays identically in CI and in the driver's environment.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+# --- tiny query grammar over the orders table ------------------------------
+
+NUM_COLS = ["o_totalprice", "o_custkey"]
+KEY_COLS = ["o_orderstatus", "o_orderpriority"]
+
+FILTERS = [
+    # (duckdb / spark-SQL shared predicate text) — kept to ANSI both parse
+    "o_totalprice > {t}",
+    "o_totalprice <= {t}",
+    "o_custkey % 7 = {m}",
+    "o_orderkey % 13 <> {m}",
+    "o_orderpriority IN ('1-URGENT', '2-HIGH')",
+    "o_orderstatus = 'F' OR o_totalprice > {t}",
+]
+
+AGGS = [
+    ("CAST(count(*) AS BIGINT)", "n"),
+    ("round(sum(o_totalprice), 4)", "s"),
+    ("round(avg(o_totalprice), 4)", "a"),
+    ("CAST(min(o_orderkey) AS BIGINT)", "mn"),
+    ("CAST(max(o_orderkey) AS BIGINT)", "mx"),
+    ("CAST(count(DISTINCT o_custkey) AS BIGINT)", "nd"),
+]
+
+CASES = st.fixed_dictionaries(
+    {
+        "filters": st.lists(
+            st.sampled_from(FILTERS), min_size=0, max_size=2, unique=True
+        ),
+        "t": st.integers(min_value=1000, max_value=400000),
+        "m": st.integers(min_value=0, max_value=6),
+        "key": st.sampled_from(KEY_COLS + ["__none__"]),
+        "aggs": st.lists(
+            st.sampled_from(AGGS),
+            min_size=1,
+            max_size=4,
+            unique_by=lambda a: a[1],
+        ),
+    }
+)
+
+
+def render_sql(case: dict) -> str:
+    where = " AND ".join(
+        "(" + f.format(t=case["t"], m=case["m"]) + ")" for f in case["filters"]
+    )
+    sel = ", ".join(f"{expr} AS {alias}" for expr, alias in case["aggs"])
+    key = case["key"]
+    sql = "SELECT "
+    if key != "__none__":
+        sql += f"{key}, "
+    sql += sel + " FROM orders"
+    if where:
+        sql += f" WHERE {where}"
+    if key != "__none__":
+        sql += f" GROUP BY {key} ORDER BY {key}"
+    return sql
+
+
+FUZZ_SETTINGS = settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+    derandomize=True,
+)
+
+
+@FUZZ_SETTINGS
+@given(case=CASES)
+def test_random_agg_plans_agree(spark, duck, sf_dir, case):
+    import pandas as pd
+
+    from mric_bak_etl_spark.tables import register_views
+    from test_oracle_parity import assert_frames_match
+
+    register_views(spark, sf_dir)
+    sql = render_sql(case)
+    # The same ANSI text drives both engines: Spark parses it through
+    # Catalyst (the q1 SQL entry point), DuckDB through its own planner —
+    # one AST, two engines, zero transcription gap.
+    got: pd.DataFrame = spark.sql(sql).toPandas()
+    want: pd.DataFrame = duck.execute(sql).df()
+    assert_frames_match(got, want, f"fuzz[{sql}]")
+
+
+JOIN_CASES = st.fixed_dictionaries(
+    {
+        "jtype": st.sampled_from(["JOIN", "LEFT JOIN"]),
+        "filters": st.lists(
+            st.sampled_from(FILTERS), min_size=0, max_size=1, unique=True
+        ),
+        "t": st.integers(min_value=1000, max_value=400000),
+        "m": st.integers(min_value=0, max_value=6),
+        "key": st.sampled_from(["c_mktsegment", "o_orderstatus"]),
+        "aggs": st.lists(
+            st.sampled_from(AGGS), min_size=1, max_size=3,
+            unique_by=lambda a: a[1],
+        ),
+    }
+)
+
+
+@FUZZ_SETTINGS
+@given(case=JOIN_CASES)
+def test_random_join_plans_agree(spark, duck, sf_dir, case):
+    from mric_bak_etl_spark.tables import register_views
+    from test_oracle_parity import assert_frames_match
+
+    register_views(spark, sf_dir)
+    where = " AND ".join(
+        "(" + f.format(t=case["t"], m=case["m"]) + ")" for f in case["filters"]
+    )
+    sel = ", ".join(f"{expr} AS {alias}" for expr, alias in case["aggs"])
+    sql = (
+        f"SELECT {case['key']}, {sel} "
+        f"FROM customer c {case['jtype']} orders o ON c.c_custkey = o.o_custkey"
+    )
+    if where:
+        sql += f" WHERE {where}"
+    sql += f" GROUP BY {case['key']} ORDER BY {case['key']}"
+    assert_frames_match(
+        spark.sql(sql).toPandas(), duck.execute(sql).df(), f"fuzz[{sql}]"
+    )
+
+
+WINDOW_CASES = st.fixed_dictionaries(
+    {
+        "fn": st.sampled_from(
+            ["row_number()", "rank()", "dense_rank()",
+             "lag(o_orderkey, 1)", "lead(o_orderkey, 1)"]
+        ),
+        "part": st.sampled_from(KEY_COLS),
+        "t": st.integers(min_value=1000, max_value=400000),
+        "desc": st.booleans(),
+    }
+)
+
+
+@FUZZ_SETTINGS
+@given(case=WINDOW_CASES)
+def test_random_window_plans_agree(spark, duck, sf_dir, case):
+    from mric_bak_etl_spark.tables import register_views
+    from test_oracle_parity import assert_frames_match
+
+    register_views(spark, sf_dir)
+    direction = "DESC" if case["desc"] else "ASC"
+    # (o_orderdate, o_orderkey) is a total order: every window result is
+    # deterministic, so the frames must agree row-for-row.
+    sql = (
+        f"SELECT o_orderkey, {case['fn']} OVER ("
+        f"PARTITION BY {case['part']} "
+        f"ORDER BY o_orderdate {direction}, o_orderkey {direction}) AS w "
+        f"FROM orders WHERE o_totalprice > {case['t']} "
+        f"ORDER BY o_orderkey"
+    )
+    assert_frames_match(
+        spark.sql(sql).toPandas(), duck.execute(sql).df(), f"fuzz[{sql}]"
+    )
