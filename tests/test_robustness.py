@@ -1,0 +1,66 @@
+"""Physical-strategy robustness: answers must not depend on HOW Spark
+executes (SURVEY §5.2 — the driver hands us an arbitrary session).
+
+Each scenario perturbs a runtime knob the engine does NOT pin (the pinned
+ones — UTC, nanosAsLong, AQE, shuffle partitions — are re-asserted by
+ensure_runtime_confs on every load): disabling broadcast joins forces
+every join through sort-merge/shuffle-hash, and disabling whole-stage
+codegen runs the interpreted expression path. A representative slice of
+the catalog must still match DuckDB exactly under each — any divergence
+means a result silently depends on join strategy or codegen, the class
+of bug that only surfaces in production when a table crosses the
+broadcast threshold.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from mric_bak_etl_spark.catalog import all_specs
+
+# One representative per major family, biased toward join- and
+# expression-heavy shapes where physical strategy could plausibly leak.
+REPRESENTATIVES = [
+    "a1_pricing_summary",
+    "j1_inner_equi",
+    "j2_broadcast_dims",
+    "j6_asof",
+    "j13_null_safe_join",
+    "j15_bloom_prejoin",
+    "h5_local_supplier_volume",
+    "sq2_scalar_correlated",
+    "w3_frames",
+    "w8_interpolation",
+    "u4_intersect_all",
+    "e8_attribution",
+    "l1_exact_dedup",
+    "l22_slice_divergence",
+    "r21_incremental_agg",
+    "g4_triangle_count",
+]
+
+SCENARIOS = {
+    "no_broadcast": {"spark.sql.autoBroadcastJoinThreshold": "-1"},
+    "no_codegen": {"spark.sql.codegen.wholeStage": "false"},
+}
+
+
+@pytest.mark.parametrize("scenario", sorted(SCENARIOS))
+def test_results_survive_physical_strategy_changes(spark, duck, sf_dir, scenario):
+    from test_oracle_parity import assert_frames_match
+
+    confs = SCENARIOS[scenario]
+    saved = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        specs = all_specs()
+        for name in REPRESENTATIVES:
+            spec = specs[name]
+            assert spec.oracle is not None
+            got = spec.builder(spark, sf_dir).toPandas()
+            want = duck.execute(spec.oracle).df()
+            assert_frames_match(got, want, f"{scenario}:{name}")
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
