@@ -1,0 +1,63 @@
+"""Value parity at sf0.1 — 10× the driver's verification scale.
+
+The driver's gate runs at sf0.01 and the default local suite at sf0.001;
+this slice re-verifies representative queries at sf0.1 to catch the
+divergences that only appear with more data: integer widening/overflow,
+float-summation drift crossing a rounding boundary, partition-count
+effects on supposedly partition-invariant results, sketch parameters
+leaving their exact regime (a20's tracked-item budget), and fixture
+assumptions that quietly depended on the small scale (group-size caps,
+bucket fan-outs).
+
+Kept to a curated slice (~1 min): the point is scale-sensitivity
+coverage, not a third full sweep.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from mric_bak_etl_spark.catalog import all_specs
+from mric_bak_etl_spark.tables import TABLE_NAMES
+
+SF01_DIR = "/root/testdata/sf0.1"
+
+# Biased toward scale-sensitive shapes: float sums over the most rows,
+# exact-regime sketches, group-cap graph construction, multiset ops,
+# iterative loops, FP-identity PQ, IVM term cancellation.
+SCALE_SLICE = [
+    "a1_pricing_summary",
+    "a16_decimal_exact",
+    "a20_approx_topk",
+    "u4_intersect_all",
+    "g4_triangle_count",
+    "l19_kmeans",
+    "l3e_pq_topk",
+    "l26_bpe_merges",
+    "r21_incremental_agg",
+    "w7_running_distinct",
+    "e8_attribution",
+    "dq7_psi_drift",
+]
+
+
+@pytest.fixture(scope="module")
+def duck01():
+    con = duckdb.connect()
+    for name in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM '{SF01_DIR}/{name}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", SCALE_SLICE)
+def test_scale_parity_sf01(spark, duck01, name):
+    from test_oracle_parity import assert_frames_match
+
+    spec = all_specs()[name]
+    got = spec.builder(spark, SF01_DIR).toPandas()
+    want = duck01.execute(spec.oracle).df()
+    assert_frames_match(got, want, f"sf0.1:{name}")
