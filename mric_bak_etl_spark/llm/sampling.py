@@ -322,3 +322,46 @@ def bottomk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "l27_weighted_sample",
+    oracle="""
+    SELECT doc_id, lang,
+           round(ln(
+             (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+               + 1) / 4294967296.0
+           ) / n_chars, 6) AS es_key
+    FROM documents
+    ORDER BY es_key DESC, doc_id
+    LIMIT 50
+    """,
+    doc="L27: WEIGHTED fixed-size sampling (Efraimidis-Spirakis A-ES) — "
+    "each document draws a uniform u and gets key u^(1/w); the top-k "
+    "keys are a weighted random sample without replacement, with "
+    "inclusion probability proportional to weight (here w = n_chars: "
+    "longer documents preferred — the 'sample by quality score' step "
+    "of data mixing). The uniform comes from the doc-id's md5 (first "
+    "8 hex chars over 2^32), so the sample is REPRODUCIBLE across "
+    "runs, engines and partitionings — the same determinism argument "
+    "as l21, which this generalizes (all-equal weights degrade to "
+    "l21's uniform bottom-k). Ranking uses ln(u)/w (monotone in "
+    "u^(1/w), numerically tame); plans as TakeOrderedAndProject — "
+    "per-partition k-heaps, k rows per partition cross the wire, "
+    "never the corpus. Both engines parse the identical hex prefix "
+    "to the identical integer, so keys match exactly.",
+    tags=("llm", "sampling"),
+)
+def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    hexint = F.expr(
+        "CAST(conv(substring(md5(CAST(CAST(doc_id AS STRING) AS BINARY)), 1, 8), "
+        "16, 10) AS BIGINT)"
+    )
+    u = (hexint + 1) / F.lit(4294967296.0)
+    es_key = F.round(F.log(u) / F.col("n_chars"), 6)
+    return (
+        d.select("doc_id", "lang", es_key.alias("es_key"))
+        .orderBy(F.col("es_key").desc(), "doc_id")
+        .limit(50)
+    )
