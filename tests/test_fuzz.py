@@ -175,3 +175,43 @@ def test_random_window_plans_agree(spark, duck, sf_dir, case):
     assert_frames_match(
         spark.sql(sql).toPandas(), duck.execute(sql).df(), f"fuzz[{sql}]"
     )
+
+
+SETOP_CASES = st.fixed_dictionaries(
+    {
+        "op": st.sampled_from(
+            ["UNION", "UNION ALL", "INTERSECT", "INTERSECT ALL",
+             "EXCEPT", "EXCEPT ALL"]
+        ),
+        "fa": st.sampled_from(FILTERS),
+        "fb": st.sampled_from(FILTERS),
+        "t": st.integers(min_value=1000, max_value=400000),
+        "m": st.integers(min_value=0, max_value=6),
+        "proj": st.sampled_from(
+            ["o_custkey", "o_orderstatus", "o_custkey % 10"]
+        ),
+    }
+)
+
+
+@FUZZ_SETTINGS
+@given(case=SETOP_CASES)
+def test_random_setop_plans_agree(spark, duck, sf_dir, case):
+    from mric_bak_etl_spark.tables import register_views
+    from test_oracle_parity import assert_frames_match
+
+    register_views(spark, sf_dir)
+    fa = case["fa"].format(t=case["t"], m=case["m"])
+    fb = case["fb"].format(t=case["t"], m=case["m"])
+    # Summarize to one row so multiset cardinality is what's compared —
+    # the property each ALL/DISTINCT variant must get right.
+    sql = (
+        f"SELECT CAST(count(*) AS BIGINT) AS n, "
+        f"CAST(count(DISTINCT k) AS BIGINT) AS nd FROM ("
+        f"SELECT {case['proj']} AS k FROM orders WHERE {fa} "
+        f"{case['op']} "
+        f"SELECT {case['proj']} AS k FROM orders WHERE {fb})"
+    )
+    assert_frames_match(
+        spark.sql(sql).toPandas(), duck.execute(sql).df(), f"fuzz[{sql}]"
+    )
