@@ -116,7 +116,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "l25_url_dedup", "l3e_pq_topk", "f27_csv_expressions",
     "q7_exec_immediate", "q8_sql_scripting", "t11_dedup_within_watermark",
     "o5_distributed_row_number", "dq7_psi_drift", "l26_bpe_merges",
-    "l27_weighted_sample",
+    "l27_weighted_sample", "l28_record_linkage",
     "o4_limit_offset", "u5_union_missing_columns", "h6_forecast_revenue",
     "tx_fingerprint", "r2_listing_parse_latest", "o3_range_partitioned_sort",
     "f22_number_format", "x8_arrow_python_udf", "x5_map_in_arrow",
