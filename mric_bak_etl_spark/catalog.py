@@ -91,14 +91,16 @@ def all_specs() -> dict[str, QuerySpec]:
 
 # Verification order — round 3 rotation. The driver's correctness run is
 # time-budgeted (~50 entries/round); rounds 1-2 drove 78 distinct queries
-# green, so this round front-loads the 125 not-yet-driver-verified entries:
-# the flagship canary, then the 14 SURVEY §2B operators with no driver row
-# yet (VERDICT r2 item 1), then the remainder cheapest-first (measured at
-# sf0.01, warm session — /tmp profile 2026-08-13; total 99 s). Entries whose
-# check is rows-only by design (no oracle) are demoted — they yield weaker
-# driver rows. Already-green queries follow in sorted order; the local
-# parity suite (tests/test_oracle_parity.py) remains the regression guard
-# for them.
+# green, so this round front-loads what has no driver row yet: the
+# flagship canary, then the 14 SURVEY §2B operators the budget never
+# reached (VERDICT r2 item 1), then the 31 round-3 additions (brand-new —
+# highest verification risk), then the not-yet-verified remainder
+# cheapest-first (measured at sf0.01, warm session — /tmp profile
+# 2026-08-13). Entries whose check is rows-only by design (no oracle) are
+# demoted — they yield weaker driver rows. Already-green queries follow in
+# sorted order; the local parity suite (tests/test_oracle_parity.py, plus
+# the full-catalog hostile-session value replay run before every round-3
+# commit: 228 value-matched, 0 failures) remains the regression guard.
 _VERIFY_FIRST: tuple[str, ...] = (
     "a1_pricing_summary", "s2_file_manifest", "t4_watermark_cutoff",
     "l5_slice_stats", "f5_arrays", "f4_conditional",
