@@ -231,7 +231,26 @@ def make_merge_sink(base: str, state: dict[str, int]):
     """
     from pyspark.sql import functions as F
 
+    def recover_version() -> int:
+        # The version pointer must survive a query RESTART: the
+        # checkpoint resumes batch ids where they left off, so a fresh
+        # process that believed version=0 would treat its first resumed
+        # batch as the whole target. Recover from the committed version
+        # dirs themselves (on a table format this is the commit log —
+        # s14's read path).
+        try:
+            versions = [
+                int(d[1:])
+                for d in os.listdir(base)
+                if d.startswith("v") and d[1:].isdigit()
+            ]
+            return max(versions, default=0)
+        except OSError:
+            return 0
+
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if state["version"] == 0:
+            state["version"] = recover_version()
         if state["version"] > batch_id:
             return  # replayed batch already merged: idempotent skip
         sess = batch_df.sparkSession

@@ -413,3 +413,54 @@ def test_foreachbatch_merge_accumulates_across_batches(spark, tmp_path):
     assert {
         r["user_id"]: (r["n_events"], r["total_value"]) for r in again.collect()
     } == got
+
+
+def test_foreachbatch_merge_survives_restart(spark, tmp_path):
+    """t10 restart contract: a SECOND streaming query on the same
+    checkpoint (fresh in-memory state — the crashed-and-restarted
+    process) must resume from the on-disk version pointer, not rebuild
+    the target from its first resumed batch."""
+    import os
+
+    from mric_bak_etl_spark.streaming.stateful import make_merge_sink
+
+    d = str(tmp_path / "t10r_in")
+    os.makedirs(d)
+    schema = "user_id long, value double"
+    base = str(tmp_path / "t10r_tgt")
+    ckpt = str(tmp_path / "t10r_ckpt")
+
+    def run_query():
+        # fresh state dict each run = fresh process memory
+        sink = make_merge_sink(base, {"version": 0})
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(d)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    spark.createDataFrame([(1, 10.0), (2, 1.0)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(d)
+    run_query()  # "crash" after this completes
+
+    spark.createDataFrame([(1, 5.0), (3, 7.0)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(d)
+    run_query()  # restarted process: checkpoint resumes at batch 1
+
+    latest = max(
+        int(v[1:]) for v in os.listdir(base) if v.startswith("v")
+    )
+    final = spark.read.parquet(os.path.join(base, f"v{latest}"))
+    got = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in final.collect()
+    }
+    # Batch-0 state must still be present after the restart merge.
+    assert got == {1: (2, 15.0), 2: (1, 1.0), 3: (1, 7.0)}
