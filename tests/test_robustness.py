@@ -42,6 +42,12 @@ REPRESENTATIVES = [
 SCENARIOS = {
     "no_broadcast": {"spark.sql.autoBroadcastJoinThreshold": "-1"},
     "no_codegen": {"spark.sql.codegen.wholeStage": "false"},
+    # No broadcast AND hash-join preferred over sort-merge: exercises the
+    # ShuffledHashJoin path (unsorted probe order) across the catalog.
+    "shuffle_hash": {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.join.preferSortMergeJoin": "false",
+    },
 }
 
 
