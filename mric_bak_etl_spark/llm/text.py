@@ -1090,6 +1090,12 @@ def slice_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("slice") == "b", 1).otherwise(0)).alias("cb"),
         )
     )
+    from mric_bak_etl_spark.tables import materialize
+
+    # The term-grain pivot is the working set (vocabulary-sized,
+    # bounded) consumed by both the totals and the JS sum — materialize
+    # once so the tokenize scan runs once, not per consumer.
+    wide = materialize(wide)
     totals = wide.agg(
         F.sum("ca").alias("ta"), F.sum("cb").alias("tb")
     )
@@ -1167,7 +1173,13 @@ def bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = F.when(
         F.size("t") > 1, F.sequence(F.lit(1), F.size("t") - 1)
     ).otherwise(F.array().cast("array<int>"))
-    bg = (
+    from mric_bak_etl_spark.tables import materialize
+
+    # The bigram relation is the working set every downstream consumer
+    # reads (pair counts, context counts, scoring join) — materialize it
+    # once (a persisted table at cluster scale) so the tokenize+explode
+    # pass runs once, not per consumer.
+    bg = materialize(
         t.select(
             "doc_id",
             "lang",

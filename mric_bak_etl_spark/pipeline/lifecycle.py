@@ -1276,42 +1276,76 @@ def schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     "so emptied/new buckets contribute finitely, PSI = Σ(q-p)·ln(q/p). "
     "The classic gates: PSI < 0.1 stable, 0.1-0.25 investigate, "
     "> 0.25 hold the swap. Planted drift (10%% price cut on a key "
-    "slice plus missing rows) makes the value load-bearing. Two "
-    "narrow bucket-grain aggregations; nothing data-sized crosses "
-    "the driver.",
+    "slice plus missing rows) makes the value load-bearing. ONE "
+    "conditional-explode scan emits both generations; total cost is "
+    "two fact passes (bounds + buckets — the a17 histogram minimum), "
+    "generation totals derive from the bucket counts, and nothing "
+    "data-sized crosses the driver.",
     tags=("pipeline", "quality"),
 )
 def psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
-    old = o.filter(F.col("o_orderkey") % 11 != 0).select(
-        F.when(F.col("o_orderkey") % 3 == 0, F.col("o_totalprice") * 0.9)
-        .otherwise(F.col("o_totalprice"))
-        .alias("p")
-    )
-    new = o.select(F.col("o_totalprice").alias("p"))
-    both = old.unionByName(new)
-    bounds = both.agg(F.min("p").alias("lo"), F.max("p").alias("hi"))
+    # ONE fact scan emits both generations: each order contributes a
+    # 'new' row always and an 'old' row when it exists in the previous
+    # snapshot (conditional explode) — the old/new/bounds/counts split
+    # as separate frames costs 8 scans of the fact; this shape costs 2
+    # (the bounds pass + the bucket pass, the a17 histogram minimum).
+    tagged = o.select(
+        F.explode(
+            F.array_compact(
+                F.array(
+                    F.struct(
+                        F.lit("new").alias("gen"),
+                        F.col("o_totalprice").alias("p"),
+                    ),
+                    F.when(
+                        F.col("o_orderkey") % 11 != 0,
+                        F.struct(
+                            F.lit("old").alias("gen"),
+                            F.when(
+                                F.col("o_orderkey") % 3 == 0,
+                                F.col("o_totalprice") * 0.9,
+                            )
+                            .otherwise(F.col("o_totalprice"))
+                            .alias("p"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("r")
+    ).select("r.gen", "r.p")
+    bounds = tagged.agg(F.min("p").alias("lo"), F.max("p").alias("hi"))
 
-    def bucketed(df: DataFrame) -> DataFrame:
-        return df.crossJoin(F.broadcast(bounds)).select(
+    counts = (
+        tagged.crossJoin(F.broadcast(bounds))
+        .groupBy(
+            "gen",
             F.least(
                 F.floor(
                     (F.col("p") - F.col("lo")) / ((F.col("hi") - F.col("lo")) / 10)
                 ).cast("int"),
                 F.lit(9),
-            ).alias("b")
+            ).alias("b"),
         )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    from mric_bak_etl_spark.tables import materialize
 
-    c_old = bucketed(old).groupBy("b").agg(F.count(F.lit(1)).alias("c_old"))
-    c_new = bucketed(new).groupBy("b").agg(F.count(F.lit(1)).alias("c_new"))
-    n_old = old.agg(F.count(F.lit(1)).alias("n_old"))
-    n_new = new.agg(F.count(F.lit(1)).alias("n_new"))
+    # Generation totals derive FROM the bucket counts — no extra scan;
+    # the 10-row bucket table is materialized so its two consumers
+    # (totals + the spine join) don't re-run the bucket pass.
+    wide = counts.groupBy("b").agg(
+        F.sum(F.when(F.col("gen") == "old", F.col("c")).otherwise(0)).alias("c_old"),
+        F.sum(F.when(F.col("gen") == "new", F.col("c")).otherwise(0)).alias("c_new"),
+    )
+    wide = materialize(wide)
+    totals = wide.agg(
+        F.sum("c_old").alias("n_old"), F.sum("c_new").alias("n_new")
+    )
     spine = spark.range(10).select(F.col("id").cast("int").alias("b"))
     per_bucket = (
-        spine.join(c_old, "b", "left")
-        .join(c_new, "b", "left")
-        .crossJoin(F.broadcast(n_old))
-        .crossJoin(F.broadcast(n_new))
+        spine.join(wide, "b", "left")
+        .crossJoin(F.broadcast(totals))
         .select(
             ((F.coalesce(F.col("c_old"), F.lit(0)) + 1.0) / (F.col("n_old") + 10.0)).alias("p"),
             ((F.coalesce(F.col("c_new"), F.lit(0)) + 1.0) / (F.col("n_new") + 10.0)).alias("q"),
