@@ -520,3 +520,14 @@ def test_hll_sketch_merge_is_lossless(spark, sf_dir):
         F.expr("hll_sketch_estimate(hll_sketch_agg(user_id))").alias("est")
     ).collect()[0]["est"]
     assert merged == direct
+
+
+def test_bench_headline_names_exist():
+    """bench.py silently drops HEADLINE names missing from the registry
+    (the `if n in specs` guard keeps the bench running through renames);
+    this pins that the guard never actually fires — a renamed query must
+    update the headline list, not quietly vanish from the benchmark."""
+    import bench
+
+    missing = [n for n in bench.HEADLINE if n not in all_specs()]
+    assert not missing, f"bench HEADLINE names not in registry: {missing}"
