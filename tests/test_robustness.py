@@ -37,6 +37,12 @@ REPRESENTATIVES = [
     "l22_slice_divergence",
     "r21_incremental_agg",
     "g4_triangle_count",
+    # partitioning-sensitive by construction: distributed row numbering,
+    # range-partitioned total order, iterative label propagation, k-means
+    "o5_distributed_row_number",
+    "o3_range_partitioned_sort",
+    "l2e_dup_clusters",
+    "l19_kmeans",
 ]
 
 SCENARIOS = {
