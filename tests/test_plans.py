@@ -531,3 +531,26 @@ def test_bench_headline_names_exist():
 
     missing = [n for n in bench.HEADLINE if n not in all_specs()]
     assert not missing, f"bench HEADLINE names not in registry: {missing}"
+
+
+def test_round3_fixture_shape_assumptions(spark, sf_dir):
+    """Round-3 oracles lean on fixture properties that a regenerated
+    fixture could silently break IN BOTH ENGINES AT ONCE (the class the
+    g2 SP_ROUNDS guard covers): a20's exact-sketch regime needs
+    NDV(o_orderpriority) <= k=5; q8's WHILE bound assumes some threshold
+    admits >= 100 orders; dq7's bucket width needs a non-degenerate
+    price range. Loud failures here beat silent lockstep drift."""
+    from pyspark.sql import functions as F
+
+    from mric_bak_etl_spark.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    row = o.agg(
+        F.countDistinct("o_orderpriority").alias("ndv_pri"),
+        F.count(F.lit(1)).alias("n"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+    ).collect()[0]
+    assert row["ndv_pri"] <= 5, "a20 leaves its exact regime (k < NDV)"
+    assert row["n"] >= 100, "q8's threshold search can no longer terminate via n>=100"
+    assert row["lo"] < row["hi"], "dq7's equal-width buckets degenerate"
