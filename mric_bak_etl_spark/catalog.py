@@ -12,7 +12,11 @@ Conventions that keep the value-hash compare stable (SURVEY §7 risk #4):
 - alias every computed/aggregate column identically in Spark and SQL;
 - round floating aggregates to 4 decimals on BOTH sides (sum-of-doubles is
   order-sensitive in the last ulps; partial aggregation order differs
-  between engines);
+  between engines). Known residual risk, observed via fuzzing: a true
+  value landing exactly on a .xxxx5 boundary lets that last-ulp noise
+  flip the rounded digit between engines — fixed fixtures are verified
+  clear of it, and queries whose Spark/oracle sides sum structurally
+  DIFFERENT terms (r21's IVM) round coarser (2dp) for margin;
 - cast DuckDB integer SUMs to BIGINT (DuckDB widens to HUGEINT, Spark keeps
   LONG);
 - top-k queries always carry a unique tiebreak key in the ORDER BY.

@@ -32,10 +32,17 @@ FILTERS = [
     "o_orderstatus = 'F' OR o_totalprice > {t}",
 ]
 
+# Float aggregates stay UNROUNDED here: the compare harness is
+# tolerance-aware (isclose rel 1e-9), and rounding would re-introduce the
+# one failure mode the fuzzer is not hunting — a true value landing
+# exactly on a .xxxx5 boundary, where ±1e-11 of summation-order noise
+# legally flips the 4th decimal between engines (observed once in a
+# 400-case exploratory sweep; the catalog's fixed fixtures are verified
+# clear of it).
 AGGS = [
     ("CAST(count(*) AS BIGINT)", "n"),
-    ("round(sum(o_totalprice), 4)", "s"),
-    ("round(avg(o_totalprice), 4)", "a"),
+    ("sum(o_totalprice)", "s"),
+    ("avg(o_totalprice)", "a"),
     ("CAST(min(o_orderkey) AS BIGINT)", "mn"),
     ("CAST(max(o_orderkey) AS BIGINT)", "mx"),
     ("CAST(count(DISTINCT o_custkey) AS BIGINT)", "nd"),
