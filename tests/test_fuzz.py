@@ -153,7 +153,11 @@ WINDOW_CASES = st.fixed_dictionaries(
     {
         "fn": st.sampled_from(
             ["row_number()", "rank()", "dense_rank()",
-             "lag(o_orderkey, 1)", "lead(o_orderkey, 1)"]
+             "lag(o_orderkey, 1)", "lead(o_orderkey, 1)",
+             "ntile(4)", "first_value(o_orderkey)",
+             # framed running aggregates (frames are illegal on
+             # lag/lead in Spark — offset fns stay frameless)
+             "count(*) __FRAME__", "sum(o_custkey) __FRAME__"]
         ),
         "part": st.sampled_from(KEY_COLS),
         "t": st.integers(min_value=1000, max_value=400000),
@@ -170,12 +174,17 @@ def test_random_window_plans_agree(spark, duck, sf_dir, case):
 
     register_views(spark, sf_dir)
     direction = "DESC" if case["desc"] else "ASC"
+    fn = case["fn"]
+    frame = ""
+    if fn.endswith(" __FRAME__"):
+        fn = fn[: -len(" __FRAME__")]
+        frame = " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
     # (o_orderdate, o_orderkey) is a total order: every window result is
     # deterministic, so the frames must agree row-for-row.
     sql = (
-        f"SELECT o_orderkey, {case['fn']} OVER ("
+        f"SELECT o_orderkey, {fn} OVER ("
         f"PARTITION BY {case['part']} "
-        f"ORDER BY o_orderdate {direction}, o_orderkey {direction}) AS w "
+        f"ORDER BY o_orderdate {direction}, o_orderkey {direction}{frame}) AS w "
         f"FROM orders WHERE o_totalprice > {case['t']} "
         f"ORDER BY o_orderkey"
     )
