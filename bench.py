@@ -64,6 +64,9 @@ HEADLINE = [
     "g4_triangle_count",    # oriented wedge counting on the co-activity graph
     "l22_slice_divergence", # JS divergence between corpus slices (drift monitor)
     "r21_incremental_agg",  # IVM: old agg + group-grain deltas from the diff
+    # round-4 additions
+    "g5_user_pagerank",     # distributed PageRank on the user graph (no driver collect)
+    "l29_exact_substring_dedup",  # window-hash exact-substring dedup (bucket join)
 ]
 
 

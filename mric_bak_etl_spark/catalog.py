@@ -93,74 +93,57 @@ def all_specs() -> dict[str, QuerySpec]:
     return dict(_REGISTRY)
 
 
-# Verification order — round 3 rotation. The driver's correctness run is
-# time-budgeted (~50 entries/round); rounds 1-2 drove 78 distinct queries
-# green, so this round front-loads what has no driver row yet: the
-# flagship canary, then the 14 SURVEY §2B operators the budget never
-# reached (VERDICT r2 item 1), then the 31 round-3 additions (brand-new —
-# highest verification risk), then the not-yet-verified remainder
-# cheapest-first (measured at sf0.01, warm session — /tmp profile
-# 2026-08-13). Entries whose check is rows-only by design (no oracle) are
-# demoted — they yield weaker driver rows. Already-green queries follow in
-# sorted order; the local parity suite (tests/test_oracle_parity.py, plus
-# the full-catalog hostile-session value replay run before every round-3
-# commit: 228 value-matched, 0 failures) remains the regression guard.
+# Verification order — round 4 rotation. The driver's correctness run is
+# time-budgeted (~50 entries/round); rounds 1-3 drove 129 distinct
+# queries green (CORRECTNESS_r01-r03: 0 failures), leaving 107 catalog
+# entries with no driver row plus the 2 round-4 additions. This head is:
+# the flagship canary, then the round-4 additions (brand-new — highest
+# verification risk), then every never-verified query with a full value
+# oracle, cheapest first (profiled at sf0.01, warm session, 2026-08-14 —
+# cheap-first stretches the budget across the most entries), then the
+# four rows-only-by-design entries (no oracle — weaker driver rows, so
+# they spend budget last). Already-green queries follow in sorted order;
+# the local parity suite (tests/test_oracle_parity.py over all oracle
+# entries, value-matched before every commit) remains the regression
+# guard. A guard test asserts this list stays in sync with the registry.
 _VERIFY_FIRST: tuple[str, ...] = (
-    "a1_pricing_summary", "s2_file_manifest", "t4_watermark_cutoff",
-    "l5_slice_stats", "f5_arrays", "f4_conditional",
-    "f6_map_struct", "o1_multikey_sort", "s3_snapshot_roundtrip",
-    "t2_sliding_window", "t3_session_window", "x2_grouped_pandas_agg",
-    "w2_lag_lead", "x1_unzip_payload", "f3_math",
-    # round-3 additions (never driver-sampled; highest verification risk)
-    "j13_null_safe_join", "j15_bloom_prejoin", "u4_intersect_all",
-    "a20_approx_topk", "tx_entropy", "l21_bottomk_sample",
-    "l22_slice_divergence", "g4_triangle_count", "s14_time_travel",
-    "t10_foreach_batch_upsert", "f26_regexp_family", "q5_sql_udf",
-    "x9_iter_pandas_udf", "q6_pipe_syntax", "r21_incremental_agg",
-    "l23_containment_neardup", "dq6_schema_drift", "e8_attribution",
-    "a23_sketch_rollup", "w8_interpolation", "l24_bigram_lm",
-    "l25_url_dedup", "l3e_pq_topk", "f27_csv_expressions",
-    "q7_exec_immediate", "q8_sql_scripting", "t11_dedup_within_watermark",
-    "o5_distributed_row_number", "dq7_psi_drift", "l26_bpe_merges",
-    "l27_weighted_sample", "l28_record_linkage",
-    "o4_limit_offset", "u5_union_missing_columns", "h6_forecast_revenue",
-    "tx_fingerprint", "r2_listing_parse_latest", "o3_range_partitioned_sort",
-    "f22_number_format", "x8_arrow_python_udf", "x5_map_in_arrow",
-    "f8_string_distance", "f9_hashing", "tx_quality_score",
-    "u3_union_distinct", "f12_bitwise", "f21_intervals",
-    "w5_forward_fill", "t7_stream_stream_join", "tx_redaction",
-    "tx_repetition", "w6_distribution", "f24_higher_order_complete",
-    "h15_top_supplier", "u2b_except_all", "s10_zorder_layout",
-    "f16_transcendental", "l3b_ann_lsh_bucket", "h22_sales_opportunity",
-    "m5_binary_dedup", "l7_chunking", "f18_try_family",
-    "h4_order_priority_check", "w7_running_distinct", "l16_quality_classifier",
-    "l9_sequence_packing", "f11_datetime_advanced", "r20_scd2_asof_lookup",
-    "t8_stream_static_join", "f25_map_higher_order", "h17_small_quantity_revenue",
-    "h19_disjunctive_predicates", "l3c_grouped_centroids", "e6_event_paths",
-    "f10_array_advanced", "f19_malformed_json", "l10_embedding_hygiene",
-    "r16_snapshot_diff", "h12_late_line_priority", "f14_variant",
-    "x6_grouped_pandas_map", "h13_order_distribution", "r18_scd2_history",
-    "s6_schema_evolution", "f15_url", "l11_curation_pipeline",
-    "e7_interarrival", "s9_sorted_layout", "r19_scd2_multi_generation",
-    "e2_cohort_retention", "dq2_volume_anomaly", "tx_bigram_freq",
-    "l3d_ivf_topk", "e5_rfm_segments", "m3_frame_sample",
-    "h11_important_stock", "h9_product_profit", "f13_date_spine",
-    "f23_collation", "a22_regression_aggregates", "l15_mixture_rebalance",
-    "l14_pmi_collocations", "e3_gaps_islands", "q3_session_variables",
-    "w4_range_interval_frame", "q4_parameterized_sql", "h20_dominant_supplier",
-    "l13_decontamination", "l17_semdedup", "h16_supplier_part_count",
-    "s4_partitioned_snapshot", "h2_min_cost_supplier", "l18_unigram_lm",
-    "l8_tfidf", "s5_format_roundtrip", "l20_oov_rate",
-    "dq3_column_profile", "s8_dynamic_partition_pruning", "tx_boilerplate",
-    "s11_write_audit_publish", "h21_waiting_supplier", "l2d_embedding_neardup",
-    "s13_jdbc_roundtrip", "s5b_orc_xml_roundtrip", "m4_resize",
-    "f17_encoding", "s7_compaction", "x3_python_udtf",
-    "a19_listagg", "dq4_observed_metrics", "x7_polymorphic_udtf",
-    "f20_xml", "q2_recursive_cte", "t6_stateful_custom",
-    "l2e_dup_clusters", "s12_python_datasource", "g2_shortest_path",
-    "g3_user_components",
-    "a21_approx_percentile", "a14_hll_sketch", "l2_minhash_lsh",
-    "l2c_simhash", "m2_feature_extract", "a3_approx_count_distinct",
+    "a1_pricing_summary", "g5_user_pagerank", "l29_exact_substring_dedup",
+    "f17_encoding", "dq2_volume_anomaly", "f10_array_advanced",
+    "f11_datetime_advanced", "f14_variant", "f18_try_family",
+    "f19_malformed_json", "h19_disjunctive_predicates", "e2_cohort_retention",
+    "dq3_column_profile", "f15_url", "e6_event_paths",
+    "l16_quality_classifier", "tx_redaction", "l3c_grouped_centroids",
+    "a22_regression_aggregates", "f25_map_higher_order", "h12_late_line_priority",
+    "h4_order_priority_check", "h22_sales_opportunity", "x6_grouped_pandas_map",
+    "h13_order_distribution", "l9_sequence_packing", "h17_small_quantity_revenue",
+    "l10_embedding_hygiene", "m3_frame_sample", "f16_transcendental",
+    "u2b_except_all", "l11_curation_pipeline", "e5_rfm_segments",
+    "e7_interarrival", "f22_number_format", "w7_running_distinct",
+    "m5_binary_dedup", "f13_date_spine", "e3_gaps_islands",
+    "s10_zorder_layout", "r19_scd2_multi_generation", "r2_listing_parse_latest",
+    "s9_sorted_layout", "l18_unigram_lm", "r18_scd2_history",
+    "f24_higher_order_complete", "r20_scd2_asof_lookup", "l3b_ann_lsh_bucket",
+    "l14_pmi_collocations", "l13_decontamination", "h9_product_profit",
+    "a19_listagg", "tx_repetition", "h16_supplier_part_count",
+    "r16_snapshot_diff", "s5_format_roundtrip", "s11_write_audit_publish",
+    "h2_min_cost_supplier", "h20_dominant_supplier", "l7_chunking",
+    "l3d_ivf_topk", "o3_range_partitioned_sort", "q3_session_variables",
+    "x5_map_in_arrow", "h15_top_supplier", "t7_stream_stream_join",
+    "w4_range_interval_frame", "tx_bigram_freq", "dq4_observed_metrics",
+    "h21_waiting_supplier", "h11_important_stock", "s4_partitioned_snapshot",
+    "t8_stream_static_join", "tx_boilerplate", "l20_oov_rate",
+    "l2d_embedding_neardup", "s6_schema_evolution", "q4_parameterized_sql",
+    "l15_mixture_rebalance", "f21_intervals", "w5_forward_fill",
+    "f12_bitwise", "l17_semdedup", "m4_resize",
+    "s7_compaction", "f9_hashing", "l8_tfidf",
+    "t6_stateful_custom", "tx_quality_score", "w6_distribution",
+    "f20_xml", "f8_string_distance", "u3_union_distinct",
+    "tx_fingerprint", "s12_python_datasource", "x7_polymorphic_udtf",
+    "s8_dynamic_partition_pruning", "q2_recursive_cte", "s5b_orc_xml_roundtrip",
+    "x8_arrow_python_udf", "g3_user_components", "g2_shortest_path",
+    "s13_jdbc_roundtrip", "x3_python_udtf", "l2e_dup_clusters",
+    "f23_collation", "a21_approx_percentile", "l2_minhash_lsh",
+    "l2c_simhash", "m2_feature_extract",
 )
 
 

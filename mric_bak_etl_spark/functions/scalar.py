@@ -1404,7 +1404,14 @@ def exec_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(k AS INT)                 AS k,
            round(500000 / pow(2, k), 4)   AS threshold,
            CAST(n AS BIGINT)              AS n_orders
-    FROM counts WHERE n >= 100 ORDER BY k LIMIT 1
+    FROM counts
+    -- Mirror the script's no-solution shape (ADVICE r3): the WHILE
+    -- stops at the first k with n >= 100, else runs out at k = 20 and
+    -- still emits that row. Satisfying rows sort first (min k wins);
+    -- if none satisfies, -k puts k = 20 first.
+    ORDER BY (n >= 100) DESC,
+             CASE WHEN n >= 100 THEN k ELSE -k END
+    LIMIT 1
     """,
     doc="Q8: SQL scripting (Spark 4.1 BEGIN...END with DECLARE/WHILE/"
     "SET) — procedural control flow INSIDE the SQL surface: the "
@@ -1414,8 +1421,10 @@ def exec_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Python loop. Each iteration's scalar lands in a session "
     "variable; only the final SELECT materializes a result. The "
     "oracle replays the same search declaratively (generate k, take "
-    "the first satisfying row) — same answer, which is exactly the "
-    "point: scripting adds CONTROL FLOW, not new semantics.",
+    "the first satisfying row, falling back to the k=20 row when no "
+    "threshold qualifies — the same exhausted-loop shape the script "
+    "emits) — same answer, which is exactly the point: scripting adds "
+    "CONTROL FLOW, not new semantics.",
     tags=("sql",),
 )
 def sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:

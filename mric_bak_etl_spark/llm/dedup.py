@@ -920,3 +920,118 @@ def record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lev_distance")
     )
+
+
+# l29: fixed-length-window exact-substring dedup. Public-method lineage:
+# Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+# Better" finds >= 50-token exact substrings shared across documents via
+# a suffix array; the MapReduce-friendly equivalent used here hashes
+# EVERY fixed-length character window, so any shared substring of length
+# >= L29_WIN is guaranteed to share at least one full window (the
+# suffix-array guarantee, minus boundary precision). Window length is
+# sized to the synthetic corpus' short documents; production text uses
+# 50 tokens.
+L29_WIN = 40
+# Boilerplate guard: a window appearing in more than this many documents
+# is navigation/license chrome, not duplication signal — and at corpus
+# scale a single hot window would otherwise emit a quadratic pair set.
+# Same role as the hot-bucket cap in l2's banding join.
+L29_STOP_CAP = 50
+
+
+@register(
+    "l29_exact_substring_dedup",
+    oracle=f"""
+    WITH dw AS (
+      SELECT DISTINCT doc_id, substr(text, CAST(p AS INT), {L29_WIN}) AS win
+      FROM documents, unnest(range(1, len(text) - {L29_WIN - 2})) AS u(p)
+      WHERE len(text) >= {L29_WIN}
+    ),
+    freq AS (
+      SELECT win, count(DISTINCT doc_id) AS nd FROM dw GROUP BY win
+    ),
+    keep AS (SELECT win FROM freq WHERE nd BETWEEN 2 AND {L29_STOP_CAP})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(count(*) AS BIGINT) AS n_shared_windows
+    FROM dw a JOIN keep USING (win) JOIN dw b USING (win)
+    WHERE a.doc_id < b.doc_id
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    doc=f"L29: exact-substring dedup — document pairs sharing any exact "
+    f"{L29_WIN}-char substring, the suffix-array dedup of Lee et al. "
+    "2022 re-expressed as fixed-length window hashing: every window "
+    "position explodes to a (doc, window) row (array expression, "
+    "JVM-side, no Python), and candidate pairs come from a BUCKET join "
+    "— the O(n^2) pair space is never touched, same shape as l2's LSH "
+    "banding. The expensive pass shuffles (xxhash64(window), doc_id) "
+    "LONG pairs, never the 40-char strings (5x narrower rows, one "
+    "count-distinct shuffle total); a second map-side pass re-derives "
+    "the window STRINGS only for hashes hitting >= 2 docs (broadcast "
+    "semi-filter, no shuffle) and the exact string-frequency band "
+    f"[2, {L29_STOP_CAP}] + string-equality pair join run on that tiny "
+    "survivor set — so the result is exact, not "
+    "hash-collision-trusting, and matches the string-keyed oracle. "
+    f"Windows in > {L29_STOP_CAP} docs are dropped as boilerplate "
+    "BEFORE the pair join (the hot-window cap that keeps one viral "
+    "footer from emitting a quadratic pair set). Residual divergence "
+    "window: a 64-bit collision between two sub-cap windows whose "
+    "UNION of docs exceeds the cap — probability ~2^-44 per corpus at "
+    "1e6 windows, absent on the fixtures. The survivor set is pinned "
+    "(localCheckpoint; a persisted table on a cluster) so the "
+    "band-filter and both pair-join sides don't re-run the corpus "
+    "lineage (the g4 working-set lesson). Output: pair + shared-window "
+    "count, the evidence a span-level trimmer consumes.",
+    tags=("llm", "dedup"),
+)
+def exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mric_bak_etl_spark.tables import materialize, spread
+
+    # spread(): documents.parquet is one input split at test scale — the
+    # explode/hash pass must fan out to engine parallelism first.
+    docs = spread(
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.length("text") >= L29_WIN),
+        "doc_id",
+    )
+    exploded = docs.select(
+        "doc_id",
+        "text",
+        F.explode(
+            F.sequence(F.lit(1), F.length("text") - (L29_WIN - 1))
+        ).alias("p"),
+    )
+    # Pass 1 (the only corpus-wide shuffle): hashed windows as longs.
+    dwh = exploded.select(
+        "doc_id", F.xxhash64(F.expr(f"substring(text, p, {L29_WIN})")).alias("h")
+    )
+    shared_h = (
+        dwh.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)  # exact cap applied on strings below
+        .select("h")
+    )
+    # Pass 2: map-side re-derivation of the window strings for surviving
+    # hashes only (AQE broadcasts shared_h — it is duplication-sized).
+    kept = materialize(
+        exploded.select(
+            "doc_id", F.expr(f"substring(text, p, {L29_WIN})").alias("win")
+        )
+        .withColumn("h", F.xxhash64("win"))
+        .join(shared_h, "h")
+        .select("doc_id", "win")
+        .distinct()
+    )
+    freq = kept.groupBy("win").agg(F.count_distinct("doc_id").alias("nd"))
+    keep = freq.filter(F.col("nd").between(2, L29_STOP_CAP)).select("win")
+    banded = kept.join(keep, "win")
+    a = banded.select(F.col("win").alias("w_a"), F.col("doc_id").alias("doc_a"))
+    b = banded.select(F.col("win").alias("w_b"), F.col("doc_id").alias("doc_b"))
+    pairs = a.join(
+        b, (F.col("w_a") == F.col("w_b")) & (F.col("doc_a") < F.col("doc_b"))
+    )
+    return (
+        pairs.groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_windows"))
+        .orderBy("doc_a", "doc_b")
+    )

@@ -307,6 +307,142 @@ def user_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# g5: PageRank over the same star-reduced user co-activity graph as g3.
+# Both engines round the rank vector to 12dp at the END of every
+# iteration, so accumulated float-reorder drift (double sums across
+# engines differ in the last ulps, and a user hub can absorb hundreds of
+# contributions) is clamped to <= 5e-13 per round and can never flip the
+# 6dp output rounding. Edge weights round at build for the same reason.
+_UPR_ITER = """
+    r{i} AS (
+      SELECT n.v,
+             round((1 - 0.85) / (SELECT count(*) FROM nodes)
+                   + 0.85 * coalesce(c.contrib, 0), 12) AS r
+      FROM nodes n LEFT JOIN (
+        SELECT w.dst AS v, sum(w.weight * p.r) AS contrib
+        FROM w JOIN r{prev} p ON p.v = w.src GROUP BY w.dst
+      ) c ON c.v = n.v
+    )"""
+
+
+@register(
+    "g5_user_pagerank",
+    oracle=f"""
+    WITH ev AS (
+      SELECT DISTINCT event_type, CAST(ts AS DATE) AS day, user_id
+      FROM events WHERE value >= {G3_VALUE_CUT}
+    ),
+    hubs AS (
+      SELECT event_type, day, min(user_id) AS hub FROM ev GROUP BY 1, 2
+    ),
+    prs AS (
+      SELECT DISTINCT e.user_id AS a, h.hub AS b
+      FROM ev e JOIN hubs h USING (event_type, day)
+      WHERE e.user_id <> h.hub
+    ),
+    edges AS (
+      SELECT a AS src, b AS dst FROM prs
+      UNION
+      SELECT b AS src, a AS dst FROM prs
+    ),
+    nodes AS (SELECT DISTINCT user_id AS v FROM ev),
+    outdeg AS (SELECT src, count(*) AS od FROM edges GROUP BY src),
+    w AS (
+      SELECT e.src, e.dst, round(1.0 / o.od, 12) AS weight
+      FROM edges e JOIN outdeg o USING (src)
+    ),
+    r0 AS (
+      SELECT v, round(1.0 / (SELECT count(*) FROM nodes), 12) AS r FROM nodes
+    ),
+    """
+    + ",\n    ".join(
+        _UPR_ITER.format(i=i, prev=i - 1).strip()
+        for i in range(1, N_ITERATIONS + 1)
+    )
+    + f"""
+    SELECT v AS user_id, round(r, 6) AS pagerank
+    FROM r{N_ITERATIONS} ORDER BY pagerank DESC, user_id ASC
+    """,
+    doc="G5: USER-level PageRank (damping 0.85, 5 fixed iterations) over "
+    "g3's star-reduced co-activity graph — the influence ranking of the "
+    "duplicate-cluster / cohort graph. Unlike g1/g2 (vocabulary-sized, "
+    "driver-materialized by design), nodes and edges here are user-sized "
+    "DataFrames that NEVER touch the driver: the edge list "
+    "localCheckpoints once (on a cluster: a persisted table), each "
+    "iteration is one |edges| join + one |nodes| groupBy, and the "
+    "FIXED 5 rounds chain lazily into one linear-lineage plan (each "
+    "round reads the previous exactly once — per-round checkpointing "
+    "is only for unbounded convergence loops, l2e's case). Only the "
+    "node count — one scalar — crosses to the driver, as the teleport "
+    "constant. Dangling nodes (rank sinks "
+    "with no out-edges) keep the simple leak semantics on BOTH engines: "
+    "their mass decays rather than redistributing, which needs no "
+    "second aggregate per round and is deterministic. Star reduction "
+    "keeps this honest at 100 TB: |group| edges per co-activity group "
+    "instead of |group|^2, so one hot (event_type, day) cell cannot "
+    "produce a quadratic edge set. Oracle: the identical five "
+    "iterations unrolled as chained CTEs, with per-round 12dp rank "
+    "rounding pinning both engines to bit-identical state.",
+    tags=("graph", "events", "iterative"),
+)
+def user_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mric_bak_etl_spark.tables import materialize
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value") >= G3_VALUE_CUT)
+        .select("event_type", F.to_date("ts").alias("day"), "user_id")
+        .distinct()
+    )
+    hubs = ev.groupBy("event_type", "day").agg(F.min("user_id").alias("hub"))
+    prs = (
+        ev.join(hubs, ["event_type", "day"])
+        .filter(F.col("user_id") != F.col("hub"))
+        .select(F.col("user_id").alias("a"), F.col("hub").alias("b"))
+        .distinct()
+    )
+    edges = materialize(
+        prs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .union(prs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .distinct()
+    )
+    nodes = materialize(ev.select(F.col("user_id").alias("v")).distinct())
+    n_nodes = nodes.count()  # one scalar: the teleport denominator
+
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
+    w = materialize(
+        edges.join(outdeg, "src").select(
+            "src", "dst", F.round(1.0 / F.col("od"), 12).alias("weight")
+        )
+    )
+
+    base = (1.0 - DAMPING) / n_nodes
+    ranks = nodes.select("v", F.round(F.lit(1.0 / n_nodes), 12).alias("r"))
+    for _ in range(N_ITERATIONS):
+        contribs = (
+            w.join(ranks.withColumnRenamed("v", "src_v"), w["src"] == F.col("src_v"))
+            .groupBy("dst")
+            .agg(F.sum(F.col("weight") * F.col("r")).alias("contrib"))
+        )
+        # Lazy chaining is deliberate: each round references the previous
+        # rank table exactly ONCE (inside contribs), so lineage grows
+        # LINEARLY with the fixed 5 iterations and one job executes the
+        # whole chain — per-round localCheckpoint would add 5 blocking
+        # jobs for no lineage benefit. (Convergence-loop variants with
+        # unbounded rounds do need the per-round truncation — see l2e.)
+        ranks = nodes.join(contribs, nodes["v"] == contribs["dst"], "left").select(
+            "v",
+            F.round(
+                F.lit(base)
+                + DAMPING * F.coalesce("contrib", F.lit(0.0)),
+                12,
+            ).alias("r"),
+        )
+    return ranks.select(
+        F.col("v").alias("user_id"), F.round("r", 6).alias("pagerank")
+    ).orderBy(F.desc("pagerank"), F.asc("user_id"))
+
+
 # g4 edge construction: co-activity at the HOUR grain (scale-invariant
 # group sizes, unlike day-grain which densifies linearly with corpus
 # size), high-value events only, and an explicit group-size cap before

@@ -1280,7 +1280,7 @@ def schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     "shared or the comparison is meaningless), Laplace +1 smoothing "
     "so emptied/new buckets contribute finitely, PSI = Σ(q-p)·ln(q/p). "
     "The classic gates: PSI < 0.1 stable, 0.1-0.25 investigate, "
-    "> 0.25 hold the swap. Planted drift (10%% price cut on a key "
+    "> 0.25 hold the swap. Planted drift (10% price cut on a key "
     "slice plus missing rows) makes the value load-bearing. ONE "
     "conditional-explode scan emits both generations; total cost is "
     "two fact passes (bounds + buckets — the a17 histogram minimum), "

@@ -237,12 +237,19 @@ def make_merge_sink(base: str, state: dict[str, int]):
         # process that believed version=0 would treat its first resumed
         # batch as the whole target. Recover from the committed version
         # dirs themselves (on a table format this is the commit log —
-        # s14's read path).
+        # s14's read path). A dir only counts as COMMITTED if Spark's
+        # _SUCCESS marker is present: a crash mid-write leaves a partial
+        # v{N} dir without the marker, and trusting it would make the
+        # replayed batch skip as "already merged", permanently pinning a
+        # corrupt target. Partial dirs are instead overwritten by the
+        # replay (mode="overwrite" below), restoring exactly-once.
         try:
             versions = [
                 int(d[1:])
                 for d in os.listdir(base)
-                if d.startswith("v") and d[1:].isdigit()
+                if d.startswith("v")
+                and d[1:].isdigit()
+                and os.path.exists(os.path.join(base, d, "_SUCCESS"))
             ]
             return max(versions, default=0)
         except OSError:

@@ -190,3 +190,49 @@ def test_pq_self_retrieval_and_candidate_recall(spark, duck, sf_dir):
     }
     # Floor, not a target: isotropic random vectors are PQ's worst case.
     assert len(exact & pq50) >= 2
+
+
+def test_exact_substring_dedup_planted(spark, tmp_path):
+    """l29 on a planted corpus: a pair sharing one 45-char substring
+    yields exactly 6 shared 40-char windows; a 39-char share yields
+    nothing (window-length boundary); a 40-char boilerplate window
+    shared by 60 docs exceeds L29_STOP_CAP and must produce ZERO pairs
+    (the hot-window guard, not a quadratic pair set)."""
+    from mric_bak_etl_spark.llm.dedup import L29_STOP_CAP, L29_WIN
+
+    assert L29_WIN == 40 and L29_STOP_CAP == 50  # planted sizes assume these
+
+    # Every doc is framed by runs of a character UNIQUE to that frame
+    # (CJK pool), so a 40-char window either sits fully inside a planted
+    # shared span or contains a doc-unique char — no accidental shares,
+    # and no boundary bleed extending a planted span (the first draft of
+    # this test used structured ASCII fillers whose token suffixes
+    # collided across docs and inflated every count).
+    pool = iter(chr(0x4E00 + k) for k in range(200))
+
+    def frame(n=50):
+        return next(pool) * n
+
+    shared45 = "S" * 20 + "HARED-SPAN-" + "Q" * 14  # 45 chars
+    assert len(shared45) == 45
+    shared39 = "T" * 28 + "HIRTYNINE--"  # 39 chars
+    assert len(shared39) == 39
+    boiler40 = "B" * 29 + "OILERPLATE+"  # 40 chars
+    assert len(boiler40) == 40
+
+    rows = [
+        (1, frame() + shared45 + frame()),
+        (2, frame() + shared45 + frame()),
+        (3, frame() + frame()),
+        (70, frame() + shared39 + frame()),
+        (71, frame() + shared39 + frame()),
+    ] + [(100 + i, boiler40 + frame()) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    d = str(tmp_path / "planted_sf")
+    df.coalesce(1).write.parquet(d + "/documents.parquet")
+
+    from mric_bak_etl_spark.catalog import all_specs
+
+    out = all_specs()["l29_exact_substring_dedup"].builder(spark, d).collect()
+    got = {(r["doc_a"], r["doc_b"]): r["n_shared_windows"] for r in out}
+    assert got == {(1, 2): 6}, got

@@ -489,16 +489,58 @@ def test_triangle_orientation_halves_edges(spark, sf_dir):
         .distinct()
     )
     n_edges = edges.count()
-    # max group size bounds the pairwise fan-out by construction
-    max_group = sizes.agg(F.max("n")).collect()[0][0] or 0
-    if max_group > G4_MAX_GROUP:
-        kept = sizes.filter(F.col("n") <= G4_MAX_GROUP)
-        assert kept.count() == sizes.filter(
-            F.col("n").between(0, G4_MAX_GROUP)
-        ).count()
-    # orientation bijection: u<v edges count equals oriented count
-    # (oriented table is a projection of edges — same cardinality)
-    assert n_edges == edges.select("u", "v").distinct().count()
+    assert n_edges > 0, "fixture produced no co-activity edges"
+
+    # Build the oriented table exactly as g4 does: each edge points from
+    # its lower-degree endpoint to its higher-degree one (node id breaks
+    # degree ties).
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("dg"))
+    )
+    da, db = deg.alias("da"), deg.alias("db")
+    lower_first = (F.col("da.dg") < F.col("db.dg")) | (
+        (F.col("da.dg") == F.col("db.dg")) & (F.col("u") < F.col("v"))
+    )
+    oriented = (
+        edges.join(da, F.col("da.node") == F.col("u"))
+        .join(db, F.col("db.node") == F.col("v"))
+        .select(
+            F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+            F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("t"),
+        )
+    )
+
+    # Orientation is a bijection on edges: same cardinality, and every
+    # oriented pair maps back to exactly one undirected {u,v} edge when
+    # re-canonicalized to (min, max).
+    assert oriented.count() == n_edges
+    recanon = oriented.select(
+        F.least("s", "t").alias("u"), F.greatest("s", "t").alias("v")
+    )
+    assert recanon.distinct().count() == n_edges
+    assert recanon.exceptAll(edges).count() == 0
+    assert edges.exceptAll(recanon).count() == 0
+
+    # The point of orienting toward the higher-degree endpoint: hub
+    # out-degrees collapse. Out-degree after orientation must never
+    # exceed the node's raw degree, and the max out-degree must not
+    # exceed the max raw degree (strictly less whenever a hub exists;
+    # the weak form holds on any graph so the test can't go stale).
+    outdeg = oriented.groupBy(F.col("s").alias("node")).agg(
+        F.count(F.lit(1)).alias("od")
+    )
+    viol = (
+        outdeg.join(deg, "node")
+        .filter(F.col("od") > F.col("dg"))
+        .count()
+    )
+    assert viol == 0, "a node's out-degree exceeded its raw degree"
+    max_out = outdeg.agg(F.max("od")).collect()[0][0]
+    max_deg = deg.agg(F.max("dg")).collect()[0][0]
+    assert max_out <= max_deg
 
 
 def test_hll_sketch_merge_is_lossless(spark, sf_dir):
@@ -554,3 +596,83 @@ def test_round3_fixture_shape_assumptions(spark, sf_dir):
     assert row["ndv_pri"] <= 5, "a20 leaves its exact regime (k < NDV)"
     assert row["n"] >= 100, "q8's threshold search can no longer terminate via n>=100"
     assert row["lo"] < row["hi"], "dq7's equal-width buckets degenerate"
+
+
+def test_user_pagerank_never_rescans_events(spark, sf_dir):
+    # g5: edges/nodes/weights localCheckpoint before the loop, each rank
+    # round localCheckpoints after — the final plan must contain ZERO
+    # events scans (the iterative-lineage blowup this pattern prevents
+    # would show up as one full fact scan per iteration).
+    plan = plan_of(all_specs()["g5_user_pagerank"].builder(spark, sf_dir))
+    n_event_scans = plan.count("events.parquet")
+    assert n_event_scans == 0, f"events scanned {n_event_scans} times"
+
+
+def test_user_pagerank_mass_and_isolated_nodes(spark, sf_dir):
+    # g5 semantics: with leak-style dangling handling total rank mass is
+    # <= 1 (strictly, when any isolated node exists) and every rank is
+    # at least the teleport floor (1-d)/N. Isolated users (alone in all
+    # their co-activity groups: no edges) must sit EXACTLY at the floor
+    # after iteration 1 and stay there.
+    from pyspark.sql import functions as F
+
+    from mric_bak_etl_spark.operators.graph import DAMPING, G3_VALUE_CUT
+    from mric_bak_etl_spark.tables import load_table
+
+    ranks = all_specs()["g5_user_pagerank"].builder(spark, sf_dir)
+    rows = {r["user_id"]: r["pagerank"] for r in ranks.collect()}
+    n = len(rows)
+    assert n > 0
+    floor = round((1.0 - DAMPING) / n, 6)
+    assert sum(rows.values()) <= 1.0 + 1e-6
+    assert min(rows.values()) >= floor - 1e-6
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value") >= G3_VALUE_CUT)
+        .select("event_type", F.to_date("ts").alias("day"), "user_id")
+        .distinct()
+    )
+    gsize = ev.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).alias("gs")
+    )
+    isolated = (
+        ev.join(gsize, ["event_type", "day"])
+        .groupBy("user_id")
+        .agg(F.max("gs").alias("max_gs"))
+        .filter(F.col("max_gs") == 1)
+    )
+    iso_ids = [r["user_id"] for r in isolated.collect()]
+    for uid in iso_ids:
+        assert abs(rows[uid] - floor) <= 2e-6, (uid, rows[uid], floor)
+    if iso_ids:
+        assert sum(rows.values()) < 1.0  # mass actually leaked
+
+
+def test_verify_first_covers_all_never_verified_queries():
+    # The load-bearing verification-order list (ADVICE r3: keep its
+    # rationale from drifting): every catalog query with no green driver
+    # CORRECTNESS row across recorded rounds must appear in the
+    # _VERIFY_FIRST head, and the head must contain no unknown names or
+    # duplicates — otherwise a round's ~50-query budget lands on
+    # already-green entries while unverified operators starve.
+    import glob
+    import json
+
+    from mric_bak_etl_spark.catalog import _VERIFY_FIRST
+
+    specs = all_specs()
+    assert len(_VERIFY_FIRST) == len(set(_VERIFY_FIRST))
+    assert not [n for n in _VERIFY_FIRST if n not in specs]
+
+    seen = set()
+    for path in sorted(glob.glob("/root/repo/CORRECTNESS_r*.json")):
+        for name, row in json.load(open(path)).items():
+            if row.get("hash_match") is True or row.get("err") == "no_oracle":
+                seen.add(name)
+    never = {n for n in specs if n not in seen}
+    missing = never - set(_VERIFY_FIRST)
+    assert not missing, (
+        f"{len(missing)} never-driver-verified queries absent from "
+        f"_VERIFY_FIRST: {sorted(missing)}"
+    )

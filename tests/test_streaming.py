@@ -464,3 +464,68 @@ def test_foreachbatch_merge_survives_restart(spark, tmp_path):
     }
     # Batch-0 state must still be present after the restart merge.
     assert got == {1: (2, 15.0), 2: (1, 1.0), 3: (1, 7.0)}
+
+
+def test_foreachbatch_merge_ignores_partial_version_dir(spark, tmp_path):
+    """t10 crash-mid-write contract: a v{N} dir left WITHOUT Spark's
+    _SUCCESS marker (process died during the parquet write) must NOT be
+    treated as committed on restart — recover_version() skips it, the
+    replayed batch re-merges, and mode=overwrite replaces the partial
+    dir. Trusting the bare dir listing would skip the replay as
+    'already merged' and pin a corrupt target forever (ADVICE r3)."""
+    import os
+
+    from mric_bak_etl_spark.streaming.stateful import make_merge_sink
+
+    d = str(tmp_path / "t10p_in")
+    os.makedirs(d)
+    schema = "user_id long, value double"
+    base = str(tmp_path / "t10p_tgt")
+    ckpt = str(tmp_path / "t10p_ckpt")
+
+    def run_query():
+        sink = make_merge_sink(base, {"version": 0})
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(d)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    spark.createDataFrame([(1, 10.0), (2, 1.0)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(d)
+    run_query()  # v1 committed (has _SUCCESS)
+
+    # Simulate a crash midway through writing v2: dir exists, contains a
+    # partial part file, but no _SUCCESS marker.
+    partial = os.path.join(base, "v2")
+    os.makedirs(partial)
+    with open(os.path.join(partial, "part-00000-garbage.parquet"), "wb") as f:
+        f.write(b"\x00not a parquet file")
+
+    # Restarted process replays batch 1 (its offsets may or may not have
+    # been checkpointed; either way the batch re-arrives).
+    spark.createDataFrame([(1, 5.0), (3, 7.0)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(d)
+    run_query()
+
+    committed = [
+        int(v[1:])
+        for v in os.listdir(base)
+        if v.startswith("v")
+        and os.path.exists(os.path.join(base, v, "_SUCCESS"))
+    ]
+    latest = max(committed)
+    assert latest == 2  # the partial dir was overwritten and committed
+    final = spark.read.parquet(os.path.join(base, f"v{latest}"))
+    got = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in final.collect()
+    }
+    assert got == {1: (2, 15.0), 2: (1, 1.0), 3: (1, 7.0)}
