@@ -67,6 +67,7 @@ HEADLINE = [
     # round-4 additions
     "g5_user_pagerank",     # distributed PageRank on the user graph (no driver collect)
     "l29_exact_substring_dedup",  # window-hash exact-substring dedup (bucket join)
+    "e9_sequence_pattern",  # CEP regex over per-user event strings (one shuffle)
 ]
 
 

@@ -96,7 +96,7 @@ def all_specs() -> dict[str, QuerySpec]:
 # Verification order — round 4 rotation. The driver's correctness run is
 # time-budgeted (~50 entries/round); rounds 1-3 drove 129 distinct
 # queries green (CORRECTNESS_r01-r03: 0 failures), leaving 107 catalog
-# entries with no driver row plus the 2 round-4 additions. This head is:
+# entries with no driver row plus the round-4 additions. This head is:
 # the flagship canary, then the round-4 additions (brand-new — highest
 # verification risk), then every never-verified query with a full value
 # oracle, cheapest first (profiled at sf0.01, warm session, 2026-08-14 —
@@ -108,6 +108,8 @@ def all_specs() -> dict[str, QuerySpec]:
 # guard. A guard test asserts this list stays in sync with the registry.
 _VERIFY_FIRST: tuple[str, ...] = (
     "a1_pricing_summary", "g5_user_pagerank", "l29_exact_substring_dedup",
+    "e9_sequence_pattern", "s15_dynamic_partition_overwrite",
+    "r22_late_arriving_facts", "a24_exact_percentiles", "q9_merge_upsert",
     "f17_encoding", "dq2_volume_anomaly", "f10_array_advanced",
     "f11_datetime_advanced", "f14_variant", "f18_try_family",
     "f19_malformed_json", "h19_disjunctive_predicates", "e2_cohort_retention",

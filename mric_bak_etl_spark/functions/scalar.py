@@ -1448,3 +1448,88 @@ def sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
         END
         """
     )
+
+
+@register(
+    "q9_merge_upsert",
+    oracle="""
+    WITH merged AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice * 1.1 AS price
+      FROM orders WHERE o_orderkey % 10 = 0
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 10 NOT IN (0, 1)
+      UNION ALL
+      SELECT o_orderkey + 100000000, 'N', o_totalprice + 5
+      FROM orders WHERE o_orderkey % 10 = 2
+    )
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT)  AS n_orders,
+           round(sum(price), 4)      AS total_price
+    FROM merged
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    doc="Q9: MERGE semantics (WHEN MATCHED UPDATE / WHEN MATCHED DELETE "
+    "/ WHEN NOT MATCHED INSERT) as the relational composition Spark "
+    "executes underneath table-format MERGE INTO: target FULL OUTER "
+    "JOIN source on the key, a CASE per clause, and a filter dropping "
+    "delete-matched rows. The deterministic source batch updates every "
+    "key = 0 (mod 10) to +10% price, deletes every key = 1, and "
+    "inserts a new order (shifted key, status 'N') for every key = 2 — "
+    "all three clauses exercised in one pass. The shuffle is key-"
+    "partitioned on BOTH sides exactly like the eventual file rewrite; "
+    "on Delta/Iceberg the same plan gains file-level pruning (only "
+    "files containing source keys rewrite), which is the entire "
+    "difference between this and s15's partition-grain restatement. "
+    "Oracle: the post-MERGE state expressed directly as a UNION of the "
+    "three row fates.",
+    tags=("sql", "pipeline", "incremental"),
+)
+def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    target = o.select(
+        F.col("o_orderkey").alias("t_key"),
+        F.col("o_orderstatus").alias("t_status"),
+        F.col("o_totalprice").alias("t_price"),
+    )
+    # One source pass: the three clause populations come out of a single
+    # scan via CASE (a 3-way filter union would scan the batch 3x).
+    mod = F.col("o_orderkey") % 10
+    source = o.filter(mod.isin(0, 1, 2)).select(
+        F.when(mod == 2, F.col("o_orderkey") + 100000000)
+        .otherwise(F.col("o_orderkey"))
+        .alias("s_key"),
+        F.when(mod == 0, F.lit("U"))
+        .when(mod == 1, F.lit("D"))
+        .otherwise(F.lit("I"))
+        .alias("action"),
+        F.when(mod == 0, F.col("o_totalprice") * 1.1)
+        .when(mod == 2, F.col("o_totalprice") + 5)
+        .alias("s_price"),
+        F.when(mod == 2, F.lit("N")).cast("string").alias("s_status"),
+    )
+
+    joined = target.join(
+        source, target["t_key"] == source["s_key"], "full_outer"
+    )
+    merged = joined.filter(
+        (F.col("action").isNull()) | (F.col("action") != "D")
+    ).select(
+        F.coalesce("t_key", "s_key").alias("o_orderkey"),
+        F.coalesce("t_status", "s_status").alias("o_orderstatus"),
+        F.when(F.col("action") == "U", F.col("s_price"))
+        .when(F.col("action") == "I", F.col("s_price"))
+        .otherwise(F.col("t_price"))
+        .alias("price"),
+    )
+    return (
+        merged.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.round(F.sum("price"), 4).alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -874,3 +874,58 @@ def sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+@register(
+    "a24_exact_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+           round(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+           round(quantile_cont(l_extendedprice, 0.90), 4) AS p90,
+           round(quantile_disc(l_extendedprice, 0.50), 4) AS p50_disc,
+           round(median(l_discount), 4)                   AS med_discount
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="A24: EXACT percentiles — percentile() (continuous, linear "
+    "interpolation between order statistics), percentile_disc (an "
+    "actual element at the quantile rank), and median, per return "
+    "flag. The exact counterpart to a21's Greenwald-Khanna sketch: "
+    "exact percentile is a SORT-based aggregate — per group the values "
+    "concentrate on one reducer, so at 100 TB it is only for bounded "
+    "groups (here: 6-value cardinality over a numeric column each "
+    "group can hold); unbounded-group or corpus-wide quantiles take "
+    "the a21 sketch (mergeable, bounded memory) and accept rank "
+    "error. Having both on the same column pair lets a pipeline "
+    "validate its sketch accuracy on a sample, then trust the sketch "
+    "at scale. Both engines interpolate identically (type-7 "
+    "quantile), so values match to the 4dp round.",
+    tags=("aggregates",),
+)
+def exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(
+                F.expr("percentile(l_extendedprice, 0.25)"), 4
+            ).alias("p25"),
+            F.round(
+                F.expr("percentile(l_extendedprice, 0.50)"), 4
+            ).alias("p50"),
+            F.round(
+                F.expr("percentile(l_extendedprice, 0.90)"), 4
+            ).alias("p90"),
+            F.round(
+                F.expr(
+                    "percentile_disc(0.5) WITHIN GROUP "
+                    "(ORDER BY l_extendedprice)"
+                ),
+                4,
+            ).alias("p50_disc"),
+            F.round(F.expr("median(l_discount)"), 4).alias("med_discount"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -522,3 +522,75 @@ def attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# e9: the funnel regex. Event-type initials are distinct by fixture
+# construction (click/error/purchase/signup/view -> c/e/p/s/v), so the
+# per-user event sequence compresses to one char per event and the
+# pattern is a plain regex: signup, any run of click/view, purchase —
+# an intervening error (or second signup) breaks the match. The
+# character class excludes 'p', so greedy matching is unambiguous and
+# Java regex (Spark) and RE2 (DuckDB) count identical non-overlapping
+# matches.
+E9_PATTERN = "s[cv]*p"
+
+
+@register(
+    "e9_sequence_pattern",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id,
+             string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+               AS s
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(length(s) AS BIGINT)                                AS n_events,
+           CAST(len(regexp_extract_all(s, '{E9_PATTERN}')) AS BIGINT)
+                                                                    AS n_funnels
+    FROM seq
+    WHERE regexp_matches(s, '{E9_PATTERN}')
+    ORDER BY user_id
+    """,
+    doc="E9: sequence-pattern matching (complex event processing, the "
+    "MATCH_RECOGNIZE / Flink-CEP operator Spark lacks natively) — per "
+    "user, count non-overlapping occurrences of signup -> (click|view)* "
+    "-> purchase with nothing else intervening. The whole per-user "
+    "sequence reduces to a one-char-per-event string inside ONE "
+    "aggregation pass (collect_list of (ts,event_id,type) structs, "
+    "array_sort = total order since event_id is unique, transform to "
+    "initials, concat) and the pattern is a single regexp_count — all "
+    "JVM expression work after one user-grain shuffle, no window "
+    "self-joins, no Python. At 100 TB the per-user string is bounded "
+    "by per-user activity; bot-grade users get segmented first (t3's "
+    "session windows are the natural pre-pass) exactly as CEP engines "
+    "bound match state with WITHIN clauses. Oracle: DuckDB string_agg "
+    "ORDER BY + regexp_extract_all over the identical sequence string.",
+    tags=("events", "composite"),
+)
+def sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    seq = ev.groupBy("user_id").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                lambda s: F.substring(s["event_type"], 1, 1),
+            ),
+        ).alias("s")
+    )
+    return (
+        seq.select(
+            "user_id",
+            F.length("s").cast("bigint").alias("n_events"),
+            F.regexp_count("s", F.lit(E9_PATTERN)).cast("bigint").alias(
+                "n_funnels"
+            ),
+        )
+        .filter(F.col("n_funnels") >= 1)
+        .orderBy("user_id")
+    )

@@ -1360,3 +1360,73 @@ def psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum((F.col("q") - F.col("p")) * F.log(F.col("q") / F.col("p"))), 6).alias("psi"),
         F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
     )
+
+
+@register(
+    "r22_late_arriving_facts",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CASE WHEN c_custkey % 5 <> 0 THEN 1 ELSE 0 END)
+                AS BIGINT)          AS n_first_pass,
+           CAST(sum(CASE WHEN c_custkey % 5 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT)          AS n_repaired,
+           round(sum(o_totalprice), 4) AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    doc="R22: late-arriving facts — the ingestion race the reference's "
+    "daily full-refresh never has to face but every incremental "
+    "pipeline does: fact rows land BEFORE their dimension row exists "
+    "(here: a dim snapshot missing every 5th customer stands in for "
+    "the late dimension). Pass 1 left-joins facts to the available "
+    "dim; hits flow to the enriched output, misses PARK in a pending "
+    "table with nothing dropped and nothing blocked. When the next "
+    "dim generation arrives, the repair pass joins ONLY the "
+    "pending-sized table (not the fact history) against the new dim "
+    "and appends the resolved rows. enriched + repaired must equal "
+    "the full join exactly — the oracle computes that full join and "
+    "classifies each row by which pass served it, so a dropped or "
+    "double-counted pending row breaks the value hash. At 100 TB the "
+    "pending table is duplication-of-lateness-sized (typically <<1% "
+    "of facts), the repair join broadcasts or prunes to pending keys, "
+    "and the fact history is never rescanned — the same "
+    "park-and-repair shape table formats implement as MERGE on a "
+    "quarantine partition.",
+    tags=("pipeline", "quality", "incremental"),
+)
+def late_arriving_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+
+    # Dim generation 1: every 5th customer hasn't arrived yet.
+    dim_v1 = c.filter(F.col("c_custkey") % 5 != 0)
+    first = o.join(
+        F.broadcast(dim_v1), o["o_custkey"] == dim_v1["c_custkey"], "left"
+    )
+    enriched = first.filter(F.col("c_mktsegment").isNotNull()).select(
+        "c_mktsegment", "o_totalprice", F.lit(1).alias("first_pass")
+    )
+    pending = first.filter(F.col("c_mktsegment").isNull()).select(
+        "o_custkey", "o_totalprice"
+    )
+
+    # Dim generation 2 (complete) repairs ONLY the pending rows.
+    resolved = pending.join(
+        F.broadcast(c), pending["o_custkey"] == c["c_custkey"]
+    ).select("c_mktsegment", "o_totalprice", F.lit(0).alias("first_pass"))
+
+    return (
+        enriched.unionByName(resolved)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("first_pass").cast("bigint").alias("n_first_pass"),
+            (F.count(F.lit(1)) - F.sum("first_pass"))
+            .cast("bigint")
+            .alias("n_repaired"),
+            F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+        )
+        .orderBy("c_mktsegment")
+    )

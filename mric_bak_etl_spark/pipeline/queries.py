@@ -356,3 +356,67 @@ def orc_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "s15_dynamic_partition_overwrite",
+    oracle="""
+    SELECT CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+           count(*)                          AS n_rows,
+           round(sum(CASE WHEN year(l_shipdate) = 1997
+                          THEN l_quantity * 2 ELSE l_quantity END), 4)
+                                             AS total_qty
+    FROM lineitem
+    GROUP BY ship_year
+    ORDER BY ship_year
+    """,
+    doc="S15: dynamic partition overwrite — the restatement modality "
+    "between s3 (replace everything) and r21 (incremental merge): a "
+    "corrected batch for ONE ship year is written with "
+    "partitionOverwriteMode=dynamic, which replaces exactly the "
+    "partitions present in the batch and leaves every other partition's "
+    "files untouched (static overwrite mode would drop the whole "
+    "table). This is the idempotent daily-restatement pattern at 100 "
+    "TB: the write cost is the corrected partition, not the table, and "
+    "re-running the same batch converges to the same state. The "
+    "read-back aggregates the WHOLE table, so untouched years must "
+    "survive bit-exact and 1997 must show doubled quantities — both "
+    "failure directions (clobbered siblings / missed target) break the "
+    "oracle match. The per-write option form is used instead of the "
+    "session conf so concurrent writers with different modes don't "
+    "interfere.",
+    tags=("pipeline", "sink"),
+)
+def dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "ship_year", F.year("l_shipdate").cast("int")
+    )
+    out = os.path.join(
+        tempfile.mkdtemp(prefix="snapshot_dyn_"), "lineitem_by_year"
+    )
+    overwrite_snapshot(li, out, partition_by=["ship_year"])
+
+    corrected = li.filter(F.col("ship_year") == 1997).withColumn(
+        "l_quantity", F.col("l_quantity") * 2
+    )
+    (
+        corrected.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ship_year")
+        .parquet(out)
+    )
+
+    back = spark.read.parquet(out)
+    return (
+        back.groupBy("ship_year")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_quantity"), 4).alias("total_qty"),
+        )
+        .select(
+            F.col("ship_year").cast("int").alias("ship_year"),
+            "n_rows",
+            "total_qty",
+        )
+        .orderBy("ship_year")
+    )

@@ -231,3 +231,59 @@ def test_random_setop_plans_agree(spark, duck, sf_dir, case):
     assert_frames_match(
         spark.sql(sql).toPandas(), duck.execute(sql).df(), f"fuzz[{sql}]"
     )
+
+
+SUBQ_CASES = st.fixed_dictionaries(
+    {
+        # EXISTS / IN, plain and negated: four distinct decorrelation
+        # paths in Catalyst (semi, anti, null-aware semi, null-aware
+        # anti) — the null-aware NOT IN is historically the buggiest.
+        # l_orderkey/o_orderkey are non-null here, so NOT IN keeps
+        # set-complement semantics on both engines.
+        "form": st.sampled_from(
+            ["EXISTS", "NOT EXISTS", "IN", "NOT IN"]
+        ),
+        "q": st.integers(min_value=1, max_value=50),
+        "filters": st.lists(
+            st.sampled_from(FILTERS), min_size=0, max_size=1, unique=True
+        ),
+        "t": st.integers(min_value=1000, max_value=400000),
+        "m": st.integers(min_value=0, max_value=6),
+        "key": st.sampled_from(KEY_COLS),
+    }
+)
+
+
+@FUZZ_SETTINGS
+@given(case=SUBQ_CASES)
+def test_random_subquery_plans_agree(spark, duck, sf_dir, case):
+    from mric_bak_etl_spark.tables import register_views
+    from test_oracle_parity import assert_frames_match
+
+    register_views(spark, sf_dir)
+    if case["form"] in ("EXISTS", "NOT EXISTS"):
+        pred = (
+            f"{case['form']} (SELECT 1 FROM lineitem l "
+            f"WHERE l.l_orderkey = o.o_orderkey "
+            f"AND l.l_quantity > {case['q']})"
+        )
+    else:
+        pred = (
+            f"o.o_orderkey {case['form']} (SELECT l_orderkey FROM lineitem "
+            f"WHERE l_quantity > {case['q']})"
+        )
+    extra = " AND ".join(
+        "(" + f.format(t=case["t"], m=case["m"]) + ")"
+        for f in case["filters"]
+    )
+    sql = (
+        f"SELECT {case['key']}, CAST(count(*) AS BIGINT) AS n, "
+        f"CAST(min(o.o_orderkey) AS BIGINT) AS mn "
+        f"FROM orders o WHERE {pred}"
+    )
+    if extra:
+        sql += f" AND {extra}"
+    sql += f" GROUP BY {case['key']} ORDER BY {case['key']}"
+    assert_frames_match(
+        spark.sql(sql).toPandas(), duck.execute(sql).df(), f"fuzz[{sql}]"
+    )

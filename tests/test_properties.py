@@ -206,3 +206,39 @@ def test_incremental_agg_equals_direct(spark, rows):
     ).filter(F.col("n") > 0)
     maintained = {r["k"]: (r["n"], r["s"]) for r in merged.collect()}
     assert maintained == direct
+
+
+def test_sequence_pattern_planted_semantics(spark, tmp_path):
+    """e9 regex-CEP semantics on planted sequences: empty (click|view)*
+    runs match, an intervening error breaks the funnel, and counting is
+    non-overlapping (a purchase consumed by one match cannot seed
+    another)."""
+    import datetime as dt
+
+    from mric_bak_etl_spark.catalog import all_specs
+
+    base = dt.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    planted = {
+        1: ("signup click click view purchase signup view purchase", 2),
+        2: ("signup click error purchase", 0),
+        3: ("signup purchase", 1),
+        4: ("click purchase view", 0),
+        5: ("signup click purchase click purchase", 1),
+    }
+    for uid, (seq, _) in planted.items():
+        for i, et in enumerate(seq.split()):
+            eid += 1
+            rows.append((eid, base + dt.timedelta(minutes=i), uid, et, 1.0, "{}"))
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    d = str(tmp_path / "e9_sf")
+    df.coalesce(1).write.parquet(d + "/events.parquet")
+
+    out = all_specs()["e9_sequence_pattern"].builder(spark, d).collect()
+    got = {r["user_id"]: r["n_funnels"] for r in out}
+    want = {u: n for u, (_, n) in planted.items() if n > 0}
+    assert got == want, (got, want)
