@@ -365,3 +365,69 @@ def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("es_key").desc(), "doc_id")
         .limit(50)
     )
+
+
+# l30: Knuth's multiplicative hash keeps the split portable — the DuckDB
+# oracle computes the identical bucket arithmetically. Production corpora
+# hash a stable document KEY (url/content digest) with xxhash64; the
+# constant-multiplier form here is the same idea minus the cross-engine
+# hash dependency. 2654435761 = floor(2^32 / phi), doc_id-scaled values
+# stay far below 2^63 at any fixture scale.
+L30_SPLIT_MULT = 2654435761
+L30_TRAIN_CUT, L30_VAL_CUT = 80, 90
+
+
+@register(
+    "l30_train_test_split",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT CASE
+               WHEN (doc_id * {L30_SPLIT_MULT}) % 100 < {L30_TRAIN_CUT}
+                 THEN 'train'
+               WHEN (doc_id * {L30_SPLIT_MULT}) % 100 < {L30_VAL_CUT}
+                 THEN 'val'
+               ELSE 'test'
+             END AS split,
+             n_chars, lang
+      FROM documents
+    )
+    SELECT split,
+           CAST(count(*) AS BIGINT)           AS n_docs,
+           round(avg(n_chars), 4)             AS avg_chars,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+    FROM tagged
+    GROUP BY split
+    ORDER BY split
+    """,
+    doc="L30: deterministic train/val/test split — every document maps "
+    "to a bucket by multiplicative hash of its id (80/10/10), so the "
+    "assignment is a map-side expression: stable across runs, "
+    "partitioning, and cluster size, with no sampling state and no "
+    "shuffle to decide membership. Splitting at the DOCUMENT grain is "
+    "the leakage boundary: all chunks/augmentations derived from a doc "
+    "inherit its split by recomputing the same hash, so no near-"
+    "duplicate of a test doc can land in train via a different chunk "
+    "(pair with l13's decontamination for cross-corpus leakage). The "
+    "per-split profile (count, mean length, language spread) is the "
+    "balance check a split ships with. Only the report aggregates "
+    "shuffle — grouping on a 3-value key.",
+    tags=("llm", "sampling"),
+)
+def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (F.col("doc_id") * L30_SPLIT_MULT) % 100
+    split = (
+        F.when(bucket < L30_TRAIN_CUT, "train")
+        .when(bucket < L30_VAL_CUT, "val")
+        .otherwise("test")
+    )
+    return (
+        d.select(split.alias("split"), "n_chars", "lang")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.count_distinct("lang").cast("bigint").alias("n_langs"),
+        )
+        .orderBy("split")
+    )

@@ -1430,3 +1430,77 @@ def late_arriving_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@register(
+    "dq8_fact_summary_reconciliation",
+    oracle="""
+    WITH ls AS (
+      SELECT l_orderkey,
+             sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS s
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CASE WHEN ls.s IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_missing_lines,
+           CAST(sum(CASE WHEN ls.s IS NOT NULL
+                         AND abs(o_totalprice - ls.s) / o_totalprice < 0.01
+                         THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_reconciled_1pct,
+           round(avg(CASE WHEN ls.s IS NOT NULL
+                          THEN abs(o_totalprice - ls.s) / o_totalprice
+                     END), 4) AS avg_rel_error
+    FROM orders o LEFT JOIN ls ON ls.l_orderkey = o.o_orderkey
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    doc="DQ8: fact-to-summary reconciliation — the cross-TABLE "
+    "consistency gate dq5's row-level FK check cannot see: each "
+    "order's stored total is recomputed from its line items "
+    "(extendedprice x (1-discount) x (1+tax)) and the per-status "
+    "report counts headers with no lines, headers reconciling within "
+    "1%, and the mean relative discrepancy. On this synthetic fixture "
+    "the books deliberately do NOT balance (~2% reconcile), which is "
+    "the point — the gate measures and localizes drift rather than "
+    "asserting zero. One lineitem pass pre-aggregates to order grain "
+    "BEFORE the join, so the join is header-sized on both sides and "
+    "co-partitions on the order key at 100 TB; the fact table is "
+    "never joined raw.",
+    tags=("pipeline", "quality"),
+)
+def fact_summary_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    ls = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax"))
+            ).alias("s")
+        )
+    )
+    j = o.join(ls, o["o_orderkey"] == ls["l_orderkey"], "left")
+    rel = F.abs(F.col("o_totalprice") - F.col("s")) / F.col("o_totalprice")
+    return (
+        j.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(F.when(F.col("s").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_missing_lines"),
+            F.sum(
+                F.when(F.col("s").isNotNull() & (rel < 0.01), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_reconciled_1pct"),
+            F.round(
+                F.avg(F.when(F.col("s").isNotNull(), rel)), 4
+            ).alias("avg_rel_error"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -43,6 +43,11 @@ REPRESENTATIVES = [
     "o3_range_partitioned_sort",
     "l2e_dup_clusters",
     "l19_kmeans",
+    # round-4: iterative rank loop (float-sum order), hash-bucketed pair
+    # join + broadcast semi-filter, full-outer MERGE composition
+    "g5_user_pagerank",
+    "l29_exact_substring_dedup",
+    "q9_merge_upsert",
 ]
 
 SCENARIOS = {
