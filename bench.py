@@ -14,6 +14,15 @@ between BENCH_r01 and BENCH_r02 (h5, sq2, h18, t1) were re-measured 5×
 each on identical plans — run-to-run spread on this shared VM is 17-58%
 (h5: 0.97-1.54 s), so round-over-round deltas inside ~±25% on sub-second
 queries are steal-time noise, not plan changes. Not chased further.
+
+Bench note (r3→r4): a mid-round probe measured the whole common set
+uniformly 1.33x slower than BENCH_r03 on unchanged plans (l2 1.7→3.4 s)
+— host-wide slowdown, so compare queries WITHIN a run, not across runs.
+Of the round-4 headliners, l29 is the heaviest (~2.5 s normalized at
+sf0.1): ~10 fixed stages dominate at fixture scale, while DuckDB
+single-threaded needs 4.9 s for the identical string-keyed computation
+— the hashed-window design wins even on a throttled box and the stage
+count is constant in corpus size.
 """
 
 from __future__ import annotations

@@ -1533,3 +1533,74 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "q10_sql_ddl_dml",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(CASE WHEN o_orderstatus = 'F'
+                          THEN o_totalprice * 2 ELSE o_totalprice END), 4)
+             AS total_price
+    FROM orders
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    doc="Q10: the SQL DDL/DML entry points — CREATE TABLE ... USING "
+    "PARQUET PARTITIONED BY ... LOCATION (external, so nothing lands "
+    "in a default warehouse dir), INSERT INTO ... SELECT (dynamic "
+    "partitions), INSERT OVERWRITE ... PARTITION (status='F') "
+    "(STATIC partition spec: rewrites exactly that partition — the "
+    "SQL face of s15's DataFrame-API dynamic overwrite), and SELECT "
+    "back through the catalog. This is the surface a SQL-only client "
+    "(BI tool, dbt model) drives; everything else in the repo uses "
+    "the DataFrame face of the same engine. Table names are "
+    "per-invocation unique: catalog entries are session-global and "
+    "the driver/bench may run builders repeatedly. The read-back "
+    "aggregate proves the restated F partition AND the untouched "
+    "siblings through one query; the oracle replays the restatement "
+    "arithmetically.",
+    tags=("sql", "pipeline", "sink"),
+)
+def sql_ddl_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    register_views(spark, sf_dir)
+    tbl = f"q10_orders_{uuid.uuid4().hex[:8]}"
+    loc = tempfile.mkdtemp(prefix="q10_tbl_")
+    spark.sql(
+        f"""
+        CREATE TABLE {tbl} (o_orderkey BIGINT, o_totalprice DOUBLE,
+                            o_orderstatus STRING)
+        USING PARQUET PARTITIONED BY (o_orderstatus)
+        LOCATION '{loc}'
+        """
+    )
+    spark.sql(
+        f"""
+        INSERT INTO {tbl}
+        SELECT o_orderkey, o_totalprice, o_orderstatus
+        FROM orders WHERE o_orderpriority = '1-URGENT'
+        """
+    )
+    spark.sql(
+        f"""
+        INSERT OVERWRITE {tbl} PARTITION (o_orderstatus = 'F')
+        SELECT o_orderkey, o_totalprice * 2
+        FROM orders
+        WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'F'
+        """
+    )
+    return spark.sql(
+        f"""
+        SELECT o_orderstatus,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               round(sum(o_totalprice), 4) AS total_price
+        FROM {tbl}
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+        """
+    )

@@ -134,3 +134,48 @@ def test_manifest_listing_parse_roundtrip(spark):
     assert got == ["backup_2024_07_01.zip", "misc.txt"]
     kept = manifest.filter_snapshots(names).collect()
     assert [r["name"] for r in kept] == ["backup_2024_07_01.zip"]
+
+
+def test_dynamic_partition_overwrite_leaves_siblings_untouched(spark, tmp_path):
+    """s15 mechanism (not just values): after a dynamic-mode overwrite of
+    one partition, sibling partition DIRECTORIES keep the exact same
+    files byte-for-byte; static mode would have dropped them. The
+    catalog oracle checks the aggregate — this pins the file-level
+    contract the aggregate could in principle miss (e.g. a rewrite that
+    recreates siblings with equal contents still violates the
+    partition-grain write-cost promise)."""
+    import hashlib
+    import os
+
+    base = str(tmp_path / "dyn")
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0), (4, "c", 40.0)],
+        "id long, part string, v double",
+    )
+    df.write.partitionBy("part").parquet(base)
+
+    def snapshot(part):
+        d = os.path.join(base, f"part={part}")
+        out = {}
+        for fn in sorted(os.listdir(d)):
+            if fn.endswith(".parquet"):
+                with open(os.path.join(d, fn), "rb") as f:
+                    out[fn] = hashlib.sha256(f.read()).hexdigest()
+        return out
+
+    before_a, before_c = snapshot("a"), snapshot("c")
+
+    fix = spark.createDataFrame([(3, "b", 99.0)], "id long, part string, v double")
+    (
+        fix.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("part")
+        .parquet(base)
+    )
+
+    assert snapshot("a") == before_a  # same files, same bytes
+    assert snapshot("c") == before_c
+    got = {
+        (r["id"], r["v"]) for r in spark.read.parquet(base).collect()
+    }
+    assert got == {(1, 10.0), (2, 20.0), (3, 99.0), (4, 40.0)}
