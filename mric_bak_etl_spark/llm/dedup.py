@@ -1005,10 +1005,15 @@ def exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dwh = exploded.select(
         "doc_id", F.xxhash64(F.expr(f"substring(text, p, {L29_WIN})")).alias("h")
     )
+    # "seen in >= 2 distinct docs" == min(doc) != max(doc): min/max
+    # partial-aggregate map-side to one row per (partition, h) — no
+    # (h, doc_id) dedup state like count_distinct — so the wide shuffle
+    # carries bare (h, min, max) triples. Exact cap applied on strings
+    # below.
     shared_h = (
         dwh.groupBy("h")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)  # exact cap applied on strings below
+        .agg(F.min("doc_id").alias("d_min"), F.max("doc_id").alias("d_max"))
+        .filter(F.col("d_min") != F.col("d_max"))
         .select("h")
     )
     # Pass 2: map-side re-derivation of the window strings for surviving

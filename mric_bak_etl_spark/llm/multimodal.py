@@ -668,3 +668,60 @@ def iter_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id")
         .limit(100)
     )
+
+
+@register(
+    "x10_grouped_arrow_apply",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT)      AS n_docs,
+           CAST(max(n_chars) AS BIGINT)  AS max_chars,
+           round(avg(n_chars), 4)        AS avg_chars
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    doc="X10: grouped-map applyInArrow — the zero-pandas rung of the "
+    "grouped-UDF ladder (x2 grouped pandas agg, x6 grouped pandas "
+    "map): each group arrives as a raw pyarrow.Table and the function "
+    "computes with Arrow compute kernels directly — no "
+    "Arrow-to-pandas materialization, no object-dtype copies, no "
+    "index bookkeeping, which is exactly what matters when groups are "
+    "wide binary/media batches (pandas conversion would copy every "
+    "payload). Grouping key partitioning, skew behavior, and schema "
+    "contract are identical to x6; only the in-process representation "
+    "changes. The group computation here (count/max/mean over the "
+    "group's rows) is deliberately oracle-expressible so the Arrow "
+    "path gets a full value-hash driver row, unlike byte-math stages.",
+    tags=("llm", "udf"),
+)
+def grouped_arrow_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def per_lang(table: pa.Table) -> pa.Table:
+        n = table.num_rows
+        chars = table.column("n_chars")
+        return pa.table(
+            {
+                "lang": [table.column("lang")[0].as_py()],
+                "n_docs": pa.array([n], pa.int64()),
+                "max_chars": pa.array(
+                    [pc.max(chars).as_py()], pa.int64()
+                ),
+                "avg_chars": pa.array(
+                    [round(pc.mean(chars).as_py(), 4)], pa.float64()
+                ),
+            }
+        )
+
+    d = load_table(spark, sf_dir, "documents").select("lang", "n_chars")
+    return (
+        d.groupBy("lang")
+        .applyInArrow(
+            per_lang,
+            schema="lang string, n_docs long, max_chars long, "
+            "avg_chars double",
+        )
+        .orderBy("lang")
+    )

@@ -431,3 +431,71 @@ def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+# l31: temperature-based mixture weights, the multilingual-corpus
+# sampling rule published with XLM-R (Conneau et al. 2020): sample
+# language i with probability proportional to p_i^alpha. alpha=1 keeps
+# the natural distribution, alpha->0 approaches uniform; 0.3 is the
+# published multilingual default. Integer-free math so the oracle
+# mirrors exactly.
+L31_ALPHA = 0.3
+L31_BUDGET = 1000  # documents drawn per epoch under the mixture
+
+
+@register(
+    "l31_temperature_mixing",
+    oracle=f"""
+    WITH stats AS (
+      SELECT lang, CAST(count(*) AS DOUBLE) AS cnt FROM documents GROUP BY lang
+    ),
+    tot AS (SELECT sum(cnt) AS total FROM stats),
+    w AS (
+      SELECT lang, cnt,
+             pow(cnt / total, {L31_ALPHA}) AS raw_w
+      FROM stats, tot
+    ),
+    z AS (SELECT sum(raw_w) AS z FROM w)
+    SELECT lang,
+           CAST(cnt AS BIGINT)                          AS n_docs,
+           round(raw_w / z, 6)                          AS sample_weight,
+           round({L31_BUDGET} * raw_w / z, 4)           AS expected_draws,
+           round({L31_BUDGET} * raw_w / z / cnt, 4)     AS effective_epochs
+    FROM w, z
+    ORDER BY lang
+    """,
+    doc="L31: temperature-based corpus mixing — per-slice sampling "
+    "weights w_i = p_i^alpha / Z (alpha=0.3, the published "
+    "multilingual rule: natural distribution at alpha=1, uniform as "
+    "alpha->0), plus the two numbers a data planner actually reads "
+    "off: expected draws per slice under a fixed budget, and "
+    "effective epochs (>1 means the low-resource slice repeats and "
+    "will be memorized first). Complements l15, which enforces a "
+    "UNIFORM cap by hash-sampling rows — l31 computes the smooth "
+    "mixture l15's rates would implement when fed these weights. Pure "
+    "slice-grain arithmetic: one count aggregate over the corpus, "
+    "then slice-count-sized math; nothing rescans documents.",
+    tags=("llm", "sampling"),
+)
+def temperature_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    stats = d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("double").alias("cnt")
+    )
+    from pyspark.sql import Window
+
+    every = Window.partitionBy()
+    w = stats.withColumn(
+        "raw_w", F.pow(F.col("cnt") / F.sum("cnt").over(every), L31_ALPHA)
+    ).withColumn("z", F.sum("raw_w").over(every))
+    return w.select(
+        "lang",
+        F.col("cnt").cast("bigint").alias("n_docs"),
+        F.round(F.col("raw_w") / F.col("z"), 6).alias("sample_weight"),
+        F.round(L31_BUDGET * F.col("raw_w") / F.col("z"), 4).alias(
+            "expected_draws"
+        ),
+        F.round(
+            L31_BUDGET * F.col("raw_w") / F.col("z") / F.col("cnt"), 4
+        ).alias("effective_epochs"),
+    ).orderBy("lang")
