@@ -594,3 +594,144 @@ def sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_funnels") >= 1)
         .orderBy("user_id")
     )
+
+
+# e10: discrete-time survival analysis. Horizon = the corpus' max
+# timestamp (the observation cutoff); users whose window ends before
+# day k leave the risk set WITHOUT converting — right-censoring, the
+# thing a naive "conversion rate by day" gets wrong.
+E10_MAX_DAY = 7
+
+
+@register(
+    "e10_time_to_conversion",
+    oracle=f"""
+    WITH horizon AS (SELECT max(ts) AS h FROM events),
+    u AS (
+      SELECT user_id, min(ts) FILTER (WHERE event_type = 'signup') AS t0
+      FROM events GROUP BY user_id
+    ),
+    conv AS (
+      SELECT e.user_id, min(e.ts) AS tc
+      FROM events e JOIN u ON u.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= u.t0
+      GROUP BY e.user_id
+    ),
+    base AS (
+      SELECT u.user_id,
+             CAST(datediff('day', u.t0, c.tc) AS BIGINT)      AS conv_day,
+             CAST(datediff('day', u.t0, horizon.h) AS BIGINT) AS max_day
+      FROM u LEFT JOIN conv c ON c.user_id = u.user_id, horizon
+      WHERE u.t0 IS NOT NULL
+    ),
+    ks AS (SELECT unnest(range(0, {E10_MAX_DAY + 1})) AS k),
+    cells AS (
+      SELECT k,
+             CAST(count(*) AS BIGINT) AS n_at_risk,
+             CAST(sum(CASE WHEN conv_day = k THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_converted
+      FROM ks JOIN base
+        ON base.max_day >= ks.k
+       AND (base.conv_day IS NULL OR base.conv_day >= ks.k)
+      GROUP BY k
+    )
+    SELECT CAST(k AS BIGINT) AS day_k, n_at_risk, n_converted,
+           round(h, 6) AS hazard,
+           -- hazard = 1 (everyone at risk converts) kills survival to an
+           -- exact 0 from that day on; ln() must never see it (DuckDB
+           -- raises on ln(0), Spark returns NULL — either way wrong).
+           CASE WHEN max(CASE WHEN h >= 1 THEN 1 ELSE 0 END)
+                     OVER (ORDER BY k) = 1
+                THEN 0.0
+                ELSE round(exp(coalesce(
+                       sum(CASE WHEN h < 1 THEN ln(1 - h) END)
+                         OVER (ORDER BY k), 0.0)), 6)
+           END AS survival
+    FROM (SELECT k, n_at_risk, n_converted,
+                 CAST(n_converted AS DOUBLE) / n_at_risk AS h
+          FROM cells)
+    ORDER BY day_k
+    """,
+    doc="E10: discrete-time survival / time-to-conversion — the "
+    "Kaplan-Meier life table for signup -> purchase: per day k since "
+    "signup, the risk set (users still unconverted whose observation "
+    "window reaches day k), conversions at k, hazard, and cumulative "
+    "survival. Right-censoring is the substance: users whose window "
+    "ends (corpus horizon) before day k LEAVE the risk set instead of "
+    "counting as non-converters — the error in naive day-k conversion "
+    "rates. Shape: one user-grain pass builds (conv_day, max_day); "
+    "the k-expansion is a bounded 8x fan-out of the USER table (never "
+    "events), aggregated to 8 cells; survival is exp of a running sum "
+    "of ln(1-hazard) — the cumulative PRODUCT expressed through the "
+    "window frame, since neither engine has a product aggregate. Both "
+    "engines compute the identical 8-term float chain; output rounds "
+    "to 6dp.",
+    tags=("events", "composite"),
+)
+def time_to_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type"
+    )
+    horizon = ev.agg(F.max("ts").alias("h"))
+    u = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias(
+            "t0"
+        )
+    ).filter(F.col("t0").isNotNull())
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(u, "user_id")
+        .filter(F.col("ts") >= F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tc"))
+    )
+    base = (
+        u.join(conv, "user_id", "left")
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.datediff(F.to_date("tc"), F.to_date("t0"))
+            .cast("bigint")
+            .alias("conv_day"),
+            F.datediff(F.to_date("h"), F.to_date("t0"))
+            .cast("bigint")
+            .alias("max_day"),
+        )
+    )
+    ks = spark.range(0, E10_MAX_DAY + 1).select(F.col("id").alias("k"))
+    cells = (
+        base.join(
+            F.broadcast(ks),
+            (F.col("max_day") >= F.col("k"))
+            & (F.col("conv_day").isNull() | (F.col("conv_day") >= F.col("k"))),
+        )
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_at_risk"),
+            F.sum(F.when(F.col("conv_day") == F.col("k"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_converted"),
+        )
+    )
+    hz = F.col("n_converted").cast("double") / F.col("n_at_risk")
+    w = Window.orderBy("k")
+    # hazard = 1 zeroes survival exactly from that day on; ln(1-h) is
+    # only ever evaluated for h < 1 (mirrors the oracle's CASE guard —
+    # DuckDB raises on ln(0), Spark would NULL-poison the running sum).
+    dead = F.max(F.when(hz >= 1, 1).otherwise(0)).over(w)
+    log_sum = F.coalesce(
+        F.sum(F.when(hz < 1, F.log(1 - hz))).over(w), F.lit(0.0)
+    )
+    return (
+        cells.select(
+            F.col("k").cast("bigint").alias("day_k"),
+            "n_at_risk",
+            "n_converted",
+            F.round(hz, 6).alias("hazard"),
+            F.when(dead == 1, 0.0)
+            .otherwise(F.round(F.exp(log_sum), 6))
+            .alias("survival"),
+        )
+        .orderBy("day_k")
+    )
