@@ -1,0 +1,128 @@
+#!/usr/bin/env python
+"""10x scale stress: do the headline plans actually scale linearly?
+
+Synthesizes a ~10x corpus from sf0.1 by unioning 10 key-shifted copies
+(keys shift so join cardinalities scale honestly; document TEXTS repeat,
+so the dedup family faces a corpus where every document has 9 true
+duplicates — the adversarial-but-realistic case for l29/l2) and runs a
+representative slice of the catalog at 1x and 10x, reporting the runtime
+ratio. A plan whose shuffle volume is linear in the input should land
+near 10x or below (sub-linear when fixed stage overhead dominates at
+1x); a quadratic pair-blowup or a driver-side bottleneck lands far
+above. Results land in SCALE.md (manual; not part of the test suite —
+this is a ~minutes experiment, run when plans change).
+
+Usage: python scripts/scale_stress.py [out_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from mric_bak_etl_spark.catalog import all_specs
+from mric_bak_etl_spark.session import get_spark
+
+SRC = "/root/testdata/sf0.1"
+COPIES = 10
+
+# Key columns to shift per copy so ids stay unique and joins scale
+# linearly (same shift for both sides of every FK so matches preserve).
+KEY_SHIFTS = {
+    "orders": {"o_orderkey": 10_000_000, "o_custkey": 1_000_000},
+    "lineitem": {"l_orderkey": 10_000_000, "l_suppkey": 1_000_000,
+                 "l_partkey": 1_000_000},
+    "customer": {"c_custkey": 1_000_000},
+    "supplier": {"s_suppkey": 1_000_000},
+    "part": {"p_partkey": 1_000_000},
+    "events": {"event_id": 100_000_000, "user_id": 1_000_000},
+    "documents": {"doc_id": 1_000_000},
+    "embeddings": {"vec_id": 1_000_000},
+    # region/nation: tiny dims, copied once unshifted
+    "region": {},
+    "nation": {},
+}
+
+QUERIES = [
+    "a1_pricing_summary",      # scan + wide agg
+    "h5_local_supplier_volume",  # 6-way join
+    "w3_frames",               # window frames
+    "j8_salted_skew_join",     # skew salting
+    "l2_minhash_lsh",          # LSH banding under 10x duplication
+    "l29_exact_substring_dedup",  # window-hash dedup under 10x duplication
+    "g5_user_pagerank",        # iterative rank loop
+    "e9_sequence_pattern",     # user-grain CEP
+    "l19_kmeans",              # broadcast-centroid clustering
+]
+
+
+def synth(spark, out_dir: str) -> None:
+    for name, shifts in KEY_SHIFTS.items():
+        src = spark.read.parquet(os.path.join(SRC, f"{name}.parquet"))
+        if not shifts:
+            src.write.mode("overwrite").parquet(
+                os.path.join(out_dir, f"{name}.parquet")
+            )
+            continue
+        parts = []
+        for i in range(COPIES):
+            df = src
+            for col, step in shifts.items():
+                df = df.withColumn(col, F.col(col) + F.lit(i * step))
+            parts.append(df)
+        big = parts[0]
+        for p in parts[1:]:
+            big = big.unionByName(p)
+        big.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"{name}.parquet")
+        )
+
+
+def run(spark, specs, sf_dir: str, names) -> dict[str, float]:
+    out = {}
+    for name in names:
+        t0 = time.time()
+        specs[name].builder(spark, sf_dir).write.mode("overwrite").format(
+            "noop"
+        ).save()
+        out[name] = round(time.time() - t0, 2)
+        print(f"  {name}: {out[name]}s", flush=True)
+    return out
+
+
+def main() -> None:
+    out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1_synth"
+    spark = get_spark("scale-stress")
+    spark.sparkContext.setLogLevel("ERROR")
+    specs = all_specs()
+
+    if not os.path.exists(os.path.join(out_dir, "lineitem.parquet")):
+        print(f"synthesizing {COPIES}x corpus at {out_dir}", flush=True)
+        synth(spark, out_dir)
+
+    print("warm-up", flush=True)
+    specs["a1_pricing_summary"].builder(spark, SRC).write.mode(
+        "overwrite"
+    ).format("noop").save()
+
+    print("1x (sf0.1)", flush=True)
+    base = run(spark, specs, SRC, QUERIES)
+    print(f"{COPIES}x", flush=True)
+    big = run(spark, specs, out_dir, QUERIES)
+    report = {
+        q: {"x1_sec": base[q], "x10_sec": big[q],
+            "ratio": round(big[q] / base[q], 2)}
+        for q in QUERIES
+    }
+    print(json.dumps(report, indent=1))
+
+
+if __name__ == "__main__":
+    main()
