@@ -984,6 +984,24 @@ L29_STOP_CAP = 50
     tags=("llm", "dedup"),
 )
 def exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    banded = _shared_window_survivors(spark, sf_dir)
+    a = banded.select(F.col("win").alias("w_a"), F.col("doc_id").alias("doc_a"))
+    b = banded.select(F.col("win").alias("w_b"), F.col("doc_id").alias("doc_b"))
+    pairs = a.join(
+        b, (F.col("w_a") == F.col("w_b")) & (F.col("doc_a") < F.col("doc_b"))
+    )
+    return (
+        pairs.groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_windows"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _shared_window_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l29/l32 shared core: the banded survivor set (doc_id, win) —
+    every window occurrence whose exact string appears in 2..L29_STOP_CAP
+    distinct documents. Pinned (localCheckpoint), since every consumer
+    reads it at least twice."""
     from mric_bak_etl_spark.tables import materialize, spread
 
     # spread(): documents.parquet is one input split at test scale — the
@@ -1029,14 +1047,84 @@ def exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     freq = kept.groupBy("win").agg(F.count_distinct("doc_id").alias("nd"))
     keep = freq.filter(F.col("nd").between(2, L29_STOP_CAP)).select("win")
-    banded = kept.join(keep, "win")
-    a = banded.select(F.col("win").alias("w_a"), F.col("doc_id").alias("doc_a"))
-    b = banded.select(F.col("win").alias("w_b"), F.col("doc_id").alias("doc_b"))
-    pairs = a.join(
-        b, (F.col("w_a") == F.col("w_b")) & (F.col("doc_a") < F.col("doc_b"))
+    return materialize(kept.join(keep, "win"))
+
+
+# Shared CTE text: the l29 survivor set, string-grain, for oracles that
+# build on it (l29 inlines the same shape; l32 adds the star edges).
+_L29_SURVIVORS_ORACLE = f"""
+    dw AS (
+      SELECT DISTINCT doc_id, substr(text, CAST(p AS INT), {L29_WIN}) AS win
+      FROM documents, unnest(range(1, len(text) - {L29_WIN - 2})) AS u(p)
+      WHERE len(text) >= {L29_WIN}
+    ),
+    freq AS (
+      SELECT win, count(DISTINCT doc_id) AS nd FROM dw GROUP BY win
+    ),
+    keep AS (SELECT win FROM freq WHERE nd BETWEEN 2 AND {L29_STOP_CAP}),
+    banded AS (SELECT dw.doc_id, dw.win FROM dw JOIN keep USING (win))
+"""
+
+
+@register(
+    "l32_substring_dup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_L29_SURVIVORS_ORACLE},
+    hubs AS (SELECT win, min(doc_id) AS hub FROM banded GROUP BY win),
+    star AS (
+      SELECT DISTINCT b.doc_id AS a, h.hub AS b
+      FROM banded b JOIN hubs h USING (win)
+    ),
+    edges AS (
+      SELECT a AS src, b AS dst FROM star
+      UNION ALL
+      SELECT b AS src, a AS dst FROM star
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    reach(node, root) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    labels AS (SELECT node AS doc_id, min(root) AS cluster_id
+               FROM reach GROUP BY node)
+    SELECT cluster_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           max(doc_id)              AS max_member
+    FROM labels
+    GROUP BY cluster_id
+    ORDER BY cluster_id
+    """,
+    doc="L32: exact-substring duplicate CLUSTERS via bucket-level star "
+    "reduction — the linear-in-duplication escape hatch SCALE.md "
+    "measures l29 needing: instead of enumerating C(k,2) pairs per "
+    "shared window (quadratic in the duplication multiplicity k), "
+    "every doc in a window bucket links only to the bucket's min doc "
+    "(|bucket| star edges — same connected components as the clique), "
+    "and min-label propagation (l2e's distributed union-find) labels "
+    "each duplicate group with its keeper. Output is cluster-sized, "
+    "not pair-sized: a 10-clique of true duplicates costs 10 edges "
+    "here vs 45 pairs in l29 — use l29 when you need span-level "
+    "evidence, l32 when you need keep/drop decisions at corpus scale. "
+    "Shares l29's two-pass hashed-window survivor core (one long-keyed "
+    "corpus shuffle). Oracle: DuckDB recursive-CTE transitive closure "
+    "over the identical star edges.",
+    tags=("llm", "dedup", "iterative"),
+)
+def substring_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    banded = _shared_window_survivors(spark, sf_dir)
+    hubs = banded.groupBy("win").agg(F.min("doc_id").alias("hub"))
+    star = (
+        banded.join(hubs, "win")
+        .select(F.col("doc_id").alias("doc_a"), F.col("hub").alias("doc_b"))
+        .distinct()
     )
+    labels = connected_components(star)
     return (
-        pairs.groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_windows"))
-        .orderBy("doc_a", "doc_b")
+        labels.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.max("doc_id").alias("max_member"),
+        )
+        .orderBy("cluster_id")
     )
