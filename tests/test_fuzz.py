@@ -287,3 +287,80 @@ def test_random_subquery_plans_agree(spark, duck, sf_dir, case):
     assert_frames_match(
         spark.sql(sql).toPandas(), duck.execute(sql).df(), f"fuzz[{sql}]"
     )
+
+
+GROUPING_CASES = st.fixed_dictionaries(
+    {
+        # ROLLUP/CUBE/explicit GROUPING SETS over 1-2 keys: every variant
+        # compiles to the Expand operator with a different set lattice;
+        # GROUPING() disambiguates real NULLs from subtotal rows so the
+        # compare can't conflate them.
+        "form": st.sampled_from(
+            ["ROLLUP (k1)", "ROLLUP (k1, k2)", "CUBE (k1, k2)",
+             "GROUPING SETS ((k1), (k2))",
+             "GROUPING SETS ((k1, k2), (k1), ())"]
+        ),
+        "k1": st.sampled_from(KEY_COLS),
+        "k2": st.sampled_from(["o_orderstatus", "o_orderdate"]),
+        "filters": st.lists(
+            st.sampled_from(FILTERS), min_size=0, max_size=1, unique=True
+        ),
+        "t": st.integers(min_value=1000, max_value=400000),
+        "m": st.integers(min_value=0, max_value=6),
+        "aggs": st.lists(
+            st.sampled_from(AGGS), min_size=1, max_size=2,
+            unique_by=lambda a: a[1],
+        ),
+    }
+)
+
+
+@FUZZ_SETTINGS
+@given(case=GROUPING_CASES)
+def test_random_grouping_set_plans_agree(spark, duck, sf_dir, case):
+    from mric_bak_etl_spark.tables import register_views
+    from test_oracle_parity import assert_frames_match
+
+    register_views(spark, sf_dir)
+    k1, k2 = case["k1"], case["k2"]
+    if k1 == k2:
+        k2 = "o_orderpriority" if k1 != "o_orderpriority" else "o_orderstatus"
+    form = case["form"].replace("k1", k1).replace("k2", k2)
+    keys = [k1] + ([k2] if "k2" in case["form"] else [])
+    where = " AND ".join(
+        "(" + f.format(t=case["t"], m=case["m"]) + ")"
+        for f in case["filters"]
+    )
+    sel = ", ".join(f"{expr} AS {alias}" for expr, alias in case["aggs"])
+    gsel = ", ".join(
+        [f"CAST({k} AS STRING) AS {k}_s" for k in keys]
+        + [f"CAST(GROUPING({k}) AS BIGINT) AS g_{k}" for k in keys]
+    )
+    sql = f"SELECT {gsel}, {sel} FROM orders"
+    if where:
+        sql += f" WHERE {where}"
+    sql += (
+        f" GROUP BY {form} ORDER BY "
+        + ", ".join(f"g_{k}, {k}_s NULLS FIRST" for k in keys)
+    )
+    got = spark.sql(sql).toPandas()
+    want = duck.execute(sql).df()
+    n_in = duck.execute(
+        "SELECT count(*) FROM orders" + (f" WHERE {where}" if where else "")
+    ).fetchone()[0]
+    if n_in == 0:
+        # Documented engine DIVERGENCE, found by this fuzzer: on an
+        # EMPTY input, the standard (and DuckDB/PostgreSQL) still emit
+        # one row per empty grouping set () — the grand total, count=0
+        # — while Spark emits no rows at all for every grouping-sets
+        # form. Pin both behaviors instead of comparing them; a5's
+        # empty-guard covers the plain global-aggregate case where the
+        # engines DO agree.
+        n_empty_sets = 1 if ("ROLLUP" in form or "CUBE" in form
+                             or "()" in form) else 0
+        assert len(got) == 0, f"fuzz[{sql}]: Spark now emits rows on empty"
+        assert len(want) == n_empty_sets, (
+            f"fuzz[{sql}]: DuckDB grand-total row count changed"
+        )
+        return
+    assert_frames_match(got, want, f"fuzz[{sql}]")
