@@ -499,3 +499,127 @@ def temperature_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
             L31_BUDGET * F.col("raw_w") / F.col("z") / F.col("cnt"), 4
         ).alias("effective_epochs"),
     ).orderBy("lang")
+
+
+# l33: batch-gradient-descent logistic regression, 5 fixed rounds,
+# lr=1.0, zero init. Both engines round the weight vector to 12dp at
+# the END of every round (the g5 recipe): exp/avg differ across libm
+# implementations in the last ulps, and without the clamp 5 rounds of
+# drift could flip the 6dp output rounding.
+L33_ROUNDS = 10
+L33_LR = 5.0
+
+_L33_FEATS = """
+    feats AS (
+      SELECT CASE WHEN n_chars / 500.0 + 0.5 * ((doc_id % 10) / 10.0) > 0.82
+                  THEN 1.0 ELSE 0.0 END AS y,
+             n_chars / 500.0            AS x1,
+             (doc_id % 10) / 10.0       AS x2
+      FROM documents
+    ),
+    w0 AS (SELECT 0.0 AS b, 0.0 AS w1, 0.0 AS w2)
+"""
+
+_L33_ITER = """
+    w{i} AS (
+      SELECT round(b - {lr} * avg(s - y), 12)        AS b,
+             round(w1 - {lr} * avg((s - y) * x1), 12) AS w1,
+             round(w2 - {lr} * avg((s - y) * x2), 12) AS w2
+      FROM (
+        SELECT w.b, w.w1, w.w2, f.y, f.x1, f.x2,
+               1 / (1 + exp(-(w.b + w.w1 * f.x1 + w.w2 * f.x2))) AS s
+        FROM feats f CROSS JOIN w{prev} w
+      )
+      GROUP BY b, w1, w2
+    )"""
+
+
+@register(
+    "l33_logreg_train",
+    oracle="WITH "
+    + _L33_FEATS
+    + ","
+    + ",\n".join(
+        _L33_ITER.format(i=i, prev=i - 1, lr=L33_LR)
+        for i in range(1, L33_ROUNDS + 1)
+    )
+    + f"""
+    SELECT round(w.b, 6)  AS bias,
+           round(w.w1, 6) AS w_len,
+           round(w.w2, 6) AS w_aux,
+           round(avg(CASE WHEN (1 / (1 + exp(-(w.b + w.w1 * f.x1
+                                              + w.w2 * f.x2))) > 0.5)
+                               = (f.y = 1.0)
+                          THEN 1.0 ELSE 0.0 END), 6) AS train_accuracy,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM feats f CROSS JOIN w{L33_ROUNDS} w
+    GROUP BY w.b, w.w1, w.w2
+    """,
+    doc="L33: DISTRIBUTED TRAINING of the quality classifier l16 only "
+    "scores — logistic regression by full-batch gradient descent, the "
+    "canonical data-parallel shape: the k-sized weight vector "
+    "broadcasts into a map-side sigmoid expression, the gradient is "
+    "ONE map-side-combined aggregate row per round (avg of (p-y)*x_j "
+    "— commutative, so executors combine partials and only k doubles "
+    "cross the wire), and the driver holds nothing but the model "
+    "(k=3 scalars — model state, not data; the l19/g1 boundary "
+    "applies). The feature frame localCheckpoints once so 5 rounds "
+    "don't re-derive the projection. Label: a PLANTED linear "
+    "concept (x1 + 0.5*x2 > threshold, threshold at the corpus median "
+    "so classes balance) — the synthetic corpus has no naturally "
+    "learnable label, so the demo is optimizer-mechanics with a "
+    "recoverable target: accuracy must land well above the ~53% "
+    "majority rate and the learned w_len:w_aux ratio tracks the "
+    "planted 1:0.5 direction. Oracle: the identical 5 rounds unrolled as single-row "
+    "CTEs with per-round 12dp weight rounding pinning both engines to "
+    "bit-identical trajectories. At 100 TB: same plan, gradient cost "
+    "= one scan per round; mini-batching = a l21-style deterministic "
+    "bottom-k sample per round.",
+    tags=("llm", "iterative"),
+)
+def logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from mric_bak_etl_spark.tables import materialize
+
+    d = load_table(spark, sf_dir, "documents")
+    feats = materialize(
+        d.select(
+            F.when(
+                F.col("n_chars") / 500.0
+                + 0.5 * ((F.col("doc_id") % 10) / 10.0)
+                > 0.82,
+                1.0,
+            )
+            .otherwise(0.0)
+            .alias("y"),
+            (F.col("n_chars") / 500.0).alias("x1"),
+            ((F.col("doc_id") % 10) / 10.0).alias("x2"),
+        )
+    )
+    b = w1 = w2 = 0.0
+    for _ in range(L33_ROUNDS):
+        z = F.lit(b) + F.lit(w1) * F.col("x1") + F.lit(w2) * F.col("x2")
+        s = 1.0 / (1.0 + F.exp(-z))
+        g = feats.agg(
+            F.avg(s - F.col("y")).alias("gb"),
+            F.avg((s - F.col("y")) * F.col("x1")).alias("g1"),
+            F.avg((s - F.col("y")) * F.col("x2")).alias("g2"),
+        ).collect()[0]
+        b = round(b - L33_LR * g["gb"], 12)
+        w1 = round(w1 - L33_LR * g["g1"], 12)
+        w2 = round(w2 - L33_LR * g["g2"], 12)
+    z = F.lit(b) + F.lit(w1) * F.col("x1") + F.lit(w2) * F.col("x2")
+    s = 1.0 / (1.0 + F.exp(-z))
+    return feats.agg(
+        F.round(F.lit(b), 6).alias("bias"),
+        F.round(F.lit(w1), 6).alias("w_len"),
+        F.round(F.lit(w2), 6).alias("w_aux"),
+        F.round(
+            F.avg(
+                F.when((s > 0.5) == (F.col("y") == 1.0), 1.0).otherwise(0.0)
+            ),
+            6,
+        ).alias("train_accuracy"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+    )
