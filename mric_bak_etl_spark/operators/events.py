@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mric_bak_etl_spark.catalog import register
-from mric_bak_etl_spark.tables import load_table
+from mric_bak_etl_spark.tables import load_table, materialize
 
 
 def _step_min(ev: DataFrame, etype: str, after: DataFrame | None, ts_col: str) -> DataFrame:
@@ -674,21 +674,34 @@ def time_to_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "ts", "event_type"
     )
-    horizon = ev.agg(F.max("ts").alias("h"))
-    u = ev.groupBy("user_id").agg(
-        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias(
-            "t0"
+    # ONE events pass (the e1 lesson: never one scan per step): per user,
+    # collect signup minimum, the purchase-ts array, and the user's max
+    # ts in a single user-grain aggregate; the first-conversion-at-or-
+    # after-signup falls out of an array expression, and the corpus
+    # horizon is the max of per-user maxima — a tiny second aggregate
+    # over the USER frame, not the event stream.
+    users = materialize(
+        ev.groupBy("user_id").agg(
+            F.min(
+                F.when(F.col("event_type") == "signup", F.col("ts"))
+            ).alias("t0"),
+            F.sort_array(
+                F.collect_list(
+                    F.when(F.col("event_type") == "purchase", F.col("ts"))
+                )
+            ).alias("purchases"),
+            F.max("ts").alias("umax"),
         )
-    ).filter(F.col("t0").isNotNull())
-    conv = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(u, "user_id")
-        .filter(F.col("ts") >= F.col("t0"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("tc"))
     )
+    horizon = users.agg(F.max("umax").alias("h"))
     base = (
-        u.join(conv, "user_id", "left")
+        users.filter(F.col("t0").isNotNull())
+        .select(
+            "t0",
+            F.array_min(
+                F.filter("purchases", lambda x: x >= F.col("t0"))
+            ).alias("tc"),
+        )
         .crossJoin(F.broadcast(horizon))
         .select(
             F.datediff(F.to_date("tc"), F.to_date("t0"))
