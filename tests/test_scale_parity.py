@@ -39,6 +39,13 @@ SCALE_SLICE = [
     "w7_running_distinct",
     "e8_attribution",
     "dq7_psi_drift",
+    # round-4 iterative float chains (per-round 12dp clamps must hold
+    # when hub in-degrees / gradient sums grow 10x) and the two-pass
+    # hashed-window dedup (hash-collision space grows with corpus).
+    "g5_user_pagerank",
+    "l33_logreg_train",
+    "l29_exact_substring_dedup",
+    "e10_time_to_conversion",
 ]
 
 
