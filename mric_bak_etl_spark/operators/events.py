@@ -748,3 +748,95 @@ def time_to_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day_k")
     )
+
+
+@register(
+    "e11_cohort_ltv",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    cohort_sizes AS (
+      SELECT cohort_week, count(*) AS n_users
+      FROM first_seen GROUP BY cohort_week
+    ),
+    rev AS (
+      SELECT f.cohort_week,
+             CAST(datediff('day', f.cohort_week,
+                           date_trunc('week', e.ts)) // 7 AS BIGINT)
+               AS week_offset,
+             sum(e.value) AS revenue
+      FROM events e
+      JOIN first_seen f USING (user_id)
+      WHERE e.event_type = 'purchase'
+      GROUP BY 1, 2
+    )
+    SELECT CAST(CAST(r.cohort_week AS DATE) AS VARCHAR) AS cohort_week,
+           r.week_offset,
+           CAST(s.n_users AS BIGINT)      AS n_users,
+           round(r.revenue, 4)            AS week_revenue,
+           round(sum(r.revenue) OVER (
+                   PARTITION BY r.cohort_week ORDER BY r.week_offset
+                 ) / s.n_users, 4)        AS cum_ltv_per_user
+    FROM rev r JOIN cohort_sizes s USING (cohort_week)
+    ORDER BY cohort_week, week_offset
+    """,
+    doc="E11: cohort lifetime-value curves — e2's retention lattice with "
+    "MONEY on it: per signup cohort and week offset, purchase revenue "
+    "and the running LTV per cohort member (the curve a growth team "
+    "reads payback periods off). Same scale shape as e2: one user-"
+    "grain first-seen aggregate, one purchase-filtered join that "
+    "shrinks events to (cohort, offset) cells BEFORE any window, then "
+    "a cumulative window over offset within cohort — cells are "
+    "cohort x offset sized, so the window state is trivial at any "
+    "corpus scale. Cohort week stringifies for the cross-engine "
+    "compare (DATE-typed output breaks pandas comparison — repo "
+    "convention). Division by cohort size, not active users: LTV "
+    "denominators never shrink as users churn.",
+    tags=("events", "composite"),
+)
+def cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type", "value"
+    )
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    sizes = first_seen.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    rev = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(first_seen, "user_id")
+        .groupBy(
+            "cohort_week",
+            (
+                F.datediff(
+                    F.to_date(F.date_trunc("week", F.col("ts"))),
+                    F.to_date("cohort_week"),
+                )
+                .cast("bigint")
+                / 7
+            )
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .agg(F.sum("value").alias("revenue"))
+    )
+    w = Window.partitionBy("cohort_week").orderBy("week_offset")
+    return (
+        rev.join(sizes, "cohort_week")
+        .select(
+            F.to_date("cohort_week").cast("string").alias("cohort_week"),
+            "week_offset",
+            F.col("n_users").cast("bigint").alias("n_users"),
+            F.round("revenue", 4).alias("week_revenue"),
+            F.round(F.sum("revenue").over(w) / F.col("n_users"), 4).alias(
+                "cum_ltv_per_user"
+            ),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )

@@ -420,3 +420,57 @@ def dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ship_year")
     )
+
+
+@register(
+    "s16_streaming_file_sink",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT)  AS n_events,
+           round(sum(value), 4)      AS total_value
+    FROM events
+    WHERE value >= 50
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="S16: Structured Streaming FILE sink with its transaction log — "
+    "the exactly-once sink mechanism the memory/foreachBatch entries "
+    "don't show: the stream writes parquet plus a _spark_metadata "
+    "commit log, and a BATCH read of the same directory consults that "
+    "log, so files from an uncommitted (crashed) micro-batch are "
+    "invisible to readers — no manifest tables, no manual _SUCCESS "
+    "checks (contrast t10's hand-built versioned-dir commit: this is "
+    "the built-in equivalent). The filtered stream (AvailableNow) "
+    "lands in the sink, the read-back aggregates, and the oracle "
+    "computes the same aggregate from the raw events — equality "
+    "proves no batch was dropped or doubled through the sink. At "
+    "scale the metadata log is also the compaction boundary: s7-style "
+    "rewrites must go through a NEW table, never in-place, or the log "
+    "and the files disagree.",
+    tags=("pipeline", "sink", "streaming"),
+)
+def streaming_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mric_bak_etl_spark.streaming.windows import stream_events
+
+    out = tempfile.mkdtemp(prefix="s16_sink_")
+    ckpt = tempfile.mkdtemp(prefix="s16_ckpt_")
+    q = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("value") >= 50)
+        .select("event_id", "event_type", "value")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    back = spark.read.parquet(out)
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
