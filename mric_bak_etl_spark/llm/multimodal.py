@@ -725,3 +725,97 @@ def grouped_arrow_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "m6_pair_assembly",
+    oracle="""
+    WITH j AS (
+      SELECT d.doc_id, d.n_chars, e.vec_id, e.label,
+             CASE WHEN e.embedding IS NULL THEN NULL
+                  ELSE len(e.embedding) END AS dim,
+             CASE WHEN e.embedding IS NULL THEN NULL
+                  ELSE sqrt(list_sum(list_transform(
+                         CAST(e.embedding AS DOUBLE[]), x -> x * x)))
+             END AS l2
+      FROM documents d FULL OUTER JOIN embeddings e ON e.vec_id = d.doc_id
+    )
+    SELECT CAST(count(*) FILTER (WHERE doc_id IS NOT NULL
+                                 AND vec_id IS NOT NULL) AS BIGINT)
+             AS n_pairs,
+           CAST(count(*) FILTER (WHERE vec_id IS NULL) AS BIGINT)
+             AS n_text_orphans,
+           CAST(count(*) FILTER (WHERE doc_id IS NULL) AS BIGINT)
+             AS n_vector_orphans,
+           CAST(count(*) FILTER (WHERE dim IS NOT NULL AND dim <> 64)
+                AS BIGINT) AS n_bad_dim,
+           round(avg(l2) FILTER (WHERE doc_id IS NOT NULL
+                                 AND vec_id IS NOT NULL), 4)
+             AS avg_pair_norm,
+           round(avg(n_chars) FILTER (WHERE doc_id IS NOT NULL
+                                      AND vec_id IS NOT NULL), 4)
+             AS avg_pair_chars
+    FROM j
+    """,
+    doc="M6: training-pair assembly + alignment audit — the join that "
+    "builds (text, embedding) training pairs from separately-produced "
+    "tables, with the integrity numbers a pairing job must ship: "
+    "orphan texts (doc never embedded — an embedding-job gap), orphan "
+    "vectors (stale embedding for a deleted doc), wrong-dimension "
+    "vectors (mixed model versions), and profile stats over the "
+    "surviving pairs (mean L2 norm catches unnormalized batches, mean "
+    "length catches truncation). FULL OUTER join on the id so both "
+    "orphan directions surface in one pass; norm is a JVM-side "
+    "higher-order array expression, no Python. At 100 TB both sides "
+    "co-partition on the id — this is the canonical pre-training "
+    "assembly step between a text pipeline and a GPU embedding fleet "
+    "writing to separate tables.",
+    tags=("llm", "multimodal"),
+)
+def pair_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding"
+    )
+    j = d.join(e, d["doc_id"] == e["vec_id"], "full_outer").select(
+        "doc_id",
+        "n_chars",
+        "vec_id",
+        F.when(
+            F.col("embedding").isNotNull(), F.size("embedding")
+        ).alias("dim"),
+        F.when(
+            F.col("embedding").isNotNull(),
+            F.sqrt(
+                F.aggregate(
+                    F.transform(
+                        "embedding", lambda x: x.cast("double")
+                    ),
+                    F.lit(0.0),
+                    lambda a, x: a + x * x,
+                )
+            ),
+        ).alias("l2"),
+    )
+    paired = F.col("doc_id").isNotNull() & F.col("vec_id").isNotNull()
+    return j.agg(
+        F.sum(F.when(paired, 1).otherwise(0)).cast("bigint").alias("n_pairs"),
+        F.sum(F.when(F.col("vec_id").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_text_orphans"),
+        F.sum(F.when(F.col("doc_id").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_vector_orphans"),
+        F.sum(
+            F.when(F.col("dim").isNotNull() & (F.col("dim") != 64), 1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_bad_dim"),
+        F.round(F.avg(F.when(paired, F.col("l2"))), 4).alias(
+            "avg_pair_norm"
+        ),
+        F.round(F.avg(F.when(paired, F.col("n_chars"))), 4).alias(
+            "avg_pair_chars"
+        ),
+    )

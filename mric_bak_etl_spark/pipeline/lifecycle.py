@@ -1412,9 +1412,13 @@ def late_arriving_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey", "o_totalprice"
     )
 
-    # Dim generation 2 (complete) repairs ONLY the pending rows.
-    resolved = pending.join(
-        F.broadcast(c), pending["o_custkey"] == c["c_custkey"]
+    # Dim generation 2 (complete) repairs ONLY the pending rows — and
+    # PENDING is the broadcast side: it is lateness-sized (<<1% of
+    # facts), while the full dimension may not be broadcastable at
+    # scale. Broadcasting pending turns the repair into a map-side pass
+    # over the dim with no fact-table shuffle at all.
+    resolved = F.broadcast(pending).join(
+        c, pending["o_custkey"] == c["c_custkey"]
     ).select("c_mktsegment", "o_totalprice", F.lit(0).alias("first_pass"))
 
     return (

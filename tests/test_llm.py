@@ -236,3 +236,12 @@ def test_exact_substring_dedup_planted(spark, tmp_path):
     out = all_specs()["l29_exact_substring_dedup"].builder(spark, d).collect()
     got = {(r["doc_a"], r["doc_b"]): r["n_shared_windows"] for r in out}
     assert got == {(1, 2): 6}, got
+
+    # l32 on the same planted corpus: the star-reduced union-find must
+    # find exactly the {1, 2} cluster — the 60 boilerplate docs share a
+    # window but it exceeds L29_STOP_CAP, so no mega-cluster appears.
+    cl = all_specs()["l32_substring_dup_clusters"].builder(spark, d).collect()
+    clusters = {
+        r["cluster_id"]: (r["n_members"], r["max_member"]) for r in cl
+    }
+    assert clusters == {1: (2, 2)}, clusters
