@@ -1604,3 +1604,64 @@ def sql_ddl_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o_orderstatus
         """
     )
+
+
+@register(
+    "q11_catalog_introspection",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('facts',  'event_day', 'date',   1),
+      ('facts',  'n',         'bigint', 2),
+      ('facts',  'revenue',   'double', 3),
+      ('lookup', 'code',      'string', 1),
+      ('lookup', 'meaning',   'string', 2)
+    ) AS t(table_part, column_name, data_type, ordinal)
+    ORDER BY table_part, ordinal
+    """,
+    doc="Q11: catalog introspection — the metadata face a SQL tool "
+    "walks before it ever reads data: two session tables are created "
+    "(one CTAS from an aggregate, one VALUES-defined lookup) and their "
+    "schemas are read back through spark.catalog.listColumns, the "
+    "programmatic twin of DESCRIBE TABLE. The oracle is the EXPECTED "
+    "schema as literals, so what's verified is the round-trip "
+    "contract: types survive CTAS (date stays date, count lands "
+    "bigint, sum(double) stays double) and ordinal positions match "
+    "the definition order. Table names are per-invocation unique "
+    "(session-global catalog, repeated builder runs); the catalog "
+    "calls are driver-side metadata lookups — no job runs at all "
+    "beyond the two DDLs.",
+    tags=("sql",),
+)
+def catalog_introspection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    register_views(spark, sf_dir)
+    tag = uuid.uuid4().hex[:8]
+    facts, lookup = f"q11_facts_{tag}", f"q11_lookup_{tag}"
+    loc1 = tempfile.mkdtemp(prefix="q11_facts_")
+    loc2 = tempfile.mkdtemp(prefix="q11_lookup_")
+    spark.sql(
+        f"""
+        CREATE TABLE {facts} USING PARQUET LOCATION '{loc1}' AS
+        SELECT CAST(ts AS DATE) AS event_day,
+               count(*)         AS n,
+               sum(value)       AS revenue
+        FROM events GROUP BY event_day
+        """
+    )
+    spark.sql(
+        f"""
+        CREATE TABLE {lookup} USING PARQUET LOCATION '{loc2}' AS
+        SELECT * FROM VALUES ('A', 'alpha'), ('B', 'beta')
+          AS t(code, meaning)
+        """
+    )
+    rows = []
+    for part, tbl in (("facts", facts), ("lookup", lookup)):
+        for i, col in enumerate(spark.catalog.listColumns(tbl), start=1):
+            rows.append((part, col.name, col.dataType, i))
+    return spark.createDataFrame(
+        rows, "table_part string, column_name string, data_type string, "
+        "ordinal int"
+    ).orderBy("table_part", "ordinal")

@@ -676,3 +676,13 @@ def test_verify_first_covers_all_never_verified_queries():
         f"{len(missing)} never-driver-verified queries absent from "
         f"_VERIFY_FIRST: {sorted(missing)}"
     )
+
+
+def test_time_to_conversion_single_event_pass(spark, sf_dir):
+    # e10: the life-table inputs come from ONE user-grain aggregate that
+    # localCheckpoints; the final plan must contain ZERO events scans —
+    # the regression this guards is the 3-scan shape (horizon max,
+    # signup minima, conversion join) the operator replaced.
+    plan = plan_of(all_specs()["e10_time_to_conversion"].builder(spark, sf_dir))
+    n = plan.count("events.parquet")
+    assert n == 0, f"events scanned {n} times in the post-checkpoint plan"
