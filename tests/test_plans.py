@@ -686,3 +686,21 @@ def test_time_to_conversion_single_event_pass(spark, sf_dir):
     plan = plan_of(all_specs()["e10_time_to_conversion"].builder(spark, sf_dir))
     n = plan.count("events.parquet")
     assert n == 0, f"events scanned {n} times in the post-checkpoint plan"
+
+
+def test_event_type_initials_are_distinct(duck):
+    # e9 compresses event types to their first character on BOTH engines;
+    # if the fixture ever gains two types sharing an initial, Spark and
+    # the oracle would still AGREE (same compression) while the pattern
+    # semantics silently blur — the g2-style failure parity can't catch.
+    # Fail loudly here instead.
+    n_types, n_initials = duck.execute(
+        """SELECT count(DISTINCT event_type),
+                  count(DISTINCT substr(event_type, 1, 1))
+           FROM events"""
+    ).fetchone()
+    assert n_types == n_initials, (
+        f"{n_types} event types but only {n_initials} distinct initials — "
+        "e9's one-char compression is no longer injective; switch it to "
+        "a type->symbol map"
+    )
