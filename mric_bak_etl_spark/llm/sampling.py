@@ -623,3 +623,112 @@ def logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("train_accuracy"),
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
     )
+
+
+@register(
+    "l34_curation_waterfall",
+    oracle="""
+    WITH flagged AS (
+      SELECT doc_id, lang,
+             (n_chars BETWEEN 100 AND 2000) AS len_ok,
+             min(CASE WHEN n_chars BETWEEN 100 AND 2000 THEN doc_id END)
+               OVER (PARTITION BY md5(text)) AS keeper_id,
+             substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'c0000000'
+               AS sampled,
+             lang IN ('en', 'es', 'de', 'fr') AS lang_ok
+      FROM documents
+    ),
+    survive AS (
+      SELECT len_ok                                        AS s1,
+             len_ok AND doc_id = keeper_id                 AS s2,
+             len_ok AND doc_id = keeper_id AND sampled     AS s3,
+             len_ok AND doc_id = keeper_id AND sampled AND lang_ok AS s4
+      FROM flagged
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT)                          AS n0,
+             CAST(sum(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+             CAST(sum(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+             CAST(sum(CASE WHEN s4 THEN 1 ELSE 0 END) AS BIGINT) AS n4
+      FROM survive
+    )
+    SELECT stage_no, stage, n_in, n_out,
+           n_in - n_out                       AS n_dropped,
+           round(CAST(n_out AS DOUBLE) / n_in, 4) AS pct_kept
+    FROM (
+      SELECT 1 AS stage_no, 'length_gate' AS stage, n0 AS n_in, n1 AS n_out FROM tot
+      UNION ALL
+      SELECT 2, 'exact_dedup', n1, n2 FROM tot
+      UNION ALL
+      SELECT 3, 'hash_sample_75', n2, n3 FROM tot
+      UNION ALL
+      SELECT 4, 'lang_allowlist', n3, n4 FROM tot
+    )
+    ORDER BY stage_no
+    """,
+    doc="L34: curation waterfall — the per-gate survivor report every "
+    "dataset release ships next to l11's end-state summary: for each "
+    "stage (length gate -> exact dedup -> 75% hash sample -> language "
+    "allowlist), rows in, rows out, rows dropped, and keep rate. "
+    "Computed in ONE corpus pass: every gate becomes a boolean column "
+    "(the dedup keeper via a window min over the content hash, "
+    "restricted to length-surviving docs — the same keeper l11 "
+    "elects), cumulative survival is boolean conjunction, and a "
+    "single conditional-count aggregate yields the whole funnel; the "
+    "waterfall rows then unpivot from that one-row total. The naive "
+    "form re-materializes the corpus once per stage (4 scans, 4 "
+    "shuffles); this is one scan + one content-hash window shuffle at "
+    "any corpus size. Ordering gates cheap-to-expensive matters at "
+    "scale only for SHORT-CIRCUIT execution; counting them all in one "
+    "pass like this is what lets a release audit EVERY gate's "
+    "marginal effect without re-running the pipeline.",
+    tags=("llm", "sampling", "composite"),
+)
+def curation_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    len_ok = F.col("n_chars").between(100, 2000)
+    w = Window.partitionBy(F.md5("text"))
+    flagged = d.select(
+        "doc_id",
+        "lang",
+        len_ok.alias("len_ok"),
+        F.min(F.when(len_ok, F.col("doc_id"))).over(w).alias("keeper_id"),
+        (
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
+            < "c0000000"
+        ).alias("sampled"),
+        F.col("lang").isin("en", "es", "de", "fr").alias("lang_ok"),
+    )
+    s1 = F.col("len_ok")
+    s2 = s1 & (F.col("doc_id") == F.col("keeper_id"))
+    s3 = s2 & F.col("sampled")
+    s4 = s3 & F.col("lang_ok")
+    tot = flagged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n0"),
+        F.sum(s1.cast("int")).cast("bigint").alias("n1"),
+        F.sum(s2.cast("int")).cast("bigint").alias("n2"),
+        F.sum(s3.cast("int")).cast("bigint").alias("n3"),
+        F.sum(s4.cast("int")).cast("bigint").alias("n4"),
+    )
+    stages = tot.select(
+        F.expr(
+            "stack(4, "
+            "1, 'length_gate',    n0, n1, "
+            "2, 'exact_dedup',    n1, n2, "
+            "3, 'hash_sample_75', n2, n3, "
+            "4, 'lang_allowlist', n3, n4) AS (stage_no, stage, n_in, n_out)"
+        )
+    )
+    return stages.select(
+        "stage_no",
+        "stage",
+        "n_in",
+        "n_out",
+        (F.col("n_in") - F.col("n_out")).alias("n_dropped"),
+        F.round(F.col("n_out").cast("double") / F.col("n_in"), 4).alias(
+            "pct_kept"
+        ),
+    ).orderBy("stage_no")

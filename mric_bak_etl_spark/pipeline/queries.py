@@ -474,3 +474,89 @@ def streaming_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "s17_selective_file_ingestion",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+           CAST(count(*) AS BIGINT)           AS n_orders,
+           round(sum(o_totalprice), 4)        AS total_price
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+      AND year(o_orderdate) >= 1996
+    GROUP BY order_year
+    ORDER BY order_year
+    """,
+    doc="S17: selective file ingestion — the reader-side options that "
+    "make the reference's discovery stage (list, filter by name, pick "
+    "a subset — src/bak_unload.ps1:22-52) a property of the SCAN "
+    "instead of a driver loop: a nested landing zone is laid down "
+    "with one directory per (year, priority-class) drop, plus sidecar "
+    "decoys inside the read root (.done markers, a rogue CSV export), "
+    "then ONE read with recursiveFileLookup walks the tree and "
+    "pathGlobFilter admits only *.parquet — name-based selection "
+    "happens at file-listing time, "
+    "before any bytes are read, exactly like partition pruning but "
+    "keyed on the NAMING CONVENTION of an external producer we don't "
+    "control. The year filter then prunes on content as usual. "
+    "Equality against the oracle over raw orders proves the glob "
+    "admitted exactly the intended drops (a decoy admitted or a drop "
+    "missed both break the sums). At scale the listing is "
+    "driver-metadata work proportional to file count — the reason "
+    "landing zones compact into manifests (s2) or tables (s14) as "
+    "they grow.",
+    tags=("pipeline", "source"),
+)
+def selective_file_ingestion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "order_year", F.year("o_orderdate").cast("int")
+    )
+    base = tempfile.mkdtemp(prefix="s17_zone_")
+    # Landing zone: per-year subdirs; urgent-class drops follow the
+    # producer convention "urgent_*.parquet", decoys do not.
+    for cls, name in (
+        (["1-URGENT", "2-HIGH"], "urgent_drop"),
+        (["3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"], "routine_drop"),
+    ):
+        (
+            o.filter(F.col("o_orderpriority").isin(cls))
+            .select("o_orderkey", "o_orderdate", "o_totalprice", "order_year")
+            .write.mode("overwrite")
+            .partitionBy("order_year")
+            .parquet(os.path.join(base, name))
+        )
+    # Sidecar decoys INSIDE the read root (the producer's .done markers
+    # and a rogue CSV export): without pathGlobFilter the reader would
+    # choke on them or mis-parse; with it they are excluded at listing
+    # time, before any bytes are read.
+    for ydir in os.listdir(os.path.join(base, "urgent_drop")):
+        full = os.path.join(base, "urgent_drop", ydir)
+        if os.path.isdir(full):
+            with open(os.path.join(full, "drop.done"), "w") as f:
+                f.write("ok\n")
+            with open(os.path.join(full, "rogue_export.csv"), "w") as f:
+                f.write("o_orderkey,o_totalprice\n999999,1.0\n")
+    # recursiveFileLookup disables partition-column inference by design
+    # (the tree is treated as a flat file set), so the year re-derives
+    # from the data column the files carry.
+    zone = (
+        spark.read.option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(os.path.join(base, "urgent_drop"))
+        .withColumn("order_year", F.year("o_orderdate").cast("int"))
+    )
+    return (
+        zone.filter(F.col("order_year") >= 1996)
+        .groupBy("order_year")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+        )
+        .select(
+            F.col("order_year").cast("int").alias("order_year"),
+            "n_orders",
+            "total_price",
+        )
+        .orderBy("order_year")
+    )
