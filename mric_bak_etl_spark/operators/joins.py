@@ -867,3 +867,67 @@ def bloom_prejoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "j16_null_skew_outer_join",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                  ELSE o_custkey END AS cust_fk,
+             o_totalprice
+      FROM orders
+    )
+    SELECT coalesce(c.c_mktsegment, 'UNATTRIBUTED') AS segment,
+           CAST(count(*) AS BIGINT)                 AS n_orders,
+           round(sum(o.o_totalprice), 4)            AS revenue
+    FROM o LEFT JOIN customer c ON c.c_custkey = o.cust_fk
+    GROUP BY segment
+    ORDER BY segment
+    """,
+    doc="J16: null-skew routing for outer joins — the OTHER skew "
+    "problem j8's salting doesn't touch: an optional FK (here every "
+    "7th order is unattributed) sends ALL null-keyed rows to one hash "
+    "partition, where they wait out the join only to match nothing by "
+    "SQL semantics anyway. The fix splits the stream BEFORE the "
+    "shuffle: null-keyed rows skip the join entirely (their dimension "
+    "columns are NULL by definition) and union back with the "
+    "non-null-keyed join result — the shuffle now carries only "
+    "joinable rows, and the null hot partition disappears. At 14% "
+    "nulls this is a modest win; event data with anonymous traffic "
+    "routinely runs 90%+ null user ids, where the single null "
+    "partition IS the job's critical path. The oracle is the plain "
+    "LEFT JOIN — equality proves the split-union rewrite is "
+    "semantics-preserving, which is the entire point: this is a "
+    "PHYSICAL rewrite, not a semantic one.",
+    tags=("joins", "skew"),
+)
+def null_skew_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        F.when(F.col("o_orderkey") % 7 == 0, None)
+        .otherwise(F.col("o_custkey"))
+        .alias("cust_fk"),
+        "o_totalprice",
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    keyed = o.filter(F.col("cust_fk").isNotNull())
+    nulls = o.filter(F.col("cust_fk").isNull()).select(
+        F.lit(None).cast("string").alias("c_mktsegment"), "o_totalprice"
+    )
+    joined = keyed.join(
+        c, keyed["cust_fk"] == c["c_custkey"], "left"
+    ).select("c_mktsegment", "o_totalprice")
+    return (
+        joined.unionByName(nulls)
+        .groupBy(
+            F.coalesce("c_mktsegment", F.lit("UNATTRIBUTED")).alias("segment")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+        )
+        .orderBy("segment")
+    )
