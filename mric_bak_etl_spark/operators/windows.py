@@ -424,3 +424,81 @@ def interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bounded.select(
         "event_id", "user_id", "v", F.round(interp, 4).alias("v_interp")
     ).orderBy("user_id", "event_id")
+
+
+@register(
+    "w9_rolling_regression",
+    oracle="""
+    WITH daily AS (
+      SELECT o_orderpriority,
+             CAST(o_orderdate AS DATE) AS day,
+             sum(o_totalprice)         AS revenue
+      FROM orders
+      WHERE o_orderdate >= DATE '1997-01-01'
+        AND o_orderdate <  DATE '1997-03-01'
+      GROUP BY o_orderpriority, day
+    ),
+    idx AS (
+      SELECT o_orderpriority, day, revenue,
+             datediff('day', DATE '1997-01-01', day) AS day_idx
+      FROM daily
+    )
+    SELECT o_orderpriority,
+           CAST(day AS VARCHAR) AS day,
+           round(revenue, 4)    AS revenue,
+           round(regr_slope(revenue, day_idx) OVER (
+                   PARTITION BY o_orderpriority ORDER BY day_idx
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+                 ), 4)          AS slope_7d,
+           CAST(count(*) OVER (
+                  PARTITION BY o_orderpriority ORDER BY day_idx
+                  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+                ) AS BIGINT)    AS n_days_in_frame
+    FROM idx
+    ORDER BY o_orderpriority, day
+    """,
+    doc="W9: rolling regression — regr_slope as a FRAMED window "
+    "aggregate: the 7-day rolling revenue trend per priority class, "
+    "the windowed form of a22's whole-table regression aggregates and "
+    "the standard trend-detection primitive (a sustained negative "
+    "slope is dq2's volume alert with direction and magnitude). The "
+    "statistical aggregate rides the same incremental frame machinery "
+    "as sum/avg — one shuffle on the partition key, daily grain "
+    "pre-aggregated first so frames slide over days, never raw "
+    "orders. Frame width rides ROWS (6 PRECEDING), so early days "
+    "regress over shorter windows — n_days_in_frame makes that "
+    "visible instead of silently mixing window widths.",
+    tags=("windows",),
+)
+def rolling_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01")
+        & (F.col("o_orderdate") < "1997-03-01")
+    )
+    daily = o.groupBy(
+        "o_orderpriority", F.to_date("o_orderdate").alias("day")
+    ).agg(F.sum("o_totalprice").alias("revenue"))
+    idx = daily.withColumn(
+        "day_idx", F.datediff("day", F.lit("1997-01-01").cast("date"))
+    )
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("day_idx")
+        .rowsBetween(-6, 0)
+    )
+    return (
+        idx.select(
+            "o_orderpriority",
+            F.col("day").cast("string").alias("day"),
+            F.round("revenue", 4).alias("revenue"),
+            F.round(
+                F.expr("regr_slope(revenue, day_idx)").over(w), 4
+            ).alias("slope_7d"),
+            F.count(F.lit(1)).over(w).cast("bigint").alias(
+                "n_days_in_frame"
+            ),
+        )
+        .orderBy("o_orderpriority", "day")
+    )

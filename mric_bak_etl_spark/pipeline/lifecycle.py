@@ -1508,3 +1508,73 @@ def fact_summary_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "dq9_pk_uniqueness",
+    oracle="""
+    SELECT * FROM (
+      SELECT 'orders' AS table_name,
+             CAST(count(*) AS BIGINT)                    AS n_rows,
+             CAST(count(DISTINCT o_orderkey) AS BIGINT)  AS n_distinct_keys,
+             CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+               AS n_excess_rows
+      FROM orders
+      UNION ALL
+      SELECT 'customer',
+             CAST(count(*) AS BIGINT),
+             CAST(count(DISTINCT c_custkey) AS BIGINT),
+             CAST(count(*) - count(DISTINCT c_custkey) AS BIGINT)
+      FROM customer
+      UNION ALL
+      SELECT 'lineitem',
+             CAST(count(*) AS BIGINT),
+             CAST(count(DISTINCT l_orderkey * 1000 + l_linenumber)
+                  AS BIGINT),
+             CAST(count(*) - count(DISTINCT l_orderkey * 1000 + l_linenumber)
+                  AS BIGINT)
+      FROM lineitem
+    )
+    ORDER BY table_name
+    """,
+    doc="DQ9: primary-key uniqueness gate — the third leg of the "
+    "integrity triad (dq5 FK orphans, dq8 cross-table reconciliation): "
+    "per table, row count vs distinct declared-key count; any excess "
+    "is silent fan-out waiting to double every downstream join. On "
+    "THIS fixture the gate earns its keep immediately: "
+    "(l_orderkey, l_linenumber) is NOT unique (a documented fixture "
+    "quirk every window ORDER BY in the repo works around with full "
+    "tiebreak keys), and the lineitem row reports the real duplicate "
+    "mass instead of asserting it away. The composite key packs into "
+    "one expression (line numbers < 1000) so count(DISTINCT) stays a "
+    "single-column aggregate — at scale, count-distinct over a "
+    "packed long beats a two-column exact distinct by the width of "
+    "the shuffle row. One scan per table, map-side partial aggs.",
+    tags=("pipeline", "quality"),
+)
+def pk_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def audit(df: DataFrame, name: str, key) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("table_name"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.count_distinct(key).cast("bigint").alias("n_distinct_keys"),
+            (F.count(F.lit(1)) - F.count_distinct(key))
+            .cast("bigint")
+            .alias("n_excess_rows"),
+        )
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        audit(o, "orders", F.col("o_orderkey"))
+        .unionByName(audit(c, "customer", F.col("c_custkey")))
+        .unionByName(
+            audit(
+                li,
+                "lineitem",
+                F.col("l_orderkey") * 1000 + F.col("l_linenumber"),
+            )
+        )
+        .orderBy("table_name")
+    )
