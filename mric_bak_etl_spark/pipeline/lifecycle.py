@@ -1578,3 +1578,101 @@ def pk_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("table_name")
     )
+
+
+@register(
+    "s18_version_vacuum",
+    oracle="""
+    SELECT 2 AS version,
+           CAST(count(*) AS BIGINT)      AS n_rows,
+           round(sum(o_totalprice), 4)   AS total,
+           2 AS n_live_versions,
+           1 AS n_vacuumed
+    FROM orders WHERE o_orderkey % 3 <> 0
+    UNION ALL
+    SELECT 3,
+           CAST(count(*) AS BIGINT),
+           round(sum(CASE WHEN o_orderkey % 4 = 0 THEN o_totalprice * 1.05
+                          ELSE o_totalprice END), 4),
+           2, 1
+    FROM orders WHERE o_orderkey % 3 <> 0
+    ORDER BY version
+    """,
+    doc="S18: vacuum / retention for the s14 commit-log versioned table "
+    "— the lifecycle step that keeps time travel from meaning "
+    "infinite storage: versions older than the retention horizon are "
+    "dropped by FIRST removing their commit records from the log "
+    "(readers resolve versions through the log, so they lose the "
+    "pointer before any file disappears — the inverse of t10's "
+    "write-then-commit ordering, and the same reader-safety argument) "
+    "and THEN deleting the orphaned data dirs. After vacuuming v1 of "
+    "three commits, the log lists exactly the retained versions, the "
+    "v1 directory is physically gone (asserted, not assumed), and "
+    "both retained versions still read and aggregate correctly — "
+    "which is what the oracle checks, alongside the live/vacuumed "
+    "counts. At scale the data-dir delete is the slow, interruptible "
+    "part; because the log commit happened first, a crash mid-delete "
+    "leaves only unreferenced garbage (re-vacuumable), never a "
+    "referenced-but-deleted version.",
+    tags=("pipeline", "sink"),
+)
+def version_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json
+    import shutil
+
+    base = tempfile.mkdtemp(prefix="s18_")
+    log_dir = os.path.join(base, "_log")
+    os.makedirs(log_dir)
+    o = load_table(spark, sf_dir, "orders")
+    versions = {
+        1: o,
+        2: o.filter(F.col("o_orderkey") % 3 != 0),
+        3: o.filter(F.col("o_orderkey") % 3 != 0).withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 4 == 0, F.col("o_totalprice") * 1.05
+            ).otherwise(F.col("o_totalprice")),
+        ),
+    }
+    for ver, df in versions.items():
+        path = os.path.join(base, f"v{ver}")
+        df.write.mode("overwrite").parquet(path)
+        record = {"version": ver, "path": path}
+        tmp = os.path.join(log_dir, f".{ver}.json.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(record, fh)
+        os.rename(tmp, os.path.join(log_dir, f"{ver:020d}.json"))
+
+    # Vacuum: retain the last 2 versions. Log records go FIRST (readers
+    # lose the pointer before files vanish), data dirs second.
+    retain_from = 2
+    vacuumed = []
+    for fn in sorted(os.listdir(log_dir)):
+        if fn.endswith(".json") and int(fn[:-5]) < retain_from:
+            with open(os.path.join(log_dir, fn)) as fh:
+                vacuumed.append(json.load(fh)["path"])
+            os.remove(os.path.join(log_dir, fn))
+    for path in vacuumed:
+        shutil.rmtree(path)
+
+    log = spark.read.json(log_dir)
+    live = [
+        (r["version"], r["path"]) for r in log.orderBy("version").collect()
+    ]
+    assert [v for v, _ in live] == [2, 3], live
+    assert all(not os.path.exists(p) for p in vacuumed), "vacuum left files"
+
+    summaries = [
+        spark.read.parquet(path).agg(
+            F.lit(int(ver)).cast("int").alias("version"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.round(F.sum("o_totalprice"), 4).alias("total"),
+            F.lit(len(live)).cast("int").alias("n_live_versions"),
+            F.lit(len(vacuumed)).cast("int").alias("n_vacuumed"),
+        )
+        for ver, path in live
+    ]
+    out = summaries[0]
+    for s in summaries[1:]:
+        out = out.unionByName(s)
+    return out.orderBy("version")
