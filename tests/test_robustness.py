@@ -59,6 +59,12 @@ SCENARIOS = {
         "spark.sql.autoBroadcastJoinThreshold": "-1",
         "spark.sql.join.preferSortMergeJoin": "false",
     },
+    # Spark 4 defaults ANSI ON; a user's legacy-configured cluster turns
+    # it OFF, flipping overflow/cast/division-by-zero semantics from
+    # error to NULL/wraparound. No catalog query may depend on which
+    # regime it lands in — every expression must stay inside the domain
+    # where both regimes agree (try_* where input errors are possible).
+    "ansi_off": {"spark.sql.ansi.enabled": "false"},
 }
 
 
