@@ -364,3 +364,41 @@ def test_random_grouping_set_plans_agree(spark, duck, sf_dir, case):
         )
         return
     assert_frames_match(got, want, f"fuzz[{sql}]")
+
+
+RANGE_FRAME_CASES = st.fixed_dictionaries(
+    {
+        # Value-based (RANGE) frames: the peer-group semantics ROWS
+        # frames don't have — all rows within +/- the offset of the
+        # CURRENT ROW'S value share the frame, ties included, so the
+        # result is deterministic even on non-unique order keys.
+        "agg": st.sampled_from(
+            ["CAST(count(*) OVER w AS BIGINT)", "sum(o_custkey) OVER w",
+             "CAST(min(o_orderkey) OVER w AS BIGINT)",
+             "CAST(max(o_orderkey) OVER w AS BIGINT)"]
+        ),
+        "lo": st.sampled_from([1000, 5000, 20000, 100000]),
+        "hi": st.sampled_from([0, 1000, 10000]),
+        "part": st.sampled_from(KEY_COLS),
+        "t": st.integers(min_value=1000, max_value=400000),
+    }
+)
+
+
+@FUZZ_SETTINGS
+@given(case=RANGE_FRAME_CASES)
+def test_random_range_frame_plans_agree(spark, duck, sf_dir, case):
+    from mric_bak_etl_spark.tables import register_views
+    from test_oracle_parity import assert_frames_match
+
+    register_views(spark, sf_dir)
+    sql = (
+        f"SELECT o_orderkey, {case['agg']} AS v "
+        f"FROM orders WHERE o_totalprice > {case['t']} "
+        f"WINDOW w AS (PARTITION BY {case['part']} ORDER BY o_totalprice "
+        f"RANGE BETWEEN {case['lo']} PRECEDING AND {case['hi']} FOLLOWING) "
+        f"ORDER BY o_orderkey"
+    )
+    assert_frames_match(
+        spark.sql(sql).toPandas(), duck.execute(sql).df(), f"fuzz[{sql}]"
+    )
