@@ -732,3 +732,73 @@ def curation_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pct_kept"
         ),
     ).orderBy("stage_no")
+
+
+@register(
+    "l35_epoch_ordering",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, lang,
+             (doc_id * 2654435761) % 2147483648 AS shuffle_key
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, lang, shuffle_key,
+             row_number() OVER (ORDER BY shuffle_key, doc_id) AS rn
+      FROM keyed
+    )
+    SELECT CAST(rn AS BIGINT)          AS epoch_rank,
+           doc_id, lang,
+           CAST(shuffle_key AS BIGINT) AS shuffle_key
+    FROM ranked WHERE rn % 37 = 0 ORDER BY epoch_rank
+    """,
+    doc="L35: deterministic epoch ordering — the reproducible global "
+    "training order a dataset release must pin (loaders that rely on "
+    "engine-partition order or seeded in-memory shuffles produce a "
+    "different epoch on every cluster layout): each document gets a "
+    "multiplicative-hash shuffle key (the l30/l15 portable-hash "
+    "family, so the ORDER itself is cross-engine checkable, not just "
+    "its summary), and the contiguous global position comes from "
+    "o5's distributed numbering — range-partition on the key, number "
+    "locally, add per-partition prefix offsets — never a "
+    "single-partition row_number over the corpus. Epoch 2 rehashes "
+    "with a different constant; the data never moves twice. "
+    "Every-37th-row projection keeps the verified output small while "
+    "pinning positions across the whole range.",
+    tags=("llm", "sampling", "scale"),
+)
+def epoch_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from mric_bak_etl_spark.tables import materialize, sized_parallelism
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        ((F.col("doc_id") * 2654435761) % 2147483648).alias("shuffle_key"),
+    )
+    n = sized_parallelism(sf_dir, "documents")
+    parts = materialize(
+        d.repartitionByRange(n, "shuffle_key", "doc_id").withColumn(
+            "pid", F.spark_partition_id()
+        )
+    )
+    counts = parts.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
+    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "pid", F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("off")
+    )
+    w_local = Window.partitionBy("pid").orderBy("shuffle_key", "doc_id")
+    ranked = (
+        parts.withColumn("local_rn", F.row_number().over(w_local))
+        .join(F.broadcast(offsets), "pid")
+        .select(
+            (F.col("off") + F.col("local_rn")).cast("bigint").alias(
+                "epoch_rank"
+            ),
+            "doc_id",
+            "lang",
+            F.col("shuffle_key").cast("bigint").alias("shuffle_key"),
+        )
+    )
+    return ranked.filter(F.col("epoch_rank") % 37 == 0).orderBy("epoch_rank")
