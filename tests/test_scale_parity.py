@@ -46,6 +46,11 @@ SCALE_SLICE = [
     "l33_logreg_train",
     "l29_exact_substring_dedup",
     "e10_time_to_conversion",
+    # regr_slope numerics, cumulative float windows, and global-order
+    # invariance under 10x the partitions
+    "w9_rolling_regression",
+    "e11_cohort_ltv",
+    "l35_epoch_ordering",
 ]
 
 
