@@ -704,3 +704,13 @@ def test_event_type_initials_are_distinct(duck):
         "e9's one-char compression is no longer injective; switch it to "
         "a type->symbol map"
     )
+
+
+def test_lineitem_linenumber_fits_pack_width(duck):
+    # dq9 packs (l_orderkey, l_linenumber) as orderkey*1000+linenumber on
+    # BOTH engines — a linenumber >= 1000 would alias keys and both
+    # sides would agree on an undercounted duplicate mass (the silent-
+    # agreement failure class). Fail loudly when the fixture outgrows
+    # the pack width.
+    mx = duck.execute("SELECT max(l_linenumber) FROM lineitem").fetchone()[0]
+    assert mx < 1000, f"l_linenumber reaches {mx}; widen dq9's pack factor"
