@@ -1374,3 +1374,79 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     for b_df in best_rows[1:]:
         out = out.unionByName(b_df)
     return out.orderBy("rank")
+
+
+@register(
+    "l36_source_overlap",
+    oracle="""
+    WITH toks AS (
+      SELECT source, string_split(text, ' ') AS w FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT source,
+             array_to_string(w[CAST(i AS INT):CAST(i + 4 AS INT)], ' ')
+               AS shingle
+      FROM toks, unnest(range(1, len(w) - 3)) AS u(i)
+      WHERE len(w) >= 5
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(count(*) AS BIGINT) AS n_shared_shingles
+    FROM sh a JOIN sh b
+      ON a.shingle = b.shingle AND a.source < b.source
+    GROUP BY source_a, source_b
+    ORDER BY n_shared_shingles DESC, source_a, source_b
+    LIMIT 25
+    """,
+    doc="L36: source-overlap contamination matrix — the SOURCE-grain "
+    "diagnostic the doc-grain dedup family can't give: for every pair "
+    "of ingestion sources, the count of distinct word 5-gram shingles "
+    "they share. A hot pair means boilerplate or mirrored content "
+    "propagating between feeds — the signal that decides whether to "
+    "drop a SOURCE, not just its duplicate documents (the Common-"
+    "Crawl-vs-curated-dump triage every corpus audit does). Pair "
+    "space is bounded by |sources|^2 — organizationally small — so "
+    "unlike doc-grain dedup no hot-bucket cap is needed; the shingle "
+    "set dedupes to (source, shingle) BEFORE the pair join, so one "
+    "viral page inside a source counts once. Docs under 5 tokens are "
+    "excluded on BOTH engines (Spark's sequence() would otherwise "
+    "DESCEND for a negative span — a real cross-engine trap — while "
+    "DuckDB's range() returns empty). Top-25 pairs with a full "
+    "deterministic tiebreak.",
+    tags=("llm", "text"),
+)
+def source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("source", "text")
+    toks = d.select(
+        "source", F.split("text", " ").alias("w")
+    ).filter(F.size("w") >= 5)
+    sh = (
+        toks.select(
+            "source",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("w") - 4),
+                    lambda i: F.concat_ws(" ", F.slice("w", i, 5)),
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+    a = sh.select(
+        F.col("source").alias("source_a"), F.col("shingle").alias("sh_a")
+    )
+    b = sh.select(
+        F.col("source").alias("source_b"), F.col("shingle").alias("sh_b")
+    )
+    pairs = a.join(
+        b,
+        (F.col("sh_a") == F.col("sh_b"))
+        & (F.col("source_a") < F.col("source_b")),
+    )
+    return (
+        pairs.groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_shingles"))
+        .orderBy(
+            F.desc("n_shared_shingles"), "source_a", "source_b"
+        )
+        .limit(25)
+    )

@@ -714,3 +714,20 @@ def test_lineitem_linenumber_fits_pack_width(duck):
     # the pack width.
     mx = duck.execute("SELECT max(l_linenumber) FROM lineitem").fetchone()[0]
     assert mx < 1000, f"l_linenumber reaches {mx}; widen dq9's pack factor"
+
+
+def test_null_skew_join_filters_nulls_before_shuffle(spark, sf_dir):
+    # j16: the joined branch must filter cust_fk IS NOT NULL below the
+    # join (null rows ride the union branch, not the shuffle) — if the
+    # filter disappears, every null-keyed row funnels through one hash
+    # partition again and the rewrite is decorative.
+    df = all_specs()["j16_null_skew_outer_join"].builder(spark, sf_dir)
+    plan = plan_of(df)
+    assert "Union" in plan
+    # Catalyst collapses the cust_fk alias into CASE filters over the
+    # source column: the JOIN branch keeps only possibly-non-null keys,
+    # the bypass branch keeps only null keys — both pushed into the
+    # scan as DataFilters.
+    low = plan.lower()
+    assert "isnotnull(o_custkey" in low, plan[:600]
+    assert "isnull(o_custkey" in low, plan[:600]
