@@ -819,3 +819,63 @@ def pair_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_pair_chars"
         ),
     )
+
+
+@register(
+    "x11_arrow_udtf",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws
+      FROM documents WHERE doc_id < 100
+    ),
+    toks AS (
+      SELECT doc_id, ws[CAST(i AS INT)] AS tok,
+             CAST(i - 1 AS INTEGER) AS pos
+      FROM w, unnest(range(1, len(ws) + 1)) AS u(i)
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT)  AS n_tokens,
+           min(CASE WHEN pos = 0 THEN tok END) AS first_tok,
+           CAST(max(pos) AS INTEGER)           AS last_pos
+    FROM toks
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    doc="X11: Arrow-optimized Python UDTF (useArrow=True) — the last "
+    "rung of the UDTF ladder (x3 plain, x7 polymorphic): same "
+    "row-expanding LATERAL join contract, but rows cross the "
+    "Python boundary as Arrow batches instead of pickled rows — the "
+    "same serialization upgrade x8->x4 demonstrates for scalar UDFs, "
+    "applied to table functions. The function itself stays "
+    "deliberately trivial (whitespace tokenizer with positions) so "
+    "the ORACLE can replay it relationally (indexed list unnest) "
+    "and the entry verifies the TRANSPORT, not the tokenizer; "
+    "anything string-split-shaped should be F.split/posexplode in "
+    "production (JVM-side) — a UDTF earns its cost only when the "
+    "expansion needs real Python (parsers, model inference).",
+    tags=("llm", "udf"),
+)
+def arrow_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="tok string, pos int", useArrow=True)
+    class TokenizeArrow:
+        def eval(self, text: str):
+            if text:
+                for i, tok in enumerate(text.split(" ")):
+                    yield tok, i
+
+    spark.udtf.register("x11_tokenize_arrow", TokenizeArrow)
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    d.select("doc_id", "text").createOrReplaceTempView("x11_docs")
+    return spark.sql(
+        """
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT)            AS n_tokens,
+               min(CASE WHEN t.pos = 0 THEN t.tok END) AS first_tok,
+               CAST(max(t.pos) AS INT)             AS last_pos
+        FROM x11_docs, LATERAL x11_tokenize_arrow(text) t
+        GROUP BY doc_id
+        ORDER BY doc_id
+        """
+    )
