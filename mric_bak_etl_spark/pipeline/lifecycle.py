@@ -1676,3 +1676,59 @@ def version_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     for s in summaries[1:]:
         out = out.unionByName(s)
     return out.orderBy("version")
+
+
+@register(
+    "dq10_source_freshness",
+    oracle="""
+    WITH horizon AS (SELECT max(ts) AS now_ts FROM events),
+    per_type AS (
+      SELECT event_type, max(ts) AS last_ts, count(*) AS n_events
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n_events AS BIGINT) AS n_events,
+           -- floor(elapsed/60), matching Spark's epoch arithmetic:
+           -- DuckDB's datediff('minute', ...) counts minute-BOUNDARY
+           -- crossings, which is off by one for mid-minute timestamps.
+           CAST(floor(epoch(now_ts - last_ts) / 60) AS BIGINT)
+             AS minutes_stale,
+           CAST(floor(epoch(now_ts - last_ts) / 60) > 360 AS BOOLEAN)
+             AS sla_breached
+    FROM per_type, horizon
+    ORDER BY event_type
+    """,
+    doc="DQ10: per-stream freshness gate — the staleness check the "
+    "reference performs implicitly by running daily and trusting the "
+    "newest filename (src/bak_unload.ps1:44-52), made explicit and "
+    "per-stream: each event type's last-seen timestamp against the "
+    "corpus horizon, with a 6-hour SLA flag. A breached stream means "
+    "an upstream producer died while everything else kept flowing — "
+    "invisible to volume gates (dq2 alerts on daily totals; a stream "
+    "silent for hours inside a busy day passes volume) and the "
+    "FIRST check an on-call runs. The horizon stands in for wall "
+    "clock so the fixture stays deterministic; production substitutes "
+    "current_timestamp. One scan, map-side max/count partials, "
+    "stream-cardinality output.",
+    tags=("pipeline", "quality"),
+)
+def source_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts")
+    per_type = ev.groupBy("event_type").agg(
+        F.max("ts").alias("last_ts"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+    horizon = ev.agg(F.max("ts").alias("now_ts"))
+    stale_min = (
+        (F.unix_timestamp("now_ts") - F.unix_timestamp("last_ts")) / 60
+    ).cast("bigint")
+    return (
+        per_type.crossJoin(F.broadcast(horizon))
+        .select(
+            "event_type",
+            "n_events",
+            stale_min.alias("minutes_stale"),
+            (stale_min > 360).alias("sla_breached"),
+        )
+        .orderBy("event_type")
+    )
