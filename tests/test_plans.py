@@ -141,7 +141,8 @@ def test_no_python_udfs_outside_declared_pandas_stages(spark, sf_dir):
                  "m4_resize", "x2_grouped_pandas_agg", "t6_stateful_custom",
                  "x3_python_udtf", "x4_scalar_pandas_udf", "x5_map_in_arrow",
                  "x6_grouped_pandas_map", "x7_polymorphic_udtf",
-                 "x8_arrow_python_udf", "x9_iter_pandas_udf"}
+                 "x8_arrow_python_udf", "x9_iter_pandas_udf",
+                 "x10_grouped_arrow_apply", "x11_arrow_udtf"}
     offenders = []
     for name, spec in sorted(all_specs().items()):
         if name in pandas_ok:
