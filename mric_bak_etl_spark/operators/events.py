@@ -840,3 +840,117 @@ def cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week", "week_offset")
     )
+
+
+@register(
+    "e12_growth_accounting",
+    oracle="""
+    WITH activity AS (
+      SELECT DISTINCT user_id,
+             CAST(date_trunc('week', ts) AS DATE) AS wk
+      FROM events
+    ),
+    horizon AS (SELECT max(wk) AS max_wk FROM activity),
+    seq AS (
+      SELECT user_id, wk,
+             lag(wk)  OVER (PARTITION BY user_id ORDER BY wk) AS prev_wk,
+             lead(wk) OVER (PARTITION BY user_id ORDER BY wk) AS next_wk
+      FROM activity
+    ),
+    status AS (
+      SELECT wk,
+             CASE WHEN prev_wk IS NULL THEN 'new'
+                  WHEN datediff('day', prev_wk, wk) = 7 THEN 'retained'
+                  ELSE 'resurrected' END AS cls
+      FROM seq
+      UNION ALL
+      SELECT wk + 7 AS wk, 'churned' AS cls
+      FROM seq, horizon
+      WHERE (next_wk IS NULL AND wk + 7 <= horizon.max_wk)
+         OR (next_wk IS NOT NULL AND datediff('day', wk, next_wk) > 7)
+    )
+    SELECT CAST(wk AS VARCHAR) AS week,
+           CAST(sum(CASE WHEN cls = 'new' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_new,
+           CAST(sum(CASE WHEN cls = 'retained' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_retained,
+           CAST(sum(CASE WHEN cls = 'resurrected' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_resurrected,
+           CAST(sum(CASE WHEN cls = 'churned' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_churned
+    FROM status
+    GROUP BY wk
+    ORDER BY week
+    """,
+    doc="E12: growth accounting — the weekly new / retained / "
+    "resurrected / churned ledger (the growth-team report whose "
+    "identity active(w) = new + retained + resurrected and "
+    "active(w-1) = retained(w) + churned(w) makes every user-count "
+    "claim auditable). One distinct pass to (user, week) grain, one "
+    "user-partitioned window pass derives both lag and lead, then "
+    "every user-week classifies locally: new (no prior week), "
+    "retained (active exactly last week), resurrected (returned "
+    "after a gap); churn events materialize in the week AFTER a gap "
+    "or final disappearance, clipped to the corpus horizon so the "
+    "last observed week doesn't churn everyone. Gap arithmetic uses "
+    "day-diffs, not timestamp-interval equality — engines render "
+    "week-truncated types differently but agree on date subtraction. "
+    "At 100 TB the expensive object is the (user, week) distinct — "
+    "events-sized input, user-weeks output — and everything after is "
+    "user-weeks-sized.",
+    tags=("events", "composite"),
+)
+def growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date(F.date_trunc("week", "ts")).alias("wk")
+    ).distinct()
+    horizon = ev.agg(F.max("wk").alias("max_wk"))
+    w = Window.partitionBy("user_id").orderBy("wk")
+    seq = ev.select(
+        "user_id",
+        "wk",
+        F.lag("wk").over(w).alias("prev_wk"),
+        F.lead("wk").over(w).alias("next_wk"),
+    )
+    status = seq.select(
+        "wk",
+        F.when(F.col("prev_wk").isNull(), "new")
+        .when(F.datediff("wk", "prev_wk") == 7, "retained")
+        .otherwise("resurrected")
+        .alias("cls"),
+    )
+    churn = (
+        seq.crossJoin(F.broadcast(horizon))
+        .filter(
+            (
+                F.col("next_wk").isNull()
+                & (F.date_add("wk", 7) <= F.col("max_wk"))
+            )
+            | (
+                F.col("next_wk").isNotNull()
+                & (F.datediff("next_wk", "wk") > 7)
+            )
+        )
+        .select(F.date_add("wk", 7).alias("wk"), F.lit("churned").alias("cls"))
+    )
+    return (
+        status.unionByName(churn)
+        .groupBy(F.col("wk").cast("string").alias("week"))
+        .agg(
+            F.sum(F.when(F.col("cls") == "new", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_new"),
+            F.sum(F.when(F.col("cls") == "retained", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_retained"),
+            F.sum(F.when(F.col("cls") == "resurrected", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_resurrected"),
+            F.sum(F.when(F.col("cls") == "churned", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_churned"),
+        )
+        .orderBy("week")
+    )

@@ -242,3 +242,43 @@ def test_sequence_pattern_planted_semantics(spark, tmp_path):
     got = {r["user_id"]: r["n_funnels"] for r in out}
     want = {u: n for u, (_, n) in planted.items() if n > 0}
     assert got == want, (got, want)
+
+
+def test_growth_accounting_identities(spark, sf_dir, duck):
+    """e12's books must balance: for every week, active(w) = new +
+    retained + resurrected; and for every INTERIOR week (one whose
+    successor week is still inside the corpus horizon),
+    active(w) = retained(w+1) + churned(w+1) — each last-week active
+    user either comes back next week or churns into it."""
+    from mric_bak_etl_spark.catalog import all_specs
+
+    rows = {
+        r["week"]: (r["n_new"], r["n_retained"], r["n_resurrected"],
+                    r["n_churned"])
+        for r in all_specs()["e12_growth_accounting"].builder(
+            spark, sf_dir
+        ).collect()
+    }
+    active = {
+        str(w): n
+        for w, n in duck.execute(
+            """SELECT CAST(date_trunc('week', ts) AS DATE) AS wk,
+                      count(DISTINCT user_id)
+               FROM events GROUP BY wk"""
+        ).fetchall()
+    }
+    assert set(active) <= set(rows)
+    for w, n_active in active.items():
+        new, ret, res, _ = rows[w]
+        assert new + ret + res == n_active, (w, rows[w], n_active)
+
+    import datetime as dt
+
+    weeks = sorted(active)
+    for w, nxt in zip(weeks, weeks[1:]):
+        w_d = dt.date.fromisoformat(w)
+        n_d = dt.date.fromisoformat(nxt)
+        if (n_d - w_d).days != 7:
+            continue  # gap week: the identity moves through churn rows
+        _, ret_n, _, chu_n = rows[nxt]
+        assert ret_n + chu_n == active[w], (w, nxt, rows[nxt], active[w])
