@@ -202,3 +202,61 @@ def distributed_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return ranked.filter(F.col("rn") % 97 == 0).orderBy("rn")
+
+
+@register(
+    "o6_keyset_pagination",
+    oracle="""
+    SELECT o_orderkey, CAST(o_orderdate AS VARCHAR) AS o_orderdate,
+           o_totalprice
+    FROM orders
+    ORDER BY o_orderdate, o_orderkey
+    LIMIT 50 OFFSET 100
+    """,
+    doc="O6: keyset (seek) pagination — the scale-safe page fetch: "
+    "OFFSET n must produce and discard n rows on every request "
+    "(page 10,000 of a 100 TB result re-sorts and skips half a "
+    "million rows), while the keyset form remembers the last row of "
+    "the previous page and fetches WHERE (date, key) > "
+    "(last_date, last_key) ORDER BY ... LIMIT page — a pushed-down "
+    "range predicate plus a top-k, O(page) per request at any depth "
+    "(TakeOrderedAndProject over a pruned scan). The boundary tuple "
+    "is the ONLY state and it lives with the caller, not the engine — "
+    "which is also why the sort key must be a TOTAL order (the "
+    "o_orderkey tiebreak): a non-unique keyset silently skips or "
+    "repeats rows at page boundaries. The oracle fetches the same "
+    "page via OFFSET — equality proves the seek predicate lands on "
+    "exactly the OFFSET semantics it replaces.",
+    tags=("sort", "scale"),
+)
+def keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    # The caller's cursor: last row of page 2 (rows 1-100). Fetched once
+    # here to make the entry self-contained; a real API carries it in
+    # the page token. One tiny top-k job, not a full sort.
+    boundary = (
+        o.orderBy("o_orderdate", "o_orderkey")
+        .limit(100)
+        .orderBy(F.desc("o_orderdate"), F.desc("o_orderkey"))
+        .limit(1)
+        .collect()[0]
+    )
+    bd, bk = boundary["o_orderdate"], boundary["o_orderkey"]
+    page = (
+        o.filter(
+            (F.col("o_orderdate") > F.lit(bd))
+            | (
+                (F.col("o_orderdate") == F.lit(bd))
+                & (F.col("o_orderkey") > F.lit(bk))
+            )
+        )
+        .orderBy("o_orderdate", "o_orderkey")
+        .limit(50)
+    )
+    return page.select(
+        "o_orderkey",
+        F.col("o_orderdate").cast("string").alias("o_orderdate"),
+        "o_totalprice",
+    )
