@@ -119,6 +119,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "w9_rolling_regression", "dq9_pk_uniqueness", "s18_version_vacuum",
     "l35_epoch_ordering", "l36_source_overlap", "x11_arrow_udtf",
     "dq10_source_freshness", "e12_growth_accounting", "o6_keyset_pagination",
+    "l37_length_histogram",
     "f17_encoding", "dq2_volume_anomaly", "f10_array_advanced",
     "f11_datetime_advanced", "f14_variant", "f18_try_family",
     "f19_malformed_json", "h19_disjunctive_predicates", "e2_cohort_retention",

@@ -1450,3 +1450,46 @@ def source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(25)
     )
+
+
+@register(
+    "l37_length_histogram",
+    oracle="""
+    SELECT lang,
+           CAST(least(n_chars // 100, 9) AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT)                 AS n_docs,
+           CAST(min(n_chars) AS BIGINT)             AS min_chars,
+           CAST(max(n_chars) AS BIGINT)             AS max_chars
+    FROM documents
+    GROUP BY lang, bucket
+    ORDER BY lang, bucket
+    """,
+    doc="L37: length histogram — equi-width document-length buckets "
+    "(100-char bins, top bin open-ended) per language: the "
+    "distribution profile behind every truncation/padding decision "
+    "(dq3 profiles moments; training-data budgeting needs the SHAPE — "
+    "a bimodal length mix packs differently than a unimodal one, and "
+    "a lang whose mass sits in bin 0 is fragments, not prose). "
+    "Arithmetic bucketing (floor-div + cap) instead of width_bucket "
+    "keeps the expression portable and pushes as a plain projection: "
+    "one map-side pass, one (lang, bucket)-grain shuffle, output "
+    "bounded by langs x 10 at any corpus size. Per-bucket min/max "
+    "double as bin-boundary proofs (min >= bucket*100, max < "
+    "(bucket+1)*100 except the open top bin).",
+    tags=("llm", "text"),
+)
+def length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.least(F.floor(F.col("n_chars") / 100), F.lit(9)).cast(
+        "bigint"
+    )
+    return (
+        d.select("lang", bucket.alias("bucket"), "n_chars")
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("n_chars").cast("bigint").alias("min_chars"),
+            F.max("n_chars").cast("bigint").alias("max_chars"),
+        )
+        .orderBy("lang", "bucket")
+    )
