@@ -710,7 +710,7 @@ def grouped_arrow_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
                     [pc.max(chars).as_py()], pa.int64()
                 ),
                 "avg_chars": pa.array(
-                    [round(pc.mean(chars).as_py(), 4)], pa.float64()
+                    [pc.mean(chars).as_py()], pa.float64()
                 ),
             }
         )
@@ -722,6 +722,15 @@ def grouped_arrow_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             per_lang,
             schema="lang string, n_docs long, max_chars long, "
             "avg_chars double",
+        )
+        # Round in the Spark projection (repo convention, F.round =
+        # half-away like DuckDB), not with Python round() inside the
+        # Arrow batch (banker's rounding would diverge on exact ties).
+        .select(
+            "lang",
+            "n_docs",
+            "max_chars",
+            F.round("avg_chars", 4).alias("avg_chars"),
         )
         .orderBy("lang")
     )
@@ -861,7 +870,10 @@ def arrow_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="tok string, pos int", useArrow=True)
     class TokenizeArrow:
         def eval(self, text: str):
-            if text:
+            # `is not None` (not truthiness): string_split('') yields
+            # [''] in the oracle, i.e. one ('', 0) row — an empty text
+            # must produce that row here too, only NULL yields nothing.
+            if text is not None:
                 for i, tok in enumerate(text.split(" ")):
                     yield tok, i
 

@@ -501,11 +501,16 @@ def temperature_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("lang")
 
 
-# l33: batch-gradient-descent logistic regression, 5 fixed rounds,
-# lr=1.0, zero init. Both engines round the weight vector to 12dp at
-# the END of every round (the g5 recipe): exp/avg differ across libm
-# implementations in the last ulps, and without the clamp 5 rounds of
-# drift could flip the 6dp output rounding.
+# l33: batch-gradient-descent logistic regression, L33_ROUNDS fixed
+# rounds, lr=L33_LR, zero init. Both engines round the weight vector to
+# 12dp at the END of every round (the g5 recipe): exp/avg differ across
+# libm implementations in the last ulps, and without the clamp the
+# rounds of drift could flip the 6dp output rounding. The 12dp clamp
+# itself uses Python round() driver-side vs DuckDB ROUND() in the
+# oracle; their tie behavior differs (half-to-even vs half-away), a
+# residual divergence only on an EXACT binary tie at the 12th decimal
+# of a float64 gradient update — like l29's 2^-44 hash-collision
+# window, documented rather than engineered around.
 L33_ROUNDS = 10
 L33_LR = 5.0
 
@@ -563,14 +568,14 @@ _L33_ITER = """
     "— commutative, so executors combine partials and only k doubles "
     "cross the wire), and the driver holds nothing but the model "
     "(k=3 scalars — model state, not data; the l19/g1 boundary "
-    "applies). The feature frame localCheckpoints once so 5 rounds "
+    "applies). The feature frame localCheckpoints once so the rounds "
     "don't re-derive the projection. Label: a PLANTED linear "
     "concept (x1 + 0.5*x2 > threshold, threshold at the corpus median "
     "so classes balance) — the synthetic corpus has no naturally "
     "learnable label, so the demo is optimizer-mechanics with a "
     "recoverable target: accuracy must land well above the ~53% "
     "majority rate and the learned w_len:w_aux ratio tracks the "
-    "planted 1:0.5 direction. Oracle: the identical 5 rounds unrolled as single-row "
+    "planted 1:0.5 direction. Oracle: the identical L33_ROUNDS rounds unrolled as single-row "
     "CTEs with per-round 12dp weight rounding pinning both engines to "
     "bit-identical trajectories. At 100 TB: same plan, gradient cost "
     "= one scan per round; mini-batching = a l21-style deterministic "

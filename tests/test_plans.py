@@ -10,6 +10,7 @@ top-k compiled to TakeOrderedAndProject rather than a global sort.
 from __future__ import annotations
 
 import pytest
+from pathlib import Path
 
 from mric_bak_etl_spark.catalog import all_specs
 from mric_bak_etl_spark.operators.joins import broadcast_dims
@@ -667,7 +668,8 @@ def test_verify_first_covers_all_never_verified_queries():
     assert not [n for n in _VERIFY_FIRST if n not in specs]
 
     seen = set()
-    for path in sorted(glob.glob("/root/repo/CORRECTNESS_r*.json")):
+    repo_root = Path(__file__).resolve().parents[1]
+    for path in sorted(glob.glob(str(repo_root / "CORRECTNESS_r*.json"))):
         for name, row in json.load(open(path)).items():
             if row.get("hash_match") is True or row.get("err") == "no_oracle":
                 seen.add(name)
