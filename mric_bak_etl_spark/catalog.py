@@ -93,69 +93,56 @@ def all_specs() -> dict[str, QuerySpec]:
     return dict(_REGISTRY)
 
 
-# Verification order — round 4 rotation. The driver's correctness run is
-# time-budgeted (~50 entries/round); rounds 1-3 drove 129 distinct
-# queries green (CORRECTNESS_r01-r03: 0 failures), leaving 107 catalog
-# entries with no driver row plus the round-4 additions. This head is:
-# the flagship canary, then the round-4 additions (brand-new — highest
-# verification risk), then every never-verified query with a full value
-# oracle, cheapest first (profiled at sf0.01, warm session, 2026-08-14 —
-# cheap-first stretches the budget across the most entries), then the
-# four rows-only-by-design entries (no oracle — weaker driver rows, so
-# they spend budget last). Already-green queries follow in sorted order;
-# the local parity suite (tests/test_oracle_parity.py over all oracle
-# entries, value-matched before every commit) remains the regression
-# guard. A guard test asserts this list stays in sync with the registry.
+# Verification order — round 5 rotation. The driver's correctness run is
+# time-budgeted (~50 entries/round); rounds 1-4 drove 178 distinct
+# queries (174 full value-hash green, 4 rows-only by design, 0 failures
+# ever — CORRECTNESS_r01-r04), leaving 90 catalog entries never sampled.
+# This head is: the flagship canary, then the round-5 additions
+# (brand-new — highest verification risk), then the judge-requested
+# flagships still missing ANY driver row (the L2 near-dup family, the
+# multimodal m2-m5 ladder, a21 — round-4 verdict item 3), then every
+# remaining never-sampled query in the round-4 cheapest-first profile
+# order (sf0.01, warm session — cheap-first stretches the budget across
+# the most entries; the no-oracle members of the promoted block yield
+# rows-only rows, the strongest check they admit). Already-green queries
+# follow in sorted order; the local parity suite
+# (tests/test_oracle_parity.py over all oracle entries, value-matched
+# before every commit) remains the regression guard. A guard test
+# asserts this list stays in sync with the registry.
 _VERIFY_FIRST: tuple[str, ...] = (
-    "a1_pricing_summary", "g5_user_pagerank", "l29_exact_substring_dedup",
-    "e9_sequence_pattern", "s15_dynamic_partition_overwrite",
-    "r22_late_arriving_facts", "a24_exact_percentiles", "q9_merge_upsert",
-    "dq8_fact_summary_reconciliation", "l30_train_test_split",
-    "q10_sql_ddl_dml", "l31_temperature_mixing", "x10_grouped_arrow_apply",
-    "e10_time_to_conversion", "l32_substring_dup_clusters", "l33_logreg_train",
-    "s16_streaming_file_sink", "e11_cohort_ltv", "m6_pair_assembly",
-    "q11_catalog_introspection", "s17_selective_file_ingestion",
-    "l34_curation_waterfall", "j16_null_skew_outer_join",
-    "w9_rolling_regression", "dq9_pk_uniqueness", "s18_version_vacuum",
-    "l35_epoch_ordering", "l36_source_overlap", "x11_arrow_udtf",
-    "dq10_source_freshness", "e12_growth_accounting", "o6_keyset_pagination",
-    "l37_length_histogram",
-    "f17_encoding", "dq2_volume_anomaly", "f10_array_advanced",
-    "f11_datetime_advanced", "f14_variant", "f18_try_family",
-    "f19_malformed_json", "h19_disjunctive_predicates", "e2_cohort_retention",
-    "dq3_column_profile", "f15_url", "e6_event_paths",
-    "l16_quality_classifier", "tx_redaction", "l3c_grouped_centroids",
-    "a22_regression_aggregates", "f25_map_higher_order", "h12_late_line_priority",
-    "h4_order_priority_check", "h22_sales_opportunity", "x6_grouped_pandas_map",
-    "h13_order_distribution", "l9_sequence_packing", "h17_small_quantity_revenue",
-    "l10_embedding_hygiene", "m3_frame_sample", "f16_transcendental",
-    "u2b_except_all", "l11_curation_pipeline", "e5_rfm_segments",
-    "e7_interarrival", "f22_number_format", "w7_running_distinct",
-    "m5_binary_dedup", "f13_date_spine", "e3_gaps_islands",
-    "s10_zorder_layout", "r19_scd2_multi_generation", "r2_listing_parse_latest",
-    "s9_sorted_layout", "l18_unigram_lm", "r18_scd2_history",
-    "f24_higher_order_complete", "r20_scd2_asof_lookup", "l3b_ann_lsh_bucket",
-    "l14_pmi_collocations", "l13_decontamination", "h9_product_profit",
-    "a19_listagg", "tx_repetition", "h16_supplier_part_count",
-    "r16_snapshot_diff", "s5_format_roundtrip", "s11_write_audit_publish",
+    "a1_pricing_summary", "l2_minhash_lsh", "l2c_simhash",
+    "l2d_embedding_neardup", "l2e_dup_clusters", "m2_feature_extract",
+    "m3_frame_sample", "m4_resize", "m5_binary_dedup",
+    "a21_approx_percentile", "h12_late_line_priority",
+    "h4_order_priority_check", "h22_sales_opportunity",
+    "x6_grouped_pandas_map", "h13_order_distribution",
+    "l9_sequence_packing", "h17_small_quantity_revenue",
+    "l10_embedding_hygiene", "f16_transcendental", "u2b_except_all",
+    "l11_curation_pipeline", "e5_rfm_segments", "e7_interarrival",
+    "f22_number_format", "w7_running_distinct", "f13_date_spine",
+    "e3_gaps_islands", "s10_zorder_layout", "r19_scd2_multi_generation",
+    "r2_listing_parse_latest", "s9_sorted_layout", "l18_unigram_lm",
+    "r18_scd2_history", "f24_higher_order_complete",
+    "r20_scd2_asof_lookup", "l3b_ann_lsh_bucket", "l14_pmi_collocations",
+    "l13_decontamination", "h9_product_profit", "a19_listagg",
+    "tx_repetition", "h16_supplier_part_count", "r16_snapshot_diff",
+    "s5_format_roundtrip", "s11_write_audit_publish",
     "h2_min_cost_supplier", "h20_dominant_supplier", "l7_chunking",
     "l3d_ivf_topk", "o3_range_partitioned_sort", "q3_session_variables",
     "x5_map_in_arrow", "h15_top_supplier", "t7_stream_stream_join",
     "w4_range_interval_frame", "tx_bigram_freq", "dq4_observed_metrics",
-    "h21_waiting_supplier", "h11_important_stock", "s4_partitioned_snapshot",
-    "t8_stream_static_join", "tx_boilerplate", "l20_oov_rate",
-    "l2d_embedding_neardup", "s6_schema_evolution", "q4_parameterized_sql",
+    "h21_waiting_supplier", "h11_important_stock",
+    "s4_partitioned_snapshot", "t8_stream_static_join", "tx_boilerplate",
+    "l20_oov_rate", "s6_schema_evolution", "q4_parameterized_sql",
     "l15_mixture_rebalance", "f21_intervals", "w5_forward_fill",
-    "f12_bitwise", "l17_semdedup", "m4_resize",
-    "s7_compaction", "f9_hashing", "l8_tfidf",
-    "t6_stateful_custom", "tx_quality_score", "w6_distribution",
-    "f20_xml", "f8_string_distance", "u3_union_distinct",
-    "tx_fingerprint", "s12_python_datasource", "x7_polymorphic_udtf",
-    "s8_dynamic_partition_pruning", "q2_recursive_cte", "s5b_orc_xml_roundtrip",
-    "x8_arrow_python_udf", "g3_user_components", "g2_shortest_path",
-    "s13_jdbc_roundtrip", "x3_python_udtf", "l2e_dup_clusters",
-    "f23_collation", "a21_approx_percentile", "l2_minhash_lsh",
-    "l2c_simhash", "m2_feature_extract",
+    "f12_bitwise", "l17_semdedup", "s7_compaction", "f9_hashing",
+    "l8_tfidf", "t6_stateful_custom", "tx_quality_score",
+    "w6_distribution", "f20_xml", "f8_string_distance",
+    "u3_union_distinct", "tx_fingerprint", "s12_python_datasource",
+    "x7_polymorphic_udtf", "s8_dynamic_partition_pruning",
+    "q2_recursive_cte", "s5b_orc_xml_roundtrip", "x8_arrow_python_udf",
+    "g3_user_components", "g2_shortest_path", "s13_jdbc_roundtrip",
+    "x3_python_udtf", "f23_collation",
 )
 
 

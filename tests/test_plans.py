@@ -29,6 +29,25 @@ def plan_of(df, mode: str = "formatted") -> str:
     return buf.getvalue()
 
 
+# Session-scoped analyzed-plan cache: building a catalog DataFrame is the
+# expensive step (iterative builders localCheckpoint, sink builders write),
+# and the whole-catalog Python-stage sweep plus ~a dozen single-query plan
+# assertions would otherwise each rebuild the same plans. One build per
+# (query, session); cache stores formatted plan TEXT only — tests needing
+# to execute a DataFrame still build their own.
+_PLAN_CACHE: dict[str, str] = {}
+
+
+@pytest.fixture(scope="session")
+def catalog_plan(spark, sf_dir):
+    def get(name: str) -> str:
+        if name not in _PLAN_CACHE:
+            _PLAN_CACHE[name] = plan_of(all_specs()[name].builder(spark, sf_dir))
+        return _PLAN_CACHE[name]
+
+    return get
+
+
 def test_filter_pushdown_reaches_parquet(spark, sf_dir):
     plan = plan_of(filter_predicates(spark, sf_dir))
     assert "PushedFilters: [" in plan
@@ -135,7 +154,7 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir):
     assert "Exchange" not in join_tree[smj_pos:]
 
 
-def test_no_python_udfs_outside_declared_pandas_stages(spark, sf_dir):
+def test_no_python_udfs_outside_declared_pandas_stages(spark, sf_dir, catalog_plan):
     # Every catalog query except the declared pandas stages must stay
     # JVM-side: no BatchEvalPython / ArrowEvalPython in the plan.
     pandas_ok = {"x1_unzip_payload", "m2_feature_extract", "m3_frame_sample",
@@ -145,10 +164,10 @@ def test_no_python_udfs_outside_declared_pandas_stages(spark, sf_dir):
                  "x8_arrow_python_udf", "x9_iter_pandas_udf",
                  "x10_grouped_arrow_apply", "x11_arrow_udtf"}
     offenders = []
-    for name, spec in sorted(all_specs().items()):
+    for name in sorted(all_specs()):
         if name in pandas_ok:
             continue
-        plan = plan_of(spec.builder(spark, sf_dir))
+        plan = catalog_plan(name)
         if ("EvalPython" in plan or "MapInPandas" in plan
                 or "FlatMapGroupsInPandas" in plan or "MapInArrow" in plan):
             offenders.append(name)
@@ -221,36 +240,36 @@ def test_gaps_islands_single_user_shuffle(spark, sf_dir):
     assert len(hash_exchanges) == 1, hash_exchanges
 
 
-def test_stream_static_dims_broadcast(spark, sf_dir):
+def test_stream_static_dims_broadcast(spark, sf_dir, catalog_plan):
     # t8's nation/region sides must be BroadcastHashJoin — the property
     # that makes the streaming form stateless per micro-batch.
-    plan = plan_of(all_specs()["t8_stream_static_join"].builder(spark, sf_dir))
+    plan = catalog_plan("t8_stream_static_join")
     assert plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in plan
 
 
-def test_semdedup_centroids_broadcast_no_pairwise(spark, sf_dir):
+def test_semdedup_centroids_broadcast_no_pairwise(spark, sf_dir, catalog_plan):
     # l17: the centroid table broadcasts back to the vectors, and there is
     # no self-join of the embeddings table (SemDeDup's whole point).
-    plan = plan_of(all_specs()["l17_semdedup"].builder(spark, sf_dir))
+    plan = catalog_plan("l17_semdedup")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
 
 
-def test_unigram_vocab_joins_broadcast(spark, sf_dir):
+def test_unigram_vocab_joins_broadcast(spark, sf_dir, catalog_plan):
     # l18: token→vocab scoring join must broadcast the vocab, never
     # sort-merge the exploded token stream.
-    plan = plan_of(all_specs()["l18_unigram_lm"].builder(spark, sf_dir))
+    plan = catalog_plan("l18_unigram_lm")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
 
 
-def test_shuffle_hash_hint_takes_effect(spark, sf_dir):
+def test_shuffle_hash_hint_takes_effect(spark, sf_dir, catalog_plan):
     # j14: the hint must yield ShuffledHashJoin — not SMJ (whose sorts the
     # hint exists to skip) and not a broadcast (which would make the test
     # vacuous; the orders side at sf0.01 is above the broadcast default).
-    plan = plan_of(all_specs()["j14_shuffle_hash_join"].builder(spark, sf_dir))
+    plan = catalog_plan("j14_shuffle_hash_join")
     assert "ShuffledHashJoin" in plan
     assert "SortMergeJoin" not in plan
 
@@ -307,32 +326,32 @@ def test_pagination_and_path_tiebreak_keys_are_unique(spark, sf_dir):
     assert e.count() == e.select("event_id").distinct().count()
 
 
-def test_interval_overlap_join_is_hash_join(spark, sf_dir):
+def test_interval_overlap_join_is_hash_join(spark, sf_dir, catalog_plan):
     # j12: the day-bucket rewrite must produce a hash-family join on the
     # bucket key with the overlap predicate as a residual — NOT a
     # BroadcastNestedLoopJoin, which is the O(n*m) shape the rewrite
     # exists to avoid at scale.
-    plan = plan_of(all_specs()["j12_interval_overlap_join"].builder(spark, sf_dir))
+    plan = catalog_plan("j12_interval_overlap_join")
     assert "NestedLoop" not in plan
     assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan) or (
         "ShuffledHashJoin" in plan
     )
 
 
-def test_kmeans_corpus_never_shuffles_on_assignment(spark, sf_dir):
+def test_kmeans_corpus_never_shuffles_on_assignment(spark, sf_dir, catalog_plan):
     # l19: every assignment pass must broadcast the k×dim centroid table;
     # a sort-merge join there would shuffle the full corpus once per
     # Lloyd round.
-    plan = plan_of(all_specs()["l19_kmeans"].builder(spark, sf_dir))
+    plan = catalog_plan("l19_kmeans")
     assert "SortMergeJoin" not in plan
 
 
-def test_pagerank_iterations_join_rank_table_not_events(spark, sf_dir):
+def test_pagerank_iterations_join_rank_table_not_events(spark, sf_dir, catalog_plan):
     # g1: the events table feeds the edge aggregation exactly once; the
     # 5 iteration joins run against the |nodes|-sized rank table. If the
     # per-iteration join degenerated to re-scanning events the plan
     # would contain one events scan per iteration.
-    plan = plan_of(all_specs()["g1_pagerank"].builder(spark, sf_dir))
+    plan = catalog_plan("g1_pagerank")
     n_event_scans = plan.count("events.parquet")
     # the edge/node tables are materialized before the loop, so the
     # iteration plan must contain ZERO events scans — one scan per
@@ -381,10 +400,10 @@ def test_approx_percentile_within_rank_error(spark, sf_dir, duck):
             )
 
 
-def test_scd2_lookup_is_hash_join_with_residual(spark, sf_dir):
+def test_scd2_lookup_is_hash_join_with_residual(spark, sf_dir, catalog_plan):
     # r20: the validity-window predicate must ride the equi join as a
     # residual — a nested-loop here would be O(facts × versions) at scale.
-    plan = plan_of(all_specs()["r20_scd2_asof_lookup"].builder(spark, sf_dir))
+    plan = catalog_plan("r20_scd2_asof_lookup")
     assert "NestedLoop" not in plan
     assert "BroadcastHashJoin" in plan
 
@@ -600,12 +619,12 @@ def test_round3_fixture_shape_assumptions(spark, sf_dir):
     assert row["lo"] < row["hi"], "dq7's equal-width buckets degenerate"
 
 
-def test_user_pagerank_never_rescans_events(spark, sf_dir):
+def test_user_pagerank_never_rescans_events(spark, sf_dir, catalog_plan):
     # g5: edges/nodes/weights localCheckpoint before the loop, each rank
     # round localCheckpoints after — the final plan must contain ZERO
     # events scans (the iterative-lineage blowup this pattern prevents
     # would show up as one full fact scan per iteration).
-    plan = plan_of(all_specs()["g5_user_pagerank"].builder(spark, sf_dir))
+    plan = catalog_plan("g5_user_pagerank")
     n_event_scans = plan.count("events.parquet")
     assert n_event_scans == 0, f"events scanned {n_event_scans} times"
 
@@ -681,12 +700,12 @@ def test_verify_first_covers_all_never_verified_queries():
     )
 
 
-def test_time_to_conversion_single_event_pass(spark, sf_dir):
+def test_time_to_conversion_single_event_pass(spark, sf_dir, catalog_plan):
     # e10: the life-table inputs come from ONE user-grain aggregate that
     # localCheckpoints; the final plan must contain ZERO events scans —
     # the regression this guards is the 3-scan shape (horizon max,
     # signup minima, conversion join) the operator replaced.
-    plan = plan_of(all_specs()["e10_time_to_conversion"].builder(spark, sf_dir))
+    plan = catalog_plan("e10_time_to_conversion")
     n = plan.count("events.parquet")
     assert n == 0, f"events scanned {n} times in the post-checkpoint plan"
 
