@@ -46,6 +46,12 @@ def corpus_with_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Variant doc_id = original + 1_000_000; text = all but the last 5 tokens
     — high-Jaccard near-duplicates with known ground truth.
+
+    FIXTURE-ONLY id contract: the +1M offset assumes base doc_ids stay
+    below 1,000,000 (true of every testdata SF and asserted harmless by
+    the synth corpora, which shift copies by 100M). This helper plants
+    ground truth for the l2-family demos/oracles; a production corpus
+    runs the dedup operators on its raw ids and never calls it.
     """
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     variants = (
@@ -546,6 +552,14 @@ def connected_components(edges: DataFrame, max_iterations: int = MAX_LP_ITERATIO
     both = both.unionByName(
         edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     )
+    # Pin the edge list BEFORE the loop: `both` is re-read by every
+    # propagation round, and without this the whole upstream
+    # edge-construction lineage (candidate join + distinct — the
+    # expensive part for l32/l2e) re-executes per round. Measured on the
+    # high-dup crossover corpus (SCALE.md): this pin plus the l32
+    # window-min star took l32 from 51 s to 34 s. Edge-sized, not
+    # corpus-sized, so the checkpoint is cheap relative to one round.
+    both = both.localCheckpoint()
     labels = (
         both.select(F.col("src").alias("doc_id")).distinct()
         .withColumn("label", F.col("doc_id"))
@@ -1112,11 +1126,19 @@ _L29_SURVIVORS_ORACLE = f"""
     tags=("llm", "dedup", "iterative"),
 )
 def substring_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     banded = _shared_window_survivors(spark, sf_dir)
-    hubs = banded.groupBy("win").agg(F.min("doc_id").alias("hub"))
+    # Star edges via ONE window shuffle (min over partitionBy(win)),
+    # not groupBy(win)+join back — the join form shuffles the survivor
+    # set twice on the 40-char string key; the window form once.
     star = (
-        banded.join(hubs, "win")
-        .select(F.col("doc_id").alias("doc_a"), F.col("hub").alias("doc_b"))
+        banded.select(
+            F.col("doc_id").alias("doc_a"),
+            F.min("doc_id")
+            .over(Window.partitionBy("win"))
+            .alias("doc_b"),
+        )
         .distinct()
     )
     labels = connected_components(star)

@@ -43,7 +43,13 @@ KEY_SHIFTS = {
     "supplier": {"s_suppkey": 1_000_000},
     "part": {"p_partkey": 1_000_000},
     "events": {"event_id": 100_000_000, "user_id": 1_000_000},
-    "documents": {"doc_id": 1_000_000},
+    # documents shift by 100M, NOT 1M: corpus_with_near_dups plants
+    # ground-truth variants at doc_id + 1_000_000 (a fixture-only id
+    # range — see its docstring), and a 1M copy shift would alias
+    # synth copies with planted variants (found the hard way: aliased
+    # ids make two different TEXTS share a doc_id, so Jaccard
+    # denominators degenerate and l2b/l2e divide by zero).
+    "documents": {"doc_id": 100_000_000},
     "embeddings": {"vec_id": 1_000_000},
     # region/nation: tiny dims, copied once unshifted
     "region": {},
@@ -97,7 +103,59 @@ def run(spark, specs, sf_dir: str, names) -> dict[str, float]:
     return out
 
 
+def synth_highdup(spark, out_dir: str, n_base: int = 100, k: int = 45) -> None:
+    """High-duplication corpus for the l29-vs-l32 crossover: n_base
+    distinct documents, each replicated k times under fresh doc_ids —
+    ~n_base clusters of duplication multiplicity k. k sits just under
+    L29_STOP_CAP (50): above the cap BOTH queries drop the windows as
+    boilerplate by design, so the measurable crossover regime is the
+    band below it, where l29 enumerates C(k,2) pairs per shared window
+    and l32 emits k star edges."""
+    src = (
+        spark.read.parquet(os.path.join(SRC, "documents.parquet"))
+        .filter(F.length("text") >= 40)
+        .orderBy("doc_id")
+        .limit(n_base)
+    )
+    parts = []
+    for i in range(k):
+        parts.append(src.withColumn("doc_id", F.col("doc_id") + F.lit(i * 1_000_000)))
+    big = parts[0]
+    for p in parts[1:]:
+        big = big.unionByName(p)
+    big.write.mode("overwrite").parquet(os.path.join(out_dir, "documents.parquet"))
+
+
+def highdup_main() -> None:
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/highdup_synth"
+    n_base = int(sys.argv[3]) if len(sys.argv) > 3 else 100
+    spark = get_spark("scale-stress-highdup")
+    spark.sparkContext.setLogLevel("ERROR")
+    specs = all_specs()
+    if not os.path.exists(os.path.join(out_dir, "documents.parquet")):
+        print(f"synthesizing high-dup corpus at {out_dir} (n_base={n_base})",
+              flush=True)
+        synth_highdup(spark, out_dir, n_base=n_base)
+    # warm-up on the small corpus primes codegen/workers for both plans
+    for name in ("l29_exact_substring_dedup", "l32_substring_dup_clusters"):
+        specs[name].builder(spark, SRC.replace("sf0.1", "sf0.001")).write.mode(
+            "overwrite"
+        ).format("noop").save()
+    report = {}
+    for name in ("l29_exact_substring_dedup", "l32_substring_dup_clusters"):
+        t0 = time.time()
+        df = specs[name].builder(spark, out_dir)
+        df.write.mode("overwrite").format("noop").save()
+        report[name] = {"sec": round(time.time() - t0, 2),
+                        "out_rows": df.count()}
+        print(f"  {name}: {report[name]}", flush=True)
+    print(json.dumps(report, indent=1))
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--highdup":
+        highdup_main()
+        return
     out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1_synth"
     spark = get_spark("scale-stress")
     spark.sparkContext.setLogLevel("ERROR")
