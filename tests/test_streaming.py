@@ -529,3 +529,83 @@ def test_foreachbatch_merge_ignores_partial_version_dir(spark, tmp_path):
         for r in final.collect()
     }
     assert got == {1: (2, 15.0), 2: (1, 1.0), 3: (1, 7.0)}
+
+
+def test_file_sink_metadata_log_feeds_selective_stream(spark, sf_dir, tmp_path):
+    """s16→s17 composition through the STREAMING face (r4 verdict item 6):
+    the s16 file sink's _spark_metadata commit log must govern BOTH ways
+    the sink directory is consumed — a batch read AND a downstream
+    readStream (the s17-style selective-ingestion face). An orphan
+    parquet file planted in the sink dir (the debris of a micro-batch
+    that died before committing) must be invisible to both consumers;
+    a naive directory listing would double-count it.
+    """
+    import os
+    import shutil
+
+    from mric_bak_etl_spark.streaming.windows import stream_events
+
+    out = str(tmp_path / "s16_sink")
+    ckpt = str(tmp_path / "s16_ckpt")
+    q = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("value") >= 50)
+        .select("event_id", "event_type", "value")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert os.path.isdir(os.path.join(out, "_spark_metadata"))
+
+    expected = (
+        spark.read.parquet(out)
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("tv"))
+        .collect()[0]
+    )
+
+    # Plant the orphan: copy a committed part file under an uncommitted
+    # name — real rows, real footer, absent from _spark_metadata.
+    part = next(
+        f for f in os.listdir(out)
+        if f.startswith("part-") and f.endswith(".parquet")
+    )
+    shutil.copy(
+        os.path.join(out, part),
+        os.path.join(out, "part-99999-deadbeef-orphan.snappy.parquet"),
+    )
+
+    # Batch consumer: the log, not the listing, defines the table.
+    after = (
+        spark.read.parquet(out)
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("tv"))
+        .collect()[0]
+    )
+    assert (after["n"], after["tv"]) == (expected["n"], expected["tv"])
+
+    # Streaming consumer (s17 face): a second AvailableNow stream reads
+    # the sink dir — FileStreamSource detects the upstream FileStreamSink
+    # log and enumerates COMMITTED files from it. foreachBatch counts
+    # what actually arrived.
+    seen = {"n": 0, "tv": 0.0}
+
+    def absorb(df, batch_id: int) -> None:
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("value").alias("tv")
+        ).collect()[0]
+        seen["n"] += row["n"] or 0
+        seen["tv"] += row["tv"] or 0.0
+
+    q2 = (
+        spark.readStream.schema("event_id long, event_type string, value double")
+        .parquet(out)
+        .writeStream.foreachBatch(absorb)
+        .option("checkpointLocation", str(tmp_path / "s17_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+    assert seen["n"] == expected["n"]
+    assert round(seen["tv"], 4) == expected["tv"]
