@@ -87,6 +87,8 @@ HEADLINE = [
     "g5_user_pagerank",     # distributed PageRank on the user graph (no driver collect)
     "l29_exact_substring_dedup",  # window-hash exact-substring dedup (bucket join)
     "e9_sequence_pattern",  # CEP regex over per-user event strings (one shuffle)
+    # round-5 additions
+    "l38_incremental_exact_dedup",  # new-batch-vs-corpus-index dedup (no old x old)
 ]
 
 

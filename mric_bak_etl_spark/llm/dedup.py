@@ -1150,3 +1150,110 @@ def substring_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+@register(
+    "l38_incremental_exact_dedup",
+    oracle="""
+    WITH corpus_h AS (SELECT DISTINCT md5(text) AS h FROM documents),
+    newbatch AS (
+      SELECT doc_id + 2000000 AS new_id, text
+      FROM documents WHERE doc_id % 10 = 3
+      UNION ALL
+      SELECT doc_id + 3000000, text || ' rev'
+      FROM documents WHERE doc_id % 10 = 7
+      UNION ALL
+      SELECT doc_id + 4000000, text || ' rev'
+      FROM documents WHERE doc_id % 10 = 7
+      UNION ALL
+      SELECT doc_id + 5000000, text || ' v2'
+      FROM documents WHERE doc_id % 10 = 5
+    ),
+    hashed AS (SELECT new_id, md5(text) AS h FROM newbatch),
+    classified AS (
+      SELECT new_id,
+             CASE WHEN h IN (SELECT h FROM corpus_h) THEN 'dup_corpus'
+                  WHEN new_id <> min(new_id) OVER (PARTITION BY h)
+                       THEN 'dup_batch'
+                  ELSE 'kept' END AS status
+      FROM hashed
+    )
+    SELECT status,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           min(new_id)              AS min_doc_id,
+           max(new_id)              AS max_doc_id
+    FROM classified
+    GROUP BY status
+    ORDER BY status
+    """,
+    doc="L38: INCREMENTAL exact dedup — the recurring-crawl shape l1 "
+    "doesn't cover: a new batch arrives and must be deduped (a) "
+    "against the existing corpus and (b) within itself, WITHOUT ever "
+    "re-pairing old-vs-old. The corpus participates only as a "
+    "content-hash INDEX (distinct md5, hash-sized rows — at 100 TB a "
+    "persisted table bucketed on the hash, so each increment shuffles "
+    "only the NEW batch into the index's layout; the corpus is never "
+    "rescanned past its one index build and never self-joins). "
+    "Classification is one left join against the index (dup_corpus) "
+    "plus one window-min over the batch's own hashes (dup_batch vs "
+    "kept, deterministic min-id keeper as in l1) — the join and the "
+    "window share the hash-key exchange. Per-increment cost is "
+    "O(|new| + index probe), the property that makes daily dedup of "
+    "a growing 100 TB corpus affordable; the same index-probe shape "
+    "extends to MinHash bands for incremental NEAR-dup (l2's bucket "
+    "table becomes the index). Fixture: re-shipped exact copies "
+    "(dup_corpus), a twice-shipped revision (one kept, one "
+    "dup_batch), and fresh revisions (kept), all id-shifted into "
+    "fixture-only ranges.",
+    tags=("llm", "dedup"),
+)
+def incremental_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus_h = d.select(F.md5("text").alias("h")).distinct()
+    newbatch = (
+        d.filter(F.col("doc_id") % 10 == 3)
+        .select((F.col("doc_id") + 2_000_000).alias("new_id"), "text")
+        .unionByName(
+            d.filter(F.col("doc_id") % 10 == 7).select(
+                (F.col("doc_id") + 3_000_000).alias("new_id"),
+                F.concat("text", F.lit(" rev")).alias("text"),
+            )
+        )
+        .unionByName(
+            d.filter(F.col("doc_id") % 10 == 7).select(
+                (F.col("doc_id") + 4_000_000).alias("new_id"),
+                F.concat("text", F.lit(" rev")).alias("text"),
+            )
+        )
+        .unionByName(
+            d.filter(F.col("doc_id") % 10 == 5).select(
+                (F.col("doc_id") + 5_000_000).alias("new_id"),
+                F.concat("text", F.lit(" v2")).alias("text"),
+            )
+        )
+    )
+    hashed = newbatch.select("new_id", F.md5("text").alias("h"))
+    marked = hashed.join(
+        corpus_h.withColumn("in_corpus", F.lit(True)), "h", "left"
+    )
+    status = (
+        F.when(F.col("in_corpus"), "dup_corpus")
+        .when(
+            F.col("new_id")
+            != F.min("new_id").over(Window.partitionBy("h")),
+            "dup_batch",
+        )
+        .otherwise("kept")
+    )
+    return (
+        marked.select("new_id", status.alias("status"))
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("new_id").alias("min_doc_id"),
+            F.max("new_id").alias("max_doc_id"),
+        )
+        .orderBy("status")
+    )
