@@ -112,7 +112,7 @@ def all_specs() -> dict[str, QuerySpec]:
 _VERIFY_FIRST: tuple[str, ...] = (
     "a1_pricing_summary",
     "f28_variant_bronze_silver", "t12_sink_log_handoff",
-    "l38_incremental_exact_dedup",
+    "l38_incremental_exact_dedup", "l39_incremental_jaccard_neardup",
     "l2_minhash_lsh", "l2c_simhash",
     "l2d_embedding_neardup", "l2e_dup_clusters", "m2_feature_extract",
     "m3_frame_sample", "m4_resize", "m5_binary_dedup",

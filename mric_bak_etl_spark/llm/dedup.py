@@ -1257,3 +1257,119 @@ def incremental_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status")
     )
+
+
+_L39_SHINGLE_SQL = """list_distinct(list_transform(
+               range(1, greatest(len(string_split_regex(text, '\\s+')) - 2, 1) + 1),
+               i -> array_to_string(string_split_regex(text, '\\s+')[i:i+2], ' ')
+             ))"""
+
+
+@register(
+    "l39_incremental_jaccard_neardup",
+    oracle=f"""
+    WITH nb AS (
+      SELECT doc_id + 6000000 AS new_id,
+             array_to_string(
+               string_split_regex(text, '\\s+')
+                 [1:greatest(len(string_split_regex(text, '\\s+')) - 5, 1)],
+               ' ') AS text
+      FROM documents WHERE doc_id % 10 = 1
+      UNION ALL
+      SELECT doc_id + 7000000,
+             'fresh content ' || doc_id || ' entirely new tokens'
+      FROM documents WHERE doc_id % 10 = 9
+    ),
+    c_sh AS (
+      SELECT doc_id AS match_doc, {_L39_SHINGLE_SQL} AS sh FROM documents
+    ),
+    n_sh AS (SELECT new_id, {_L39_SHINGLE_SQL} AS sh FROM nb),
+    c_inv AS (SELECT match_doc, unnest(sh) AS shingle FROM c_sh),
+    n_inv AS (SELECT new_id, unnest(sh) AS shingle FROM n_sh),
+    common AS (
+      SELECT n.new_id, c.match_doc, count(*) AS n_common
+      FROM n_inv n JOIN c_inv c ON n.shingle = c.shingle
+      GROUP BY n.new_id, c.match_doc
+    )
+    SELECT new_id, match_doc,
+           round(CAST(n_common AS DOUBLE)
+                 / (len(na.sh) + len(cb.sh) - n_common), 4) AS jaccard
+    FROM common
+    JOIN n_sh na USING (new_id)
+    JOIN c_sh cb USING (match_doc)
+    WHERE round(CAST(n_common AS DOUBLE)
+                / (len(na.sh) + len(cb.sh) - n_common), 4) >= 0.5
+    ORDER BY new_id, match_doc
+    """,
+    doc="L39: INCREMENTAL near-dup — l38's index-probe shape applied to "
+    "n-gram Jaccard: the corpus participates as a persisted SHINGLE "
+    "inverted index, and only new-batch shingles probe it — every "
+    "candidate pair is new-vs-corpus, the corpus NEVER self-joins "
+    "(contrast l2b, which pairs the whole corpus against itself; on a "
+    "daily crawl over a 100 TB corpus, old-vs-old re-pairing is the "
+    "cost that kills the naive plan). Result is EXACT set-overlap "
+    "Jaccard >= 0.5 on the probed pairs — deterministic and fully "
+    "oracle-able, unlike LSH-pruned variants (recall < 1 by design); "
+    "at scale the same probe runs on l2's MinHash BAND index first "
+    "and this exact join verifies only band survivors. Fixture: "
+    "truncated revisions of every doc_id%10==1 doc (must match their "
+    "source) plus synthetic fresh docs (must match nothing), in "
+    "fixture-only id ranges. One shuffle joins the probe to the "
+    "index on shingle; sizes join back at pair grain.",
+    tags=("llm", "dedup"),
+)
+def incremental_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mric_bak_etl_spark.tables import materialize
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus_sh = materialize(
+        d.select(F.col("doc_id").alias("match_doc"), shingles().alias("sh"))
+    )
+    c_sizes = corpus_sh.select("match_doc", F.size("sh").alias("n_b"))
+    c_inv = corpus_sh.select("match_doc", F.explode("sh").alias("shingle"))
+
+    nb = (
+        d.filter(F.col("doc_id") % 10 == 1)
+        .select(
+            (F.col("doc_id") + 6_000_000).alias("new_id"),
+            F.array_join(
+                F.slice(
+                    tokens(), 1, F.greatest(F.size(tokens()) - 5, F.lit(1))
+                ),
+                " ",
+            ).alias("text"),
+        )
+        .unionByName(
+            d.filter(F.col("doc_id") % 10 == 9).select(
+                (F.col("doc_id") + 7_000_000).alias("new_id"),
+                F.concat(
+                    F.lit("fresh content "),
+                    F.col("doc_id").cast("string"),
+                    F.lit(" entirely new tokens"),
+                ).alias("text"),
+            )
+        )
+    )
+    nb_sh = materialize(nb.select("new_id", shingles().alias("sh")))
+    n_sizes = nb_sh.select("new_id", F.size("sh").alias("n_a"))
+    n_inv = nb_sh.select("new_id", F.explode("sh").alias("shingle"))
+
+    common = (
+        n_inv.join(c_inv, "shingle")
+        .groupBy("new_id", "match_doc")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = (
+        common.join(n_sizes, "new_id")
+        .join(c_sizes, "match_doc")
+        .select(
+            "new_id",
+            "match_doc",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+    return jac.filter(F.col("jaccard") >= 0.5).orderBy("new_id", "match_doc")
