@@ -32,7 +32,13 @@ better, <1 means Spark beats single-threaded DuckDB). Both engines see
 the same host weather, so the ratio is steal-time-invariant and is the
 number to compare ACROSS rounds; absolute seconds remain the
 within-round signal. Queries without an oracle (engine-specific
-sketches) report no ratio.
+sketches) report no ratio. Interpretation at fixture scale: ratios are
+meaningful where Spark wall is well above its ~0.3-0.7 s fixed
+stage/scheduling overhead — the heavy queries (w3, l29, g4, l19) land
+at 1-2.4x single-threaded DuckDB at sf0.1 — while sub-second queries
+show inflated ratios that are pure fixed overhead over DuckDB's
+millisecond plans; those converge toward the heavy-query band as SF
+grows (the sf0.1 vs sf0.01 spread demonstrates exactly that).
 """
 
 from __future__ import annotations

@@ -245,3 +245,63 @@ def test_exact_substring_dedup_planted(spark, tmp_path):
         r["cluster_id"]: (r["n_members"], r["max_member"]) for r in cl
     }
     assert clusters == {1: (2, 2)}, clusters
+
+
+def test_incremental_dedup_planted_classes(spark, sf_dir):
+    """l38/l39 ground truth by construction: every fixture class must
+    land in exactly its intended bucket — the parity test proves
+    engine-equality, this proves both engines compute the RIGHT thing.
+    """
+    from mric_bak_etl_spark.catalog import all_specs
+
+    # l38: re-shipped copies of %10==3 docs → all dup_corpus; the
+    # twice-shipped ' rev' revisions → one kept + one dup_batch per
+    # source doc; the ' v2' revisions → kept.
+    rows = {
+        r["status"]: r
+        for r in all_specs()["l38_incremental_exact_dedup"]
+        .builder(spark, sf_dir)
+        .collect()
+    }
+    d = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .selectExpr(
+            "sum(case when doc_id % 10 = 3 then 1 else 0 end) AS n3",
+            "sum(case when doc_id % 10 = 7 then 1 else 0 end) AS n7",
+            "sum(case when doc_id % 10 = 5 then 1 else 0 end) AS n5",
+        )
+        .collect()[0]
+    )
+    assert rows["dup_corpus"]["n_docs"] == d["n3"]
+    # per ' rev' hash: min new_id (+3M range) kept, max (+4M) dropped —
+    # unless two base texts collide, which the fixtures don't have.
+    assert rows["dup_batch"]["n_docs"] == d["n7"]
+    assert rows["kept"]["n_docs"] == d["n7"] + d["n5"]
+    assert rows["dup_batch"]["min_doc_id"] >= 4_000_000
+
+    # l39: every truncated %10==1 doc must match its own source doc
+    # (the planted pair), and no synthetic fresh doc (+7M) may match
+    # anything.
+    pairs = (
+        all_specs()["l39_incremental_jaccard_neardup"]
+        .builder(spark, sf_dir)
+        .collect()
+    )
+    new_ids = {r["new_id"] for r in pairs}
+    assert all(nid < 7_000_000 for nid in new_ids), "fresh doc matched"
+    planted = {(r["new_id"], r["match_doc"]) for r in pairs}
+    # The >=0.5 guarantee only holds when truncation keeps most
+    # shingles: n tokens -> n-2 shingles, truncated -> n-7, so
+    # jaccard ~ (n-7)/(n-2) >= 0.5 needs n >= 12; require 16 for slack
+    # against array_distinct shrinkage on repetitive texts.
+    n1 = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter("doc_id % 10 = 1 AND size(split(text, '\\s+')) >= 16")
+        .selectExpr("collect_list(doc_id) AS ids")
+        .collect()[0]["ids"]
+    )
+    assert len(n1) > 0
+    missing = [
+        i for i in n1 if (i + 6_000_000, i) not in planted
+    ]
+    assert not missing, f"truncated docs missed their source: {missing[:5]}"

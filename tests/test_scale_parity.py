@@ -51,6 +51,11 @@ SCALE_SLICE = [
     "w9_rolling_regression",
     "e11_cohort_ltv",
     "l35_epoch_ordering",
+    # round-5 incremental dedup: the corpus-side hash/shingle index is
+    # what grows 10x; the probe must stay correct (and new-batch-sized)
+    # when the index side stops broadcasting.
+    "l38_incremental_exact_dedup",
+    "l39_incremental_jaccard_neardup",
 ]
 
 
