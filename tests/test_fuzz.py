@@ -402,3 +402,106 @@ def test_random_range_frame_plans_agree(spark, duck, sf_dir, case):
     assert_frames_match(
         spark.sql(sql).toPandas(), duck.execute(sql).df(), f"fuzz[{sql}]"
     )
+
+
+# --- VARIANT structural-typing grammar (f28's subtle core) ------------------
+# f28's silver gate depends on schema_of_variant agreeing with DuckDB's
+# json_type about what KIND of JSON value sits at a path. This grammar
+# generates random payloads (nested dicts/lists/scalars, JSON-rendered
+# once and fed verbatim to both engines) and pins the taxonomy mapping:
+#   Spark BIGINT                -> int    <- DuckDB UBIGINT/BIGINT
+#   Spark DECIMAL(p,s)/DOUBLE   -> float  <- DuckDB DOUBLE
+#   Spark STRING/BOOLEAN        -> ...    (direct)
+#   Spark VOID / SQL NULL       -> null / missing (json null vs absent key)
+#   Spark ARRAY<...>/OBJECT<...> -> array/object (DuckDB bare ARRAY/OBJECT)
+# Spark parses non-exponent decimals as DECIMAL and exponent forms as
+# DOUBLE while DuckDB calls both DOUBLE — both are "float" to a
+# structural gate, which is exactly the kind of cross-engine taxonomy
+# fact a hand-written oracle can bake in wrong. Ints stay inside int64:
+# larger literals legitimately diverge (Spark DECIMAL(20,0) vs DuckDB
+# UBIGINT) and a gate that needs them needs a wider contract.
+
+VARIANT_SCALARS = st.one_of(
+    st.integers(min_value=-(10**15), max_value=10**15),
+    st.floats(allow_nan=False, allow_infinity=False, width=64),
+    st.text(alphabet="abc xyz09_", max_size=8),
+    st.booleans(),
+    st.none(),
+)
+VARIANT_VALUES = st.one_of(
+    VARIANT_SCALARS,
+    st.lists(VARIANT_SCALARS, max_size=3),
+    st.dictionaries(
+        st.sampled_from(["a", "b"]), VARIANT_SCALARS, max_size=2
+    ),
+)
+VARIANT_CASES = st.dictionaries(
+    st.sampled_from(["k", "j"]), VARIANT_VALUES, max_size=2
+)
+
+
+def _cls_spark(t: str | None) -> str:
+    if t is None:
+        return "missing"
+    if t == "VOID":
+        return "null"
+    if t == "BIGINT":
+        return "int"
+    if t == "DOUBLE" or t.startswith("DECIMAL"):
+        return "float"
+    if t == "STRING":
+        return "string"
+    if t == "BOOLEAN":
+        return "bool"
+    if t.startswith("ARRAY"):
+        return "array"
+    if t.startswith("OBJECT"):
+        return "object"
+    return f"?spark:{t}"
+
+
+def _cls_duck(t: str | None) -> str:
+    if t is None:
+        return "missing"
+    return {
+        "NULL": "null",
+        "UBIGINT": "int",
+        "BIGINT": "int",
+        "DOUBLE": "float",
+        "VARCHAR": "string",
+        "BOOLEAN": "bool",
+        "ARRAY": "array",
+        "OBJECT": "object",
+    }.get(t, f"?duck:{t}")
+
+
+@FUZZ_SETTINGS
+@given(case=VARIANT_CASES)
+def test_random_variant_payload_typing_agrees(spark, duck, case):
+    import json
+
+    from pyspark.sql import functions as F
+
+    payload = json.dumps(case)
+    row = (
+        spark.createDataFrame([(payload,)], "p string")
+        .select(
+            F.expr(
+                "schema_of_variant(variant_get(parse_json(p), '$.k'))"
+            ).alias("t"),
+            F.expr("try_variant_get(parse_json(p), '$.k', 'long')").alias(
+                "k_long"
+            ),
+        )
+        .collect()[0]
+    )
+    duck_t, duck_long = duck.execute(
+        "SELECT json_type(?::JSON, '$.k'),"
+        " CASE WHEN json_type(?::JSON, '$.k') IN ('UBIGINT', 'BIGINT')"
+        " THEN CAST(json_extract(?::JSON, '$.k') AS BIGINT) END",
+        [payload, payload, payload],
+    ).fetchone()
+    got, want = _cls_spark(row["t"]), _cls_duck(duck_t)
+    assert got == want, f"{payload}: spark {row['t']} -> {got}, duck {duck_t} -> {want}"
+    if want == "int":
+        assert row["k_long"] == duck_long, payload
