@@ -48,6 +48,14 @@ REPRESENTATIVES = [
     "g5_user_pagerank",
     "l29_exact_substring_dedup",
     "q9_merge_upsert",
+    # round-5: the incremental index-probe pair — the hash/shingle index
+    # join is exactly the join whose physical strategy flips when the
+    # index side crosses the broadcast threshold, so the no_broadcast
+    # and shuffle_hash scenarios are its production shapes; plus the
+    # VARIANT structural gate under the interpreted (no_codegen) path.
+    "l38_incremental_exact_dedup",
+    "l39_incremental_jaccard_neardup",
+    "f28_variant_bronze_silver",
 ]
 
 SCENARIOS = {
