@@ -505,3 +505,90 @@ def test_random_variant_payload_typing_agrees(spark, duck, case):
     assert got == want, f"{payload}: spark {row['t']} -> {got}, duck {duck_t} -> {want}"
     if want == "int":
         assert row["k_long"] == duck_long, payload
+
+
+# --- as-of join grammar (custom operator vs native ASOF) --------------------
+# j6's asof_join is a CUSTOM operator (union + window carry-forward —
+# Spark has no native as-of), so its semantics deserve fuzzing, not just
+# one fixture: random (left type, right type, value filters) instances
+# must match DuckDB's native ASOF LEFT JOIN row-for-row. The right side
+# is deduped to one row per (user_id, ts) in BOTH engines first: at
+# equal timestamps both the window carry-forward and native ASOF pick
+# an unspecified member, so tie-freedom is part of the operator's
+# documented contract, not something the fuzzer papers over.
+
+EVENT_TYPES = ["click", "signup", "error", "view", "purchase"]
+
+ASOF_CASES = st.fixed_dictionaries(
+    {
+        "pair": st.sampled_from(
+            [(a, b) for a in EVENT_TYPES for b in EVENT_TYPES if a != b]
+        ),
+        "lmin": st.one_of(st.none(), st.integers(min_value=5, max_value=90)),
+        "rmax": st.one_of(st.none(), st.integers(min_value=10, max_value=95)),
+    }
+)
+
+
+@FUZZ_SETTINGS
+@given(case=ASOF_CASES)
+def test_random_asof_joins_agree(spark, duck, sf_dir, case):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from mric_bak_etl_spark.operators.joins import asof_join
+    from mric_bak_etl_spark.tables import load_table
+    from test_oracle_parity import assert_frames_match
+
+    ltype, rtype = case["pair"]
+    lpred = f"AND value > {case['lmin']}" if case["lmin"] is not None else ""
+    rpred = f"AND value <= {case['rmax']}" if case["rmax"] is not None else ""
+
+    ev = load_table(spark, sf_dir, "events")
+    lft = ev.filter(F.col("event_type") == ltype)
+    if case["lmin"] is not None:
+        lft = lft.filter(F.col("value") > case["lmin"])
+    lft = lft.select("user_id", "event_id", "ts")
+    r0 = ev.filter(F.col("event_type") == rtype)
+    if case["rmax"] is not None:
+        r0 = r0.filter(F.col("value") <= case["rmax"])
+    rw = Window.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+    rgt = (
+        r0.select("user_id", "event_id", "ts")
+        .withColumn("rn", F.row_number().over(rw))
+        .filter("rn = 1")
+        .drop("rn")
+    )
+    got = (
+        asof_join(
+            lft, rgt, key="user_id", left_ts="ts", right_ts="ts",
+            right_cols=["event_id", "ts"],
+        )
+        .orderBy("event_id")
+        .toPandas()
+    )
+    want = duck.execute(
+        f"""
+        WITH lft AS (
+          SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+          FROM events WHERE event_type = '{ltype}' {lpred}
+        ),
+        r0 AS (
+          SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+          FROM events WHERE event_type = '{rtype}' {rpred}
+        ),
+        rgt AS (
+          SELECT user_id, event_id, ts FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+            FROM r0)
+          WHERE rn = 1
+        )
+        SELECT l.user_id, l.event_id, l.ts,
+               r.event_id AS right_event_id, r.ts AS right_ts
+        FROM lft l ASOF LEFT JOIN rgt r
+          ON l.user_id = r.user_id AND l.ts >= r.ts
+        ORDER BY l.event_id
+        """
+    ).df()
+    assert_frames_match(got, want, f"asof[{ltype}->{rtype},{lpred},{rpred}]")
