@@ -1210,7 +1210,13 @@ def substring_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def incremental_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # spread(): single-row-group fixture parquet scans as ONE task; the
+    # md5-over-text stage must fan out to engine parallelism first (the
+    # l29/corpus_with_near_dups idiom).
+    d = spread(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        "doc_id",
+    )
     corpus_h = d.select(F.md5("text").alias("h")).distinct()
     newbatch = (
         d.filter(F.col("doc_id") % 10 == 3)
@@ -1321,7 +1327,12 @@ _L39_SHINGLE_SQL = """list_distinct(list_transform(
 def incremental_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mric_bak_etl_spark.tables import materialize
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # spread() before the shingle explode — the CPU-dense stage must not
+    # be bounded by the fixture's single input split (l29 idiom).
+    d = spread(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        "doc_id",
+    )
     corpus_sh = materialize(
         d.select(F.col("doc_id").alias("match_doc"), shingles().alias("sh"))
     )
