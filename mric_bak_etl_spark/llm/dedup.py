@@ -495,10 +495,24 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "dedup", "vector"),
 )
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings").select(
+    # Norms are hoisted to per-ROW columns before the self-join: inside
+    # the join they would be re-evaluated per PAIR (~|block| times per
+    # row), and higher-order lambdas run interpreted, outside codegen —
+    # measured 9.6 s -> ~4.6 s at sf0.1 with the identical expressions
+    # (same aggregate lambda, same evaluation order, bit-identical
+    # cosine). Only the pair-grain dot product remains in the join.
+    raw = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         "label",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    e = raw.select(
+        "vec_id",
+        "label",
+        "v",
+        F.sqrt(
+            F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x)
+        ).alias("nrm"),
     )
     a = e.alias("a")
     b = e.alias("b")
@@ -507,10 +521,7 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    norm = lambda side: F.sqrt(  # noqa: E731
-        F.aggregate(F.col(f"{side}.v"), F.lit(0.0), lambda acc, x: acc + x * x)
-    )
-    cos = F.round(dot / (norm("a") * norm("b")), 4)
+    cos = F.round(dot / (F.col("a.nrm") * F.col("b.nrm")), 4)
     return (
         a.join(
             b,
