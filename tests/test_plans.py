@@ -753,3 +753,18 @@ def test_null_skew_join_filters_nulls_before_shuffle(spark, sf_dir):
     low = plan.lower()
     assert "isnotnull(o_custkey" in low, plan[:600]
     assert "isnull(o_custkey" in low, plan[:600]
+
+
+def test_incremental_dedup_plans_are_hash_joins(catalog_plan):
+    # l38/l39 sell the "index probe" story: the new batch must meet the
+    # corpus index through hash joins (broadcast or shuffled) — a
+    # nested-loop or cartesian anywhere means the probe degenerated to
+    # pairwise comparison, the exact plan shape these operators exist
+    # to avoid.
+    for name in (
+        "l38_incremental_exact_dedup",
+        "l39_incremental_jaccard_neardup",
+    ):
+        plan = catalog_plan(name)
+        assert "NestedLoop" not in plan, name
+        assert "CartesianProduct" not in plan, name
