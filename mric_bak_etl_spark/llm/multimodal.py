@@ -228,13 +228,16 @@ def grouped_pandas_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         return pd.DataFrame(
             {
                 "lang": [pdf["lang"].iloc[0]],
-                "weighted_chars": [round((pdf["n_chars"] * w).sum() / w.sum(), 4)],
+                # Raw mean; F.round below (half-away, matching the
+                # oracle) — Python round() is banker's (the x10 lesson).
+                "weighted_chars": [(pdf["n_chars"] * w).sum() / w.sum()],
             }
         )
 
     return (
         d.groupBy("lang")
         .applyInPandas(weighted, schema="lang string, weighted_chars double")
+        .select("lang", F.round("weighted_chars", 4).alias("weighted_chars"))
         .orderBy("lang")
     )
 
@@ -307,11 +310,15 @@ def scalar_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @pandas_udf("double")
     def length_score(n_chars: pd.Series) -> pd.Series:
-        return np.round(1.0 / (1.0 + np.exp(-(n_chars - 250.0) / 100.0)), 6)
+        # Raw score; np.round is half-to-even — quantize via F.round.
+        return 1.0 / (1.0 + np.exp(-(n_chars - 250.0) / 100.0))
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
     return (
-        d.select("doc_id", length_score("n_chars").alias("length_score"))
+        d.select(
+            "doc_id",
+            F.round(length_score("n_chars"), 6).alias("length_score"),
+        )
         .orderBy("doc_id")
         .limit(100)
     )
@@ -618,11 +625,14 @@ def arrow_python_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @udf(returnType="double", useArrow=True)
     def log_score(n_chars: int) -> float:
-        return round(math.log(1.0 + n_chars) * 100, 4)
+        # Raw score; Python round() is banker's — quantize via F.round.
+        return math.log(1.0 + n_chars) * 100
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
     return (
-        d.select("doc_id", log_score("n_chars").alias("log_score"))
+        d.select(
+            "doc_id", F.round(log_score("n_chars"), 4).alias("log_score")
+        )
         .orderBy("doc_id")
         .limit(100)
     )
@@ -660,11 +670,14 @@ def iter_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         # NOT once per batch.
         center, scale = 250.0, 100.0
         for n_chars in batches:
-            yield np.round((n_chars - center) / scale, 6)
+            # Raw value; np.round is half-to-even — F.round quantizes.
+            yield (n_chars - center) / scale
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
     return (
-        d.select("doc_id", scaled_len("n_chars").alias("scaled_len"))
+        d.select(
+            "doc_id", F.round(scaled_len("n_chars"), 6).alias("scaled_len")
+        )
         .orderBy("doc_id")
         .limit(100)
     )

@@ -52,8 +52,12 @@ def running_totals(
         n += len(pdf)
         total += float(pdf["value"].sum())
     state.update((n, total))
+    # Emit the RAW total: quantization happens in the consumer's Spark
+    # projection via F.round (half-away, like the DuckDB oracle) — a
+    # Python round() here is banker's rounding and diverges on exact
+    # .xxxx5 ties (the x10 lesson, applied across every UDF stage).
     yield pd.DataFrame(
-        {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 4)]}
+        {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
     )
 
 
@@ -114,7 +118,11 @@ def stateful_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         sink.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select("user_id", "n_events", "total_value")
+        .select(
+            "user_id",
+            "n_events",
+            F.round("total_value", 4).alias("total_value"),
+        )
         .orderBy("user_id")
     )
 
@@ -155,11 +163,12 @@ class UserTotalsProcessor:
                     n += len(pdf)
                     total += float(pdf["value"].sum())
                 self._totals.update((n, total))
+                # Raw total; F.round in the consumer (see running_totals).
                 yield pd.DataFrame(
                     {
                         "user_id": [key[0]],
                         "n_events": [n],
-                        "total_value": [round(total, 4)],
+                        "total_value": [total],
                     }
                 )
 
@@ -218,7 +227,11 @@ def transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         sink.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select("user_id", "n_events", "total_value")
+        .select(
+            "user_id",
+            "n_events",
+            F.round("total_value", 4).alias("total_value"),
+        )
         .orderBy("user_id")
     )
 
