@@ -13,6 +13,10 @@ above. Results land in SCALE.md (manual; not part of the test suite —
 this is a ~minutes experiment, run when plans change).
 
 Usage: python scripts/scale_stress.py [out_dir]
+       python scripts/scale_stress.py --highdup [out_dir] [n_base]
+The --highdup mode builds the l29-vs-l32 crossover corpus (n_base
+clusters x 45 copies, k just under L29_STOP_CAP) and times both
+queries on it; SCALE.md's round-5 section records the results.
 """
 
 from __future__ import annotations
