@@ -435,14 +435,19 @@ def map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
                 [
                     batch.column(batch.schema.get_field_index("vec_id")),
                     batch.column(batch.schema.get_field_index("label")),
-                    pa.array(np.round(sums, 4), type=pa.float64()),
+                    # Raw sums; np.round is half-to-even — F.round below.
+                    pa.array(sums, type=pa.float64()),
                 ],
                 names=["vec_id", "label", "sq_norm"],
             )
 
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
     out = e.mapInArrow(sq_norms, "vec_id long, label int, sq_norm double")
-    return out.orderBy("vec_id").limit(100)
+    return (
+        out.select("vec_id", "label", F.round("sq_norm", 4).alias("sq_norm"))
+        .orderBy("vec_id")
+        .limit(100)
+    )
 
 
 @register(

@@ -768,3 +768,40 @@ def test_incremental_dedup_plans_are_hash_joins(catalog_plan):
         plan = catalog_plan(name)
         assert "NestedLoop" not in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_python_round_only_in_l33_clamp():
+    # Convention guard (r4 advice, applied repo-wide in r5): output
+    # quantization happens via F.round in Spark projections (half-away,
+    # matching DuckDB); Python round()/np.round() are banker's rounding
+    # and diverge on exact ties. The ONLY sanctioned Python-side rounds
+    # are l33's three 12dp gradient clamps (documented tie-case
+    # residual in llm/sampling.py). AST-walk sees real calls only, so
+    # SQL-oracle strings full of round() don't false-positive.
+    import ast
+    from collections import Counter
+
+    root = Path(__file__).resolve().parents[1] / "mric_bak_etl_spark"
+    hits = Counter()
+    for p in sorted(root.rglob("*.py")):
+        tree = ast.parse(p.read_text())
+        for node in ast.walk(tree):
+            if not isinstance(node, ast.Call):
+                continue
+            f = node.func
+            bare = isinstance(f, ast.Name) and f.id == "round"
+            np_round = (
+                isinstance(f, ast.Attribute)
+                and f.attr == "round"
+                and isinstance(f.value, ast.Name)
+                and f.value.id == "np"
+            )
+            if bare or np_round:
+                hits[p.name] += 1
+    # multimodal.py's two sanctioned rounds live inside m2's
+    # deterministic FAKE feature generator (rows-only query, no oracle
+    # to diverge from — the round is part of the synthetic data, not
+    # output quantization).
+    assert hits == Counter({"sampling.py": 3, "multimodal.py": 2}), (
+        f"Python-side round() outside the sanctioned sites: {dict(hits)}"
+    )
