@@ -140,53 +140,108 @@ def main() -> None:
     # per-query ratio cancels host steal-time (see r5 bench note).
     # Single-threaded DuckDB is the honest "one good core" baseline;
     # warm-up once, then min of 2 measured runs mirrors the Spark side.
-    import duckdb  # noqa: E402
-
-    con = duckdb.connect()
-    con.execute("SET threads TO 1")
-    for t in (
-        "region nation customer supplier part orders "
-        "lineitem events documents embeddings"
-    ).split():
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-        )
+    # The entire block is best-effort: the ratio is diagnostic and must
+    # never cost the bench line (r5 ADVICE — a view-creation failure
+    # previously aborted after all Spark timings were collected).
     duck_timings: dict[str, float] = {}
-    for name in names:
-        oracle = specs[name].oracle
-        if oracle is None:
-            continue
-        try:
-            con.execute(oracle).fetchall()  # warm (parquet metadata, plan)
-            best = None
-            for _ in range(2):
-                start = time.perf_counter()
-                con.execute(oracle).fetchall()
-                elapsed = time.perf_counter() - start
-                if best is None or elapsed < best:
-                    best = elapsed
-            duck_timings[name] = round(best, 3)
-        except Exception:
-            continue  # ratio is diagnostic; never fail the bench line
+    try:
+        import duckdb  # noqa: E402
+
+        con = duckdb.connect()
+        con.execute("SET threads TO 1")
+        for t in (
+            "region nation customer supplier part orders "
+            "lineitem events documents embeddings"
+        ).split():
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+            )
+        for name in names:
+            oracle = specs[name].oracle
+            if oracle is None:
+                continue
+            try:
+                con.execute(oracle).fetchall()  # warm (metadata, plan)
+                best = None
+                for _ in range(2):
+                    start = time.perf_counter()
+                    con.execute(oracle).fetchall()
+                    elapsed = time.perf_counter() - start
+                    if best is None or elapsed < best:
+                        best = elapsed
+                duck_timings[name] = round(best, 3)
+            except Exception:
+                continue
+    except Exception:
+        duck_timings = {}
     ratios = {
         n: round(timings[n] / duck_timings[n], 3)
         for n in duck_timings
         if duck_timings[n] > 0
     }
 
-    print(
-        json.dumps(
+    # Full detail (per-query DuckDB seconds, all ratios) goes to a side
+    # file; stdout gets ONE compact machine line, printed LAST. The
+    # driver tail-captures only ~2000 chars of stdout — BENCH_r05's line
+    # grew past that and parsed as null — so the stdout line carries
+    # per-query Spark seconds plus ratios only for queries whose Spark
+    # wall is >= 1 s (the regime where the ratio is meaningful; see the
+    # interpretation note above), ratios at 1 dp.
+    detail = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "duck_sec": duck_timings,
+        "spark_over_duck": ratios,
+    }
+    try:
+        side = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"
+        )
+        with open(side, "w") as fh:
+            json.dump(detail, fh, indent=1)
+    except Exception:
+        pass  # side file is informational only
+    heavy_ratios = {
+        n: round(r, 1)
+        for n, r in ratios.items()
+        if timings.get(n, 0.0) >= 1.0
+    }
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total_runtime",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+            "spark_over_duck_heavy": heavy_ratios,
+        },
+        separators=(",", ":"),
+    )
+    if len(line) > 1800:  # hard budget: shed detail, never the headline
+        line = json.dumps(
             {
                 "metric": "headline_queries_total_runtime",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": {n: round(t, 2) for n, t in timings.items()},
                 "sf": sf,
-                "duck_sec": duck_timings,
-                "spark_over_duck": ratios,
-            }
+            },
+            separators=(",", ":"),
         )
-    )
+    if len(line) > 1800:
+        line = json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "sf": sf,
+            },
+            separators=(",", ":"),
+        )
+    print(line)
     spark.stop()
 
 

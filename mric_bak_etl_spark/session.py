@@ -65,6 +65,29 @@ def ensure_runtime_confs(spark: SparkSession) -> SparkSession:
     return spark
 
 
+_SCRATCH_BASE: str | None = None
+
+
+def scratch_dir(prefix: str) -> str:
+    """A throwaway directory under ONE per-process base, removed at exit.
+
+    Sink/checkpoint scratch for query builders (t12, s16, ...) that the
+    whole-catalog plan sweep and parity runs rebuild repeatedly — rooting
+    them under a single atexit-cleaned base keeps /tmp from accumulating
+    debris across sweeps (r5 ADVICE). Each call still returns a fresh
+    unique dir, so concurrent builders never collide.
+    """
+    global _SCRATCH_BASE
+    import atexit
+    import shutil
+    import tempfile
+
+    if _SCRATCH_BASE is None:
+        _SCRATCH_BASE = tempfile.mkdtemp(prefix="mric_spark_scratch_")
+        atexit.register(shutil.rmtree, _SCRATCH_BASE, True)
+    return tempfile.mkdtemp(prefix=prefix, dir=_SCRATCH_BASE)
+
+
 def default_parallelism() -> int:
     """Shuffle-partition default: one per local core (driver-local testing).
 

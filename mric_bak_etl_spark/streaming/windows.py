@@ -434,17 +434,18 @@ def dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sink_log_handoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
-    import tempfile
 
-    sink1 = tempfile.mkdtemp(prefix="t12_sink1_")
-    sink2 = tempfile.mkdtemp(prefix="t12_sink2_")
+    from mric_bak_etl_spark.session import scratch_dir
+
+    sink1 = scratch_dir("t12_sink1_")
+    sink2 = scratch_dir("t12_sink2_")
     q1 = (
         stream_events(spark, sf_dir)
         .filter(F.col("value") >= 50)
         .select("event_id", "event_type", "value")
         .writeStream.format("parquet")
         .option("path", sink1)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="t12_ck1_"))
+        .option("checkpointLocation", scratch_dir("t12_ck1_"))
         .trigger(availableNow=True)
         .start()
     )
@@ -467,7 +468,7 @@ def sink_log_handoff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(sink1)
         .writeStream.format("parquet")
         .option("path", sink2)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="t12_ck2_"))
+        .option("checkpointLocation", scratch_dir("t12_ck2_"))
         .trigger(availableNow=True)
         .start()
     )

@@ -140,9 +140,16 @@ def highdup_main() -> None:
         print(f"synthesizing high-dup corpus at {out_dir} (n_base={n_base})",
               flush=True)
         synth_highdup(spark, out_dir, n_base=n_base)
-    # warm-up on the small corpus primes codegen/workers for both plans
+    # warm-up on the small corpus primes codegen/workers for both plans;
+    # derive the dir explicitly (r5 ADVICE: a str.replace no-ops silently
+    # if SRC is repointed) and fall back to the highdup corpus itself.
+    warm_dir = os.path.join(os.path.dirname(SRC.rstrip("/")), "sf0.001")
+    if not os.path.isdir(warm_dir):
+        print(f"warm-up dir {warm_dir} missing; warming on {out_dir}",
+              flush=True)
+        warm_dir = out_dir
     for name in ("l29_exact_substring_dedup", "l32_substring_dup_clusters"):
-        specs[name].builder(spark, SRC.replace("sf0.1", "sf0.001")).write.mode(
+        specs[name].builder(spark, warm_dir).write.mode(
             "overwrite"
         ).format("noop").save()
     report = {}
