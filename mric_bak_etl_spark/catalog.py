@@ -97,42 +97,25 @@ def all_specs() -> dict[str, QuerySpec]:
 # time-budgeted (~50 entries/round); rounds 1-4 drove 178 distinct
 # queries (174 full value-hash green, 4 rows-only by design, 0 failures
 # ever — CORRECTNESS_r01-r04), leaving 90 catalog entries never sampled.
-# This head is: the flagship canary, then the round-5 additions
-# (brand-new — highest verification risk), then the judge-requested
-# flagships still missing ANY driver row (the L2 near-dup family, the
-# multimodal m2-m5 ladder, a21 — round-4 verdict item 3), then every
-# remaining never-sampled query in the round-4 cheapest-first profile
-# order (sf0.01, warm session — cheap-first stretches the budget across
-# the most entries; the no-oracle members of the promoted block yield
-# rows-only rows, the strongest check they admit). Already-green queries
-# follow in sorted order; the local parity suite
-# (tests/test_oracle_parity.py over all oracle entries, value-matched
-# before every commit) remains the regression guard. A guard test
-# asserts this list stays in sync with the registry.
+# Round-6 head — the FINAL rotation (r5 verdict item 1): the flagship
+# canary, then the one round-6 addition (l40, brand-new — highest
+# verification risk; rows-only by nature), then ALL 45 queries with no
+# driver CORRECTNESS row across rounds 1-5, in the round-4 cheapest-first
+# profile order (sf0.01, warm session) with x5_map_in_arrow promoted
+# into the first half (it changed in r5 — verdict item 5). 47 entries
+# fit the driver's ~50-query budget in one round; a green CORRECTNESS_r06
+# attests the complete catalog. Already-green queries follow in sorted
+# order; the local parity suite (tests/test_oracle_parity.py over all
+# oracle entries, value-matched before every commit) remains the
+# regression guard. A guard test asserts this list stays in sync with
+# the registry.
 _VERIFY_FIRST: tuple[str, ...] = (
     "a1_pricing_summary",
-    "f28_variant_bronze_silver", "t12_sink_log_handoff",
-    "l38_incremental_exact_dedup", "l39_incremental_jaccard_neardup",
-    "l2_minhash_lsh", "l2c_simhash",
-    "l2d_embedding_neardup", "l2e_dup_clusters", "m2_feature_extract",
-    "m3_frame_sample", "m4_resize", "m5_binary_dedup",
-    "a21_approx_percentile", "h12_late_line_priority",
-    "h4_order_priority_check", "h22_sales_opportunity",
-    "x6_grouped_pandas_map", "h13_order_distribution",
-    "l9_sequence_packing", "h17_small_quantity_revenue",
-    "l10_embedding_hygiene", "f16_transcendental", "u2b_except_all",
-    "l11_curation_pipeline", "e5_rfm_segments", "e7_interarrival",
-    "f22_number_format", "w7_running_distinct", "f13_date_spine",
-    "e3_gaps_islands", "s10_zorder_layout", "r19_scd2_multi_generation",
-    "r2_listing_parse_latest", "s9_sorted_layout", "l18_unigram_lm",
-    "r18_scd2_history", "f24_higher_order_complete",
-    "r20_scd2_asof_lookup", "l3b_ann_lsh_bucket", "l14_pmi_collocations",
-    "l13_decontamination", "h9_product_profit", "a19_listagg",
-    "tx_repetition", "h16_supplier_part_count", "r16_snapshot_diff",
-    "s5_format_roundtrip", "s11_write_audit_publish",
-    "h2_min_cost_supplier", "h20_dominant_supplier", "l7_chunking",
+    "l40_incremental_banded_neardup",
+    "x5_map_in_arrow",
+    "h20_dominant_supplier", "l7_chunking",
     "l3d_ivf_topk", "o3_range_partitioned_sort", "q3_session_variables",
-    "x5_map_in_arrow", "h15_top_supplier", "t7_stream_stream_join",
+    "h15_top_supplier", "t7_stream_stream_join",
     "w4_range_interval_frame", "tx_bigram_freq", "dq4_observed_metrics",
     "h21_waiting_supplier", "h11_important_stock",
     "s4_partitioned_snapshot", "t8_stream_static_join", "tx_boilerplate",

@@ -170,23 +170,16 @@ def minhash_signatures(corpus: DataFrame, n_hashes: int = N_MINHASHES) -> DataFr
     return sh.select("doc_id", *[slot(i) for i in range(n_hashes)])
 
 
-def lsh_candidate_pairs(
-    signatures: DataFrame, n_bands: int = N_BANDS, max_bucket: int = 10_000
-) -> DataFrame:
-    """Band the signature, hash each band, pair up docs within each
-    (band, hash) bucket.
+def band_hashes(signatures: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
+    """(doc_id, band, band_hash): each signature row banded and hashed.
 
-    Only bucket-colliding pairs surface — the step that replaces the O(n²)
-    pair space at scale. Pairing is done by grouping the bucket's members
-    and expanding i<j combinations JVM-side (collect_list + nested
-    transform), not by self-joining the banded table: a self-join would
-    evaluate the whole signature DAG twice, and its shuffle carries the
-    banded rows two times. ``max_bucket`` drops degenerate buckets
-    (boilerplate text colliding everywhere) — the standard cap that bounds
-    the per-bucket O(b²) expansion; sized far above anything in testdata.
+    The banded table IS the persisted LSH index: at 100 TB this is what a
+    production pipeline stores between crawls (narrow — one int64 per doc
+    per band), and both the batch self-dedup (:func:`lsh_candidate_pairs`)
+    and the incremental probe (l40) consume it.
     """
     rows_per_band = N_MINHASHES // n_bands
-    bands = signatures.select(
+    return signatures.select(
         "doc_id",
         F.posexplode(
             F.array(
@@ -202,6 +195,24 @@ def lsh_candidate_pairs(
             )
         ).alias("band", "band_hash"),
     )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, n_bands: int = N_BANDS, max_bucket: int = 10_000
+) -> DataFrame:
+    """Band the signature, hash each band, pair up docs within each
+    (band, hash) bucket.
+
+    Only bucket-colliding pairs surface — the step that replaces the O(n²)
+    pair space at scale. Pairing is done by grouping the bucket's members
+    and expanding i<j combinations JVM-side (collect_list + nested
+    transform), not by self-joining the banded table: a self-join would
+    evaluate the whole signature DAG twice, and its shuffle carries the
+    banded rows two times. ``max_bucket`` drops degenerate buckets
+    (boilerplate text colliding everywhere) — the standard cap that bounds
+    the per-bucket O(b²) expansion; sized far above anything in testdata.
+    """
+    bands = band_hashes(signatures, n_bands)
     buckets = (
         bands.groupBy("band", "band_hash")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
@@ -1328,7 +1339,11 @@ _L39_SHINGLE_SQL = """list_distinct(list_transform(
     "Jaccard >= 0.5 on the probed pairs — deterministic and fully "
     "oracle-able, unlike LSH-pruned variants (recall < 1 by design); "
     "at scale the same probe runs on l2's MinHash BAND index first "
-    "and this exact join verifies only band survivors. Fixture: "
+    "and this exact join verifies only band survivors — that "
+    "composition is registered as l40_incremental_banded_neardup, "
+    "whose index carries the document-frequency cap this standalone "
+    "exact probe lacks (run THIS form only on bounded batches). "
+    "Fixture: "
     "truncated revisions of every doc_id%10==1 doc (must match their "
     "source) plus synthetic fresh docs (must match nothing), in "
     "fixture-only id ranges. One shuffle joins the probe to the "
@@ -1395,3 +1410,145 @@ def incremental_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return jac.filter(F.col("jaccard") >= 0.5).orderBy("new_id", "match_doc")
+
+
+# l40's planted boilerplate block: a fixed-size run of IDENTICAL docs
+# (legal-disclaimer shape) whose band posting lists are exactly
+# L40_BOILER_COPIES long at every SF — deliberately above the cap.
+L40_BOILER_COPIES = 40
+L40_MAX_POSTING = 32  # corpus band posting lists longer than this are
+# boilerplate (identical/near-identical text colliding everywhere) and
+# are dropped AT INDEX BUILD — the document-frequency cap that keeps the
+# probe join skew-free (r5 verdict item 4: l39's uncapped exact probe
+# would hot-spot on stop-shingles; the band index caps before probing).
+_L40_BOILER_TEXT = (
+    "all rights reserved this document is provided as is without warranty "
+    "of any kind either express or implied including but not limited to "
+    "the implied warranties of merchantability and fitness for a purpose"
+)
+
+
+@register(
+    "l40_incremental_banded_neardup",
+    oracle=None,  # MinHash banding depends on engine hash functions → no
+    # SQL oracle (same class as l2); recall on the planted revision class
+    # and the boilerplate cap are asserted in tests/test_llm.py.
+    doc="L40: the composition l39's doc promises — incremental near-dup "
+    "where the new batch probes the corpus' persisted MinHash BAND "
+    "index first and exact Jaccard verifies ONLY band survivors. "
+    "Index build: corpus → shingle hashes → narrow minhash signatures "
+    "→ (doc_id, band, band_hash) via band_hashes(); posting lists "
+    "longer than L40_MAX_POSTING are dropped AT INDEX BUILD as "
+    "boilerplate (the document-frequency cap — planted here as "
+    "L40_BOILER_COPIES identical disclaimer docs whose bands exceed "
+    "the cap at every SF). Probe: new-batch bands hash-join the capped "
+    "index on (band, band_hash) — candidate volume is bounded by "
+    "cap × |new bands|, never |new| × |corpus|, and the corpus never "
+    "self-joins. Verify: candidates (small — LSH survivors) broadcast "
+    "against the two shingle tables; exact set-overlap Jaccard ≥ 0.5 "
+    "is the emitted truth. Fixture probe batch: truncated revisions of "
+    "doc_id%10==4 docs (must match their source), synthetic fresh docs "
+    "(must match nothing), and ONE boilerplate probe doc that would "
+    "fan out to all 40 planted copies without the cap and generates "
+    "zero candidates with it (drop-as-boilerplate, l29_STOP_CAP "
+    "semantics). At 100 TB: the index is the persisted artifact, the "
+    "per-crawl cost is O(|new| + capped probe) — l38's incremental "
+    "shape applied to the LSH path end-to-end.",
+    tags=("llm", "dedup"),
+)
+def incremental_banded_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mric_bak_etl_spark.tables import materialize
+
+    d = spread(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        "doc_id",
+    )
+    boiler = spark.range(L40_BOILER_COPIES).select(
+        (F.col("id") + 8_000_000).alias("doc_id"),
+        F.lit(_L40_BOILER_TEXT).alias("text"),
+    )
+    corpus = d.unionByName(boiler)
+    # ONE tokenize+shingle pass per side serves signatures AND the verify.
+    corpus_sh = materialize(
+        corpus.select("doc_id", shingle_hashes().alias("sh"))
+    )
+    index = band_hashes(minhash_signatures(corpus_sh))
+    # Document-frequency cap on the posting lists: one narrow aggregate
+    # over the index (int64 keys), then an inner join keeps only sane
+    # buckets. At scale this filter runs once at index-BUILD time and the
+    # capped index is what gets persisted.
+    sane_buckets = (
+        index.groupBy("band", "band_hash")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") <= L40_MAX_POSTING)
+        .select("band", "band_hash")
+    )
+    capped_index = index.join(sane_buckets, ["band", "band_hash"]).select(
+        F.col("doc_id").alias("match_doc"), "band", "band_hash"
+    )
+
+    nb = (
+        d.filter(F.col("doc_id") % 10 == 4)
+        .select(
+            (F.col("doc_id") + 9_000_000).alias("doc_id"),
+            F.array_join(
+                F.slice(
+                    tokens(), 1, F.greatest(F.size(tokens()) - 5, F.lit(1))
+                ),
+                " ",
+            ).alias("text"),
+        )
+        .unionByName(
+            d.filter(F.col("doc_id") % 10 == 6).select(
+                (F.col("doc_id") + 9_500_000).alias("doc_id"),
+                F.concat(
+                    F.lit("fresh content "),
+                    F.col("doc_id").cast("string"),
+                    F.lit(" entirely new tokens"),
+                ).alias("text"),
+            )
+        )
+        .unionByName(
+            spark.range(1).select(
+                F.lit(9_999_999).cast("long").alias("doc_id"),
+                F.lit(_L40_BOILER_TEXT).alias("text"),
+            )
+        )
+    )
+    nb_sh = materialize(nb.select("doc_id", shingle_hashes().alias("sh")))
+    probe = band_hashes(minhash_signatures(nb_sh)).withColumnRenamed(
+        "doc_id", "new_id"
+    )
+
+    candidates = (
+        probe.join(capped_index, ["band", "band_hash"])
+        .select("new_id", "match_doc")
+        .distinct()
+    )
+    # Exact verify on survivors only — candidates are the small side by
+    # construction (capped LSH output), so they broadcast; each shingle
+    # table is scanned once, corpus never shuffles on text.
+    return (
+        F.broadcast(candidates)
+        .join(
+            nb_sh.select(F.col("doc_id").alias("new_id"), F.col("sh").alias("sh_a")),
+            "new_id",
+        )
+        .join(
+            corpus_sh.select(
+                F.col("doc_id").alias("match_doc"), F.col("sh").alias("sh_b")
+            ),
+            "match_doc",
+        )
+        .select(
+            "new_id",
+            "match_doc",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / F.size(F.array_union("sh_a", "sh_b")),
+                4,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+        .orderBy("new_id", "match_doc")
+    )

@@ -13,10 +13,13 @@ above. Results land in SCALE.md (manual; not part of the test suite —
 this is a ~minutes experiment, run when plans change).
 
 Usage: python scripts/scale_stress.py [out_dir]
-       python scripts/scale_stress.py --highdup [out_dir] [n_base]
+       python scripts/scale_stress.py --highdup [out_dir] [n_base] [k]
 The --highdup mode builds the l29-vs-l32 crossover corpus (n_base
-clusters x 45 copies, k just under L29_STOP_CAP) and times both
-queries on it; SCALE.md's round-5 section records the results.
+clusters x k copies; default k=45, just under L29_STOP_CAP) and times
+both queries on it; SCALE.md's round-5 section records the k=45
+crossover and the round-6 section the k=200 drop-as-boilerplate
+regime (k above the cap: both queries must drop the windows, emitting
+~nothing at ~flat cost instead of enumerating C(200,2) pairs).
 """
 
 from __future__ import annotations
@@ -133,13 +136,17 @@ def synth_highdup(spark, out_dir: str, n_base: int = 100, k: int = 45) -> None:
 def highdup_main() -> None:
     out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/highdup_synth"
     n_base = int(sys.argv[3]) if len(sys.argv) > 3 else 100
+    k = int(sys.argv[4]) if len(sys.argv) > 4 else 45
     spark = get_spark("scale-stress-highdup")
     spark.sparkContext.setLogLevel("ERROR")
     specs = all_specs()
     if not os.path.exists(os.path.join(out_dir, "documents.parquet")):
-        print(f"synthesizing high-dup corpus at {out_dir} (n_base={n_base})",
-              flush=True)
-        synth_highdup(spark, out_dir, n_base=n_base)
+        print(
+            f"synthesizing high-dup corpus at {out_dir} "
+            f"(n_base={n_base}, k={k})",
+            flush=True,
+        )
+        synth_highdup(spark, out_dir, n_base=n_base, k=k)
     # warm-up on the small corpus primes codegen/workers for both plans;
     # derive the dir explicitly (r5 ADVICE: a str.replace no-ops silently
     # if SRC is repointed) and fall back to the highdup corpus itself.

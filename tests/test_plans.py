@@ -764,10 +764,17 @@ def test_incremental_dedup_plans_are_hash_joins(catalog_plan):
     for name in (
         "l38_incremental_exact_dedup",
         "l39_incremental_jaccard_neardup",
+        "l40_incremental_banded_neardup",
     ):
         plan = catalog_plan(name)
         assert "NestedLoop" not in plan, name
         assert "CartesianProduct" not in plan, name
+    # l40 specifically: the capped band probe must feed the exact verify
+    # — the probe joins on band_hash (hash join over the index) and the
+    # candidate set reaches the shingle tables via broadcast.
+    plan = catalog_plan("l40_incremental_banded_neardup")
+    assert "band_hash" in plan, plan[:400]
+    assert "BroadcastHashJoin" in plan, plan[:400]
 
 
 def test_python_round_only_in_l33_clamp():
@@ -784,24 +791,29 @@ def test_python_round_only_in_l33_clamp():
     root = Path(__file__).resolve().parents[1] / "mric_bak_etl_spark"
     hits = Counter()
     for p in sorted(root.rglob("*.py")):
+        rel = p.relative_to(root).as_posix()  # path-keyed: same-named
+        # files in different subpackages must not merge (r5 ADVICE)
         tree = ast.parse(p.read_text())
         for node in ast.walk(tree):
             if not isinstance(node, ast.Call):
                 continue
             f = node.func
             bare = isinstance(f, ast.Name) and f.id == "round"
-            np_round = (
+            # ANY .round attribute call — np.round, numpy.round,
+            # pandas Series/DataFrame .round(), pyarrow.compute.round —
+            # except F.round, the one sanctioned (JVM-side, half-away)
+            # quantization path (r5 ADVICE widened this from np-only).
+            attr_round = (
                 isinstance(f, ast.Attribute)
                 and f.attr == "round"
-                and isinstance(f.value, ast.Name)
-                and f.value.id == "np"
+                and not (isinstance(f.value, ast.Name) and f.value.id == "F")
             )
-            if bare or np_round:
-                hits[p.name] += 1
+            if bare or attr_round:
+                hits[rel] += 1
     # multimodal.py's two sanctioned rounds live inside m2's
     # deterministic FAKE feature generator (rows-only query, no oracle
     # to diverge from — the round is part of the synthetic data, not
     # output quantization).
-    assert hits == Counter({"sampling.py": 3, "multimodal.py": 2}), (
+    assert hits == Counter({"llm/sampling.py": 3, "llm/multimodal.py": 2}), (
         f"Python-side round() outside the sanctioned sites: {dict(hits)}"
     )
