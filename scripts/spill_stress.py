@@ -13,9 +13,16 @@ when executors are memory-tight). Two modes, run in SEPARATE processes
   python scripts/spill_stress.py --constrained  [corpus]
 
 --normal:      48g heap, spark.memory.fraction 0.6 (the bench posture)
---constrained: 3g heap,  spark.memory.fraction 0.2 — execution+storage
-               pool ~550 MB shared by 32 task threads (~17 MB/task
-               before eviction), the point where sorts/aggs must spill.
+--constrained: 12g heap, spark.memory.fraction 0.03 — execution+storage
+               pool ~360 MB shared by 32 task threads (~11 MB/task
+               before eviction), the point where Tungsten sorts/aggs
+               must spill. The heap itself stays large on purpose:
+               UNMANAGED allocations (parquet read-ahead/decompression
+               buffers, codegen rows) are not pool-accounted, and a
+               first attempt with a 3g heap OOMed on those before any
+               managed operator got the chance to spill — the probe
+               targets the memory-manager path, not raw heap
+               exhaustion.
 
 The probe runs l2e_dup_clusters (union-find over the LSH pair graph —
 shuffle-heavy, JVM-only, 52.7 s at 10x in SCALE.md) on the 10x corpus,
@@ -52,8 +59,8 @@ def main() -> None:
         SparkSession.builder.appName(f"spill-stress{mode}")
         .master("local[32]")
         .config("spark.sql.shuffle.partitions", "32")
-        .config("spark.driver.memory", "3g" if constrained else "48g")
-        .config("spark.memory.fraction", "0.2" if constrained else "0.6")
+        .config("spark.driver.memory", "12g" if constrained else "48g")
+        .config("spark.memory.fraction", "0.03" if constrained else "0.6")
         .config("spark.ui.enabled", "true")
         .config("spark.ui.port", str(UI_PORT))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
