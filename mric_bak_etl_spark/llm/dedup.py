@@ -1439,12 +1439,16 @@ _L40_BOILER_TEXT = (
     "Index build: corpus → shingle hashes → narrow minhash signatures "
     "→ (doc_id, band, band_hash) via band_hashes(); posting lists "
     "longer than L40_MAX_POSTING are dropped AT INDEX BUILD as "
-    "boilerplate (the document-frequency cap — planted here as "
-    "L40_BOILER_COPIES identical disclaimer docs whose bands exceed "
-    "the cap at every SF). Probe: new-batch bands hash-join the capped "
-    "index on (band, band_hash) — candidate volume is bounded by "
-    "cap × |new bands|, never |new| × |corpus|, and the corpus never "
-    "self-joins. Verify: candidates (small — LSH survivors) broadcast "
+    "boilerplate via a broadcast ANTI join against the (tiny) "
+    "hot-bucket list, so the index never shuffles for the cap "
+    "(planted here as L40_BOILER_COPIES identical disclaimer docs "
+    "whose bands exceed the cap at every SF). Probe: the new-batch "
+    "bands BROADCAST onto the capped index (increment is small vs the "
+    "corpus by contract; drop the hint if an increment outgrows "
+    "broadcast range) — candidate volume is bounded by cap × |new "
+    "bands|, never |new| × |corpus|; the corpus never self-joins and "
+    "is only scanned, not shuffled. "
+    "Verify: candidates (small — LSH survivors) broadcast "
     "against the two shingle tables; exact set-overlap Jaccard ≥ 0.5 "
     "is the emitted truth. Fixture probe batch: truncated revisions of "
     "doc_id%10==4 docs (must match their source), synthetic fresh docs "
@@ -1473,19 +1477,23 @@ def incremental_banded_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus.select("doc_id", shingle_hashes().alias("sh"))
     )
     index = band_hashes(minhash_signatures(corpus_sh))
-    # Document-frequency cap on the posting lists: one narrow aggregate
-    # over the index (int64 keys), then an inner join keeps only sane
-    # buckets. At scale this filter runs once at index-BUILD time and the
-    # capped index is what gets persisted.
-    sane_buckets = (
+    # Document-frequency cap, formulated so the INDEX never shuffles for
+    # the filter: the hot-bucket list (posting length > cap) is tiny by
+    # construction — it IS the boilerplate — so compute it with one
+    # narrow count aggregate (int64 keys, map-side combine) and remove
+    # it with a broadcast ANTI join. The inner-join-with-sane-buckets
+    # formulation would carry the whole corpus-sized index through a
+    # shuffle just to keep ~everything. At scale this runs once at
+    # index-BUILD time and the capped index is what gets persisted.
+    hot_buckets = (
         index.groupBy("band", "band_hash")
         .agg(F.count(F.lit(1)).alias("n_docs"))
-        .filter(F.col("n_docs") <= L40_MAX_POSTING)
+        .filter(F.col("n_docs") > L40_MAX_POSTING)
         .select("band", "band_hash")
     )
-    capped_index = index.join(sane_buckets, ["band", "band_hash"]).select(
-        F.col("doc_id").alias("match_doc"), "band", "band_hash"
-    )
+    capped_index = index.join(
+        F.broadcast(hot_buckets), ["band", "band_hash"], "left_anti"
+    ).select(F.col("doc_id").alias("match_doc"), "band", "band_hash")
 
     nb = (
         d.filter(F.col("doc_id") % 10 == 4)
@@ -1520,8 +1528,14 @@ def incremental_banded_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "new_id"
     )
 
+    # The probe side is the NEW BATCH — small relative to the corpus by
+    # the operator's contract (a daily increment vs the accumulated
+    # index) — so broadcast it: the corpus index is never shuffled, only
+    # scanned. If an increment outgrows broadcast range, drop the hint
+    # and this degrades to a shuffled hash join on (band, band_hash).
     candidates = (
-        probe.join(capped_index, ["band", "band_hash"])
+        F.broadcast(probe)
+        .join(capped_index, ["band", "band_hash"])
         .select("new_id", "match_doc")
         .distinct()
     )

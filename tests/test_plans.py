@@ -770,11 +770,13 @@ def test_incremental_dedup_plans_are_hash_joins(catalog_plan):
         assert "NestedLoop" not in plan, name
         assert "CartesianProduct" not in plan, name
     # l40 specifically: the capped band probe must feed the exact verify
-    # — the probe joins on band_hash (hash join over the index) and the
-    # candidate set reaches the shingle tables via broadcast.
+    # — the hot-bucket cap is a broadcast ANTI join (the index never
+    # shuffles for the filter), the probe broadcasts onto the index,
+    # and the candidate set reaches the shingle tables via broadcast.
     plan = catalog_plan("l40_incremental_banded_neardup")
     assert "band_hash" in plan, plan[:400]
     assert "BroadcastHashJoin" in plan, plan[:400]
+    assert "LeftAnti" in plan, plan[:400]
 
 
 def test_python_round_only_in_l33_clamp():
