@@ -95,6 +95,8 @@ HEADLINE = [
     "e9_sequence_pattern",  # CEP regex over per-user event strings (one shuffle)
     # round-5 additions
     "l38_incremental_exact_dedup",  # new-batch-vs-corpus-index dedup (no old x old)
+    # round-6 additions
+    "l40_incremental_banded_neardup",  # capped band-index probe + exact verify, zero-shuffle plan
 ]
 
 

@@ -1391,13 +1391,20 @@ def incremental_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_sizes = nb_sh.select("new_id", F.size("sh").alias("n_a"))
     n_inv = nb_sh.select("new_id", F.explode("sh").alias("shingle"))
 
+    # Pin the INCREMENT as the broadcast build side (and likewise the
+    # pair-grain intermediate against c_sizes below): at fixture scale
+    # auto-broadcast would happily pick the corpus side — both fit —
+    # but at 100 TB only the new batch is broadcastable, and without
+    # the hint the whole corpus inverted index shuffles. The corpus
+    # tables are only ever scanned here.
     common = (
-        n_inv.join(c_inv, "shingle")
+        F.broadcast(n_inv)
+        .join(c_inv, "shingle")
         .groupBy("new_id", "match_doc")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     jac = (
-        common.join(n_sizes, "new_id")
+        F.broadcast(common.join(n_sizes, "new_id"))
         .join(c_sizes, "match_doc")
         .select(
             "new_id",

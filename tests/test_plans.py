@@ -769,6 +769,12 @@ def test_incremental_dedup_plans_are_hash_joins(catalog_plan):
         plan = catalog_plan(name)
         assert "NestedLoop" not in plan, name
         assert "CartesianProduct" not in plan, name
+    # l39: the broadcast hints must pin the INCREMENT as the build side
+    # (BuildLeft for both the shingle probe and the c_sizes join) — at
+    # fixture scale auto-broadcast would pick the corpus side, the plan
+    # that dies at 100 TB.
+    plan = catalog_plan("l39_incremental_jaccard_neardup")
+    assert plan.count("BroadcastHashJoin Inner BuildLeft") >= 2, plan[:400]
     # l40 specifically: the capped band probe must feed the exact verify
     # — the hot-bucket cap is a broadcast ANTI join (the index never
     # shuffles for the filter), the probe broadcasts onto the index,
