@@ -73,6 +73,7 @@ QUERIES = [
     "g5_user_pagerank",        # iterative rank loop
     "e9_sequence_pattern",     # user-grain CEP
     "l19_kmeans",              # broadcast-centroid clustering
+    "l40_incremental_banded_neardup",  # capped band-index probe (r6)
 ]
 
 
