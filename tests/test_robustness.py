@@ -76,6 +76,45 @@ SCENARIOS = {
 }
 
 
+# Arrow-off exercises the ROW-BASED toPandas conversion path — the other
+# serialization of every result the driver reads. Arrow and the legacy
+# row collector historically diverge on exactly the rich dtypes (naive
+# vs tz-aware timestamps, decimal objects vs float64, nested
+# array/map/struct rendering), so the slice is dtype-biased rather than
+# join-biased: a join cannot care how results are serialized, a
+# timestamp column can.
+DTYPE_REPRESENTATIVES = [
+    "a16_decimal_exact",          # DECIMAL precision through conversion
+    "f11_datetime_advanced",      # timestamps/tz arithmetic
+    "f13_date_spine",             # DATE columns
+    "f21_intervals",              # intervals surfaced as durations
+    "f14_variant",                # VARIANT → string rendering
+    "f24_higher_order_complete",  # nested arrays
+    "f6_map_struct",              # maps + structs
+    "f19_malformed_json",         # NULL-heavy strings
+    "w8_interpolation",           # float/NULL interleave
+    "e7_interarrival",            # timestamp deltas
+]
+
+
+def test_results_survive_arrow_disabled(spark, duck, sf_dir):
+    from test_oracle_parity import assert_frames_match
+
+    key = "spark.sql.execution.arrow.pyspark.enabled"
+    saved = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try:
+        specs = all_specs()
+        for name in DTYPE_REPRESENTATIVES:
+            spec = specs[name]
+            assert spec.oracle is not None
+            got = spec.builder(spark, sf_dir).toPandas()
+            want = duck.execute(spec.oracle).df()
+            assert_frames_match(got, want, f"no_arrow:{name}")
+    finally:
+        spark.conf.set(key, saved)
+
+
 @pytest.mark.parametrize("scenario", sorted(SCENARIOS))
 def test_results_survive_physical_strategy_changes(spark, duck, sf_dir, scenario):
     from test_oracle_parity import assert_frames_match
