@@ -592,3 +592,93 @@ def test_random_asof_joins_agree(spark, duck, sf_dir, case):
         """
     ).df()
     assert_frames_match(got, want, f"asof[{ltype}->{rtype},{lpred},{rpred}]")
+
+
+# --- higher-order array-function grammar (f24/f10's compositional core) -----
+# Fixed catalog entries pin individual higher-order calls; this grammar
+# pins their COMPOSITION: any pipeline of transform/filter/sort/reverse/
+# slice over a row-derived array, folded to a scalar, must agree with
+# DuckDB's list_* family. The two dialects name every operator
+# differently (transform vs list_transform, lambda folds vs list_sum),
+# so each case renders BOTH texts from one AST — a disagreement is an
+# engine-semantics bug (fold order, empty-array identity, slice
+# clamping, sort stability), not a transcription gap. Known-divergent
+# identities are normalized in the rendering, which documents them:
+# Spark's aggregate() returns its 0.0 init on an empty array while
+# DuckDB's list_sum returns NULL (coalesced), and both engines clamp
+# out-of-range slice lengths.
+
+_HOF_ITEMS = [
+    "CAST(o_totalprice AS DOUBLE)",
+    "CAST(o_custkey AS DOUBLE)",
+    "CAST(o_orderkey % 1000 AS DOUBLE)",
+]
+
+_HOF_OP_RENDER = {
+    # op -> (spark_fmt, duck_fmt); {a} = array expr, {p} = parameter
+    "add": ("transform({a}, x -> x + {p})",
+            "list_transform({a}, x -> x + {p})"),
+    "mul": ("transform({a}, x -> x * {p})",
+            "list_transform({a}, x -> x * {p})"),
+    "filter": ("filter({a}, x -> x > {p})",
+               "list_filter({a}, x -> x > {p})"),
+    "sort": ("array_sort({a})", "list_sort({a})"),
+    "rev": ("reverse({a})", "list_reverse({a})"),
+    "slice": ("slice({a}, 1, {p})", "list_slice({a}, 1, {p})"),
+}
+
+_HOF_TERMINAL_RENDER = {
+    "sum": ("aggregate({a}, CAST(0 AS DOUBLE), (acc, x) -> acc + x)",
+            "coalesce(list_sum({a}), 0.0)"),
+    "max": ("array_max({a})", "list_max({a})"),
+    "size": ("CAST(size({a}) AS BIGINT)", "CAST(len({a}) AS BIGINT)"),
+}
+
+HOF_CASES = st.fixed_dictionaries(
+    {
+        "ops": st.lists(
+            st.one_of(
+                st.tuples(st.just("add"), st.integers(1, 50)),
+                st.tuples(st.just("mul"), st.sampled_from([2, 3])),
+                st.tuples(st.just("filter"),
+                          st.sampled_from([10, 100, 1000, 50000])),
+                st.tuples(st.just("sort"), st.just(0)),
+                st.tuples(st.just("rev"), st.just(0)),
+                st.tuples(st.just("slice"), st.integers(1, 3)),
+            ),
+            min_size=1,
+            max_size=3,
+        ),
+        "terminal": st.sampled_from(["sum", "max", "size"]),
+        "m": st.integers(min_value=0, max_value=28),
+    }
+)
+
+
+def _hof_expr(ops, terminal, dialect):
+    i = 0 if dialect == "spark" else 1
+    body = ", ".join(_HOF_ITEMS)
+    a = f"array({body})" if dialect == "spark" else f"[{body}]"
+    for op, p in ops:
+        a = _HOF_OP_RENDER[op][i].format(a=a, p=p)
+    return _HOF_TERMINAL_RENDER[terminal][i].format(a=a)
+
+
+@FUZZ_SETTINGS
+@given(case=HOF_CASES)
+def test_random_higher_order_array_plans_agree(spark, duck, sf_dir, case):
+    from mric_bak_etl_spark.tables import register_views
+    from test_oracle_parity import assert_frames_match
+
+    register_views(spark, sf_dir)
+    ops, terminal, m = case["ops"], case["terminal"], case["m"]
+    queries = {
+        d: (
+            f"SELECT o_orderkey, {_hof_expr(ops, terminal, d)} AS v "
+            f"FROM orders WHERE o_orderkey % 29 = {m} ORDER BY o_orderkey"
+        )
+        for d in ("spark", "duck")
+    }
+    got = spark.sql(queries["spark"]).toPandas()
+    want = duck.execute(queries["duck"]).df()
+    assert_frames_match(got, want, f"hof[{ops}->{terminal}]")
