@@ -682,3 +682,66 @@ def test_random_higher_order_array_plans_agree(spark, duck, sf_dir, case):
     got = spark.sql(queries["spark"]).toPandas()
     want = duck.execute(queries["duck"]).df()
     assert_frames_match(got, want, f"hof[{ops}->{terminal}]")
+
+
+# --- datetime-arithmetic grammar (f2/f11/f13's compositional core) ----------
+# Datetime semantics are the classic cross-engine minefield (this repo
+# already documents DuckDB datediff counting boundary crossings where
+# Spark floors day deltas, and week-vs-ISO-week conventions). This
+# grammar composes interval shifts (+/- N MINUTE/HOUR/DAY/MONTH,
+# including the end-of-month clamping regime) with date_trunc at every
+# grain and an extract/render terminal, as ONE ANSI text both engines
+# parse. Normalizations the grammar itself documents: the result is
+# re-CAST to TIMESTAMP before rendering because DuckDB's date_trunc
+# returns DATE for day-and-coarser units while Spark always returns
+# TIMESTAMP (same instant, different type), and extract is CAST to
+# BIGINT (Spark INT vs DuckDB BIGINT/HUGEINT widths).
+
+DT_TRUNC_UNITS = ["year", "quarter", "month", "week", "day", "hour",
+                  "minute"]
+DT_EXTRACT_FIELDS = ["year", "quarter", "month", "day", "hour", "minute"]
+
+DT_CASES = st.fixed_dictionaries(
+    {
+        "shifts": st.lists(
+            st.tuples(
+                st.sampled_from(["MINUTE", "HOUR", "DAY", "MONTH"]),
+                st.integers(min_value=1, max_value=500),
+                st.sampled_from(["+", "-"]),
+            ),
+            min_size=0,
+            max_size=2,
+        ),
+        "trunc": st.one_of(st.none(), st.sampled_from(DT_TRUNC_UNITS)),
+        "terminal": st.sampled_from(["render"] + DT_EXTRACT_FIELDS),
+        "m": st.integers(min_value=0, max_value=96),
+    }
+)
+
+
+def _dt_expr(shifts, trunc, terminal):
+    e = "CAST(ts AS TIMESTAMP)"
+    for unit, n, sign in shifts:
+        e = f"({e} {sign} INTERVAL {n} {unit})"
+    if trunc is not None:
+        e = f"date_trunc('{trunc}', {e})"
+    if terminal == "render":
+        return f"CAST(CAST({e} AS TIMESTAMP) AS STRING)"
+    return f"CAST(extract({terminal} FROM {e}) AS BIGINT)"
+
+
+@FUZZ_SETTINGS
+@given(case=DT_CASES)
+def test_random_datetime_plans_agree(spark, duck, sf_dir, case):
+    from mric_bak_etl_spark.tables import register_views
+    from test_oracle_parity import assert_frames_match
+
+    register_views(spark, sf_dir)
+    expr = _dt_expr(case["shifts"], case["trunc"], case["terminal"])
+    sql = (
+        f"SELECT event_id, {expr} AS v FROM events "
+        f"WHERE event_id % 97 = {case['m']} ORDER BY event_id"
+    )
+    got = spark.sql(sql).toPandas()
+    want = duck.execute(sql).df()
+    assert_frames_match(got, want, f"dt[{sql[:120]}]")
