@@ -745,3 +745,72 @@ def test_random_datetime_plans_agree(spark, duck, sf_dir, case):
     got = spark.sql(sql).toPandas()
     want = duck.execute(sql).df()
     assert_frames_match(got, want, f"dt[{sql[:120]}]")
+
+
+# --- string-function grammar (f1/f8's compositional core) -------------------
+# Compositions of the shared ANSI string family over REAL document text
+# (not literals — the corpus carries lengths, repeats and whitespace a
+# literal grammar wouldn't), one text through both engines. The edge
+# regimes the sampler deliberately reaches: substr length 0 and
+# past-end, lpad/rpad TRUNCATING when the target is shorter than the
+# input, left/right with 0, replace-after-case-fold, split_part on a
+# separator that may not occur. Anything locale-sensitive (collation,
+# unicode case folding beyond ASCII) stays in f23's fixed tests — the
+# corpus is ASCII by construction.
+
+_STR_OP_POOL = st.one_of(
+    st.tuples(st.just("upper"), st.just(0)),
+    st.tuples(st.just("lower"), st.just(0)),
+    st.tuples(st.just("trim"), st.just(0)),
+    st.tuples(st.just("reverse"), st.just(0)),
+    st.tuples(st.just("substr"), st.tuples(st.integers(1, 30),
+                                           st.integers(0, 60))),
+    st.tuples(st.just("left"), st.integers(0, 40)),
+    st.tuples(st.just("right"), st.integers(0, 40)),
+    st.tuples(st.just("lpad"), st.integers(0, 50)),
+    st.tuples(st.just("rpad"), st.integers(0, 50)),
+    st.tuples(st.just("replace"), st.sampled_from(["e", "a", "th", " "])),
+)
+
+STR_CASES = st.fixed_dictionaries(
+    {
+        "ops": st.lists(_STR_OP_POOL, min_size=1, max_size=3),
+        "terminal": st.sampled_from(["render", "length"]),
+        "m": st.integers(min_value=0, max_value=6),
+    }
+)
+
+
+def _str_expr(ops, terminal):
+    e = "text"
+    for op, p in ops:
+        if op in ("upper", "lower", "trim", "reverse"):
+            e = f"{op}({e})"
+        elif op == "substr":
+            e = f"substr({e}, {p[0]}, {p[1]})"
+        elif op in ("left", "right"):
+            e = f"{op}({e}, {p})"
+        elif op in ("lpad", "rpad"):
+            e = f"{op}({e}, {p}, '#')"
+        elif op == "replace":
+            e = f"replace({e}, '{p}', '@')"
+    if terminal == "length":
+        return f"CAST(length({e}) AS BIGINT)"
+    return e
+
+
+@FUZZ_SETTINGS
+@given(case=STR_CASES)
+def test_random_string_plans_agree(spark, duck, sf_dir, case):
+    from mric_bak_etl_spark.tables import register_views
+    from test_oracle_parity import assert_frames_match
+
+    register_views(spark, sf_dir)
+    expr = _str_expr(case["ops"], case["terminal"])
+    sql = (
+        f"SELECT doc_id, {expr} AS v FROM documents "
+        f"WHERE doc_id % 7 = {case['m']} ORDER BY doc_id"
+    )
+    got = spark.sql(sql).toPandas()
+    want = duck.execute(sql).df()
+    assert_frames_match(got, want, f"str[{sql[:120]}]")
