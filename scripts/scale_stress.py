@@ -77,8 +77,11 @@ QUERIES = [
 ]
 
 
-def synth(spark, out_dir: str) -> None:
+def synth(spark, out_dir: str, copies: int = COPIES,
+          tables: tuple[str, ...] | None = None) -> None:
     for name, shifts in KEY_SHIFTS.items():
+        if tables is not None and name not in tables:
+            continue
         src = spark.read.parquet(os.path.join(SRC, f"{name}.parquet"))
         if not shifts:
             src.write.mode("overwrite").parquet(
@@ -86,7 +89,7 @@ def synth(spark, out_dir: str) -> None:
             )
             continue
         parts = []
-        for i in range(COPIES):
+        for i in range(copies):
             df = src
             for col, step in shifts.items():
                 df = df.withColumn(col, F.col(col) + F.lit(i * step))
@@ -171,9 +174,49 @@ def highdup_main() -> None:
     print(json.dumps(report, indent=1))
 
 
+REL_TABLES = ("lineitem", "orders", "customer", "supplier", "part",
+              "region", "nation")
+REL_QUERIES = ("a1_pricing_summary", "h5_local_supplier_volume",
+               "w3_frames", "j8_salted_skew_join")
+
+
+def relational100_main() -> None:
+    """Two-decade relational scale curve: the same slice at 1x/10x/100x.
+
+    The 10x table caps the measured relational range at one decade;
+    this extends it to two on the join/window/skew shapes (the
+    key-shift synth keeps FK fan-outs constant, so correct cost is
+    linear in copies). Documents/events stay out — the dedup family
+    has its own 100x curve (scripts/incr_stress.py)."""
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf10_synth"
+    spark = get_spark("scale-stress-100x")
+    spark.sparkContext.setLogLevel("ERROR")
+    specs = all_specs()
+    if not os.path.exists(os.path.join(out_dir, "lineitem.parquet")):
+        print(f"synthesizing 100x relational corpus at {out_dir}",
+              flush=True)
+        synth(spark, out_dir, copies=100, tables=REL_TABLES)
+    print("warm-up", flush=True)
+    specs["a1_pricing_summary"].builder(spark, SRC).write.mode(
+        "overwrite"
+    ).format("noop").save()
+    report = {}
+    for label, d in (("x1", SRC), ("x10", "/tmp/sf1_synth"),
+                     ("x100", out_dir)):
+        if not os.path.exists(os.path.join(d, "lineitem.parquet")):
+            print(f"skipping {label}: {d} missing", flush=True)
+            continue
+        print(label, flush=True)
+        report[label] = run(spark, specs, d, REL_QUERIES)
+    print(json.dumps(report, indent=1))
+
+
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--highdup":
         highdup_main()
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--relational100":
+        relational100_main()
         return
     out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1_synth"
     spark = get_spark("scale-stress")
