@@ -112,6 +112,7 @@ def all_specs() -> dict[str, QuerySpec]:
 _VERIFY_FIRST: tuple[str, ...] = (
     "a1_pricing_summary",
     "l40_incremental_banded_neardup",
+    "w10_distributed_running_total",
     "x5_map_in_arrow",
     "h20_dominant_supplier", "l7_chunking",
     "l3d_ivf_topk", "o3_range_partitioned_sort", "q3_session_variables",

@@ -502,3 +502,97 @@ def rolling_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority", "day")
     )
+
+
+@register(
+    "w10_distributed_running_total",
+    oracle="""
+    WITH rt AS (
+      SELECT l_returnflag, l_orderkey, l_linenumber, l_shipdate,
+             sum(l_quantity) OVER (
+               PARTITION BY l_returnflag
+               ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey,
+                        l_suppkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS rq
+      FROM lineitem
+    )
+    SELECT l_returnflag, l_orderkey, l_linenumber, l_shipdate,
+           round(rq, 4) AS running_qty
+    FROM rt WHERE l_orderkey % 97 = 0
+    ORDER BY l_returnflag, l_shipdate, l_orderkey, l_linenumber
+    """,
+    doc="W10: running total over a COARSE key (returnflag: 3 values) "
+    "without the hot-window funnel — the scalable form of the boundary "
+    "SCALE.md measured on w3 (its returnflag×year key caps sort "
+    "parallelism at ~21 tasks; at 100× one task sorts ~3M rows). Same "
+    "two-phase trick as o5's distributed row numbering, applied to a "
+    "running SUM: range-partition on (key, order columns) so each "
+    "partition holds a contiguous run, compute running sums LOCALLY, "
+    "then add each (partition, key) cell's prefix offset — the "
+    "cumulative total of earlier partitions' quantities for that key. "
+    "The offsets table has one row per (partition, key) — cluster-"
+    "sized, not data-sized — so its window and broadcast are free, and "
+    "because the order columns are a total order (w3's guarded 5-column "
+    "key), the result is INVARIANT to where range boundaries land. "
+    "Values are exact: l_quantity is integral, so float association "
+    "across the two phases cannot drift. Every-97th-key projection "
+    "keeps the checked output small while pinning totals across the "
+    "whole range (reference parity: src/bak_unload.ps1 has no "
+    "analytics; this extends SURVEY §2B W3 to the 1000-executor "
+    "regime).",
+    tags=("window", "scale"),
+)
+def distributed_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mric_bak_etl_spark.tables import materialize, sized_parallelism
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_orderkey", "l_linenumber", "l_shipdate",
+        "l_partkey", "l_suppkey", "l_quantity",
+    )
+    order_cols = [
+        "l_shipdate", "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+    ]
+    n = sized_parallelism(sf_dir, "lineitem")
+    # Pin the range boundaries ONCE (o5's lesson): the offsets branch and
+    # the local-running branch must see identical partition ids.
+    parts = materialize(
+        li.repartitionByRange(n, "l_returnflag", *order_cols).withColumn(
+            "pid", F.spark_partition_id()
+        )
+    )
+    # Per-(partition, key) totals -> prefix offsets over EARLIER
+    # partitions of the same key. One row per (pid, key): the window
+    # below orders ~partition-count rows per key, never data.
+    cell_totals = parts.groupBy("pid", "l_returnflag").agg(
+        F.sum("l_quantity").alias("cell_qty")
+    )
+    w_off = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = cell_totals.select(
+        "pid",
+        "l_returnflag",
+        F.coalesce(F.sum("cell_qty").over(w_off), F.lit(0.0)).alias("off"),
+    )
+    w_local = Window.partitionBy("pid", "l_returnflag").orderBy(*order_cols)
+    return (
+        parts.withColumn(
+            "local_rq",
+            F.sum("l_quantity").over(
+                w_local.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .join(F.broadcast(offsets), ["pid", "l_returnflag"])
+        .filter(F.col("l_orderkey") % 97 == 0)
+        .select(
+            "l_returnflag",
+            "l_orderkey",
+            "l_linenumber",
+            "l_shipdate",
+            F.round(F.col("local_rq") + F.col("off"), 4).alias("running_qty"),
+        )
+        .orderBy("l_returnflag", "l_shipdate", "l_orderkey", "l_linenumber")
+    )

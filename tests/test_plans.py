@@ -825,3 +825,43 @@ def test_python_round_only_in_l33_clamp():
     assert hits == Counter({"llm/sampling.py": 3, "llm/multimodal.py": 2}), (
         f"Python-side round() outside the sanctioned sites: {dict(hits)}"
     )
+
+
+def test_w10_plan_is_two_phase_and_boundary_invariant(spark, sf_dir, catalog_plan):
+    # w10's claim is structural: the running total must ride a RANGE
+    # partitioning (contiguous runs per partition) and rejoin offsets
+    # via BROADCAST — never a data-sized single-key window. And the
+    # result must equal Spark's direct single-window evaluation, which
+    # pins the prefix-offset algebra AND boundary invariance (the
+    # builder's range boundary count differs from the direct plan's).
+    plan = catalog_plan("w10_distributed_running_total")
+    assert "rangepartitioning" in plan, "lost the range phase"
+    assert "BroadcastExchange" in plan or "broadcast" in plan.lower(), (
+        "offsets no longer broadcast"
+    )
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from mric_bak_etl_spark.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    order_cols = ["l_shipdate", "l_orderkey", "l_linenumber", "l_partkey",
+                  "l_suppkey"]
+    w = Window.partitionBy("l_returnflag").orderBy(*order_cols).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    direct = (
+        li.withColumn("rq", F.sum("l_quantity").over(w))
+        .filter(F.col("l_orderkey") % 97 == 0)
+        .select(
+            "l_returnflag", "l_orderkey", "l_linenumber", "l_shipdate",
+            F.round("rq", 4).alias("running_qty"),
+        )
+        .orderBy("l_returnflag", "l_shipdate", "l_orderkey", "l_linenumber")
+        .collect()
+    )
+    got = all_specs()["w10_distributed_running_total"].builder(
+        spark, sf_dir
+    ).collect()
+    assert got == direct
