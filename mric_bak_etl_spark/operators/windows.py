@@ -525,27 +525,30 @@ def rolling_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="W10: running total over a COARSE key (returnflag: 3 values) "
     "without the hot-window funnel — the scalable form of the boundary "
     "SCALE.md measured on w3 (its returnflag×year key caps sort "
-    "parallelism at ~21 tasks; at 100× one task sorts ~3M rows). Same "
-    "two-phase trick as o5's distributed row numbering, applied to a "
-    "running SUM: range-partition on (key, order columns) so each "
-    "partition holds a contiguous run, compute running sums LOCALLY, "
-    "then add each (partition, key) cell's prefix offset — the "
-    "cumulative total of earlier partitions' quantities for that key. "
-    "The offsets table has one row per (partition, key) — cluster-"
-    "sized, not data-sized — so its window and broadcast are free, and "
-    "because the order columns are a total order (w3's guarded 5-column "
-    "key), the result is INVARIANT to where range boundaries land. "
-    "Values are exact: l_quantity is integral, so float association "
-    "across the two phases cannot drift. Every-97th-key projection "
-    "keeps the checked output small while pinning totals across the "
-    "whole range (reference parity: src/bak_unload.ps1 has no "
-    "analytics; this extends SURVEY §2B W3 to the 1000-executor "
-    "regime).",
+    "parallelism at ~21 tasks; at 100× one task sorts ~3M rows). "
+    "o5's two-phase prefix trick applied to a running SUM, with one "
+    "refinement o5 cannot use: the split key is a DETERMINISTIC "
+    "CALENDAR BUCKET (ship-month) computed from each row, not a "
+    "sampled range partition — the order columns start with "
+    "l_shipdate, so month-cells concatenate in exactly the global "
+    "order, and because every row derives its own cell there is "
+    "nothing to pin: no sampling pass, no data-sized materialize (the "
+    "first w10 draft paid a full localCheckpoint of the fact table "
+    "just to freeze sampled boundaries — measurably SLOWER than w3's "
+    "funnel at 100×; the calendar form has exactly w3's single "
+    "data-sized exchange). Phase 1: running sums LOCALLY per "
+    "(key, month) — ~250 cells, any cluster's parallelism. Phase 2: "
+    "per-cell totals → prefix offsets over EARLIER months of the same "
+    "key (a window over ~cells rows, never data) → broadcast back and "
+    "add. Values are exact: l_quantity is integral, so float "
+    "association across the two phases cannot drift. The month grain "
+    "is the parallelism dial — day for a 1000-executor cluster, year "
+    "for a laptop — changing ONLY the cell count, never the result "
+    "(reference parity: src/bak_unload.ps1 has no analytics; this "
+    "extends SURVEY §2B W3 to the 1000-executor regime).",
     tags=("window", "scale"),
 )
 def distributed_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from mric_bak_etl_spark.tables import materialize, sized_parallelism
-
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_orderkey", "l_linenumber", "l_shipdate",
         "l_partkey", "l_suppkey", "l_quantity",
@@ -553,39 +556,37 @@ def distributed_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     order_cols = [
         "l_shipdate", "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
     ]
-    n = sized_parallelism(sf_dir, "lineitem")
-    # Pin the range boundaries ONCE (o5's lesson): the offsets branch and
-    # the local-running branch must see identical partition ids.
-    parts = materialize(
-        li.repartitionByRange(n, "l_returnflag", *order_cols).withColumn(
-            "pid", F.spark_partition_id()
-        )
+    # Deterministic split cell: monotone in the leading order column, so
+    # cells tile the per-key order into contiguous runs by construction.
+    cells = li.withColumn(
+        "mkey", F.year("l_shipdate") * 12 + F.month("l_shipdate")
     )
-    # Per-(partition, key) totals -> prefix offsets over EARLIER
-    # partitions of the same key. One row per (pid, key): the window
-    # below orders ~partition-count rows per key, never data.
-    cell_totals = parts.groupBy("pid", "l_returnflag").agg(
+    # Per-(key, cell) totals -> prefix offsets over EARLIER cells of the
+    # same key. One row per cell: the window below orders ~hundreds of
+    # rows, never data. The aggregate shares the window's (key, cell)
+    # exchange via ReuseExchange.
+    cell_totals = cells.groupBy("l_returnflag", "mkey").agg(
         F.sum("l_quantity").alias("cell_qty")
     )
     w_off = (
         Window.partitionBy("l_returnflag")
-        .orderBy("pid")
+        .orderBy("mkey")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     offsets = cell_totals.select(
-        "pid",
         "l_returnflag",
+        "mkey",
         F.coalesce(F.sum("cell_qty").over(w_off), F.lit(0.0)).alias("off"),
     )
-    w_local = Window.partitionBy("pid", "l_returnflag").orderBy(*order_cols)
+    w_local = Window.partitionBy("l_returnflag", "mkey").orderBy(*order_cols)
     return (
-        parts.withColumn(
+        cells.withColumn(
             "local_rq",
             F.sum("l_quantity").over(
                 w_local.rowsBetween(Window.unboundedPreceding, 0)
             ),
         )
-        .join(F.broadcast(offsets), ["pid", "l_returnflag"])
+        .join(F.broadcast(offsets), ["l_returnflag", "mkey"])
         .filter(F.col("l_orderkey") % 97 == 0)
         .select(
             "l_returnflag",

@@ -828,17 +828,25 @@ def test_python_round_only_in_l33_clamp():
 
 
 def test_w10_plan_is_two_phase_and_boundary_invariant(spark, sf_dir, catalog_plan):
-    # w10's claim is structural: the running total must ride a RANGE
-    # partitioning (contiguous runs per partition) and rejoin offsets
-    # via BROADCAST — never a data-sized single-key window. And the
+    # w10's claim is structural: the local phase must window on the
+    # (key, calendar-cell) composite — never the bare 3-value key — and
+    # rejoin offsets via BROADCAST; the calendar form needs neither a
+    # sampled range partitioning nor a data-sized materialize (the
+    # rejected first draft paid a full localCheckpoint to pin sampled
+    # boundaries and was slower than the funnel it replaced). And the
     # result must equal Spark's direct single-window evaluation, which
-    # pins the prefix-offset algebra AND boundary invariance (the
-    # builder's range boundary count differs from the direct plan's).
+    # pins the prefix-offset algebra AND cell-boundary invariance.
     plan = catalog_plan("w10_distributed_running_total")
-    assert "rangepartitioning" in plan, "lost the range phase"
     assert "BroadcastExchange" in plan or "broadcast" in plan.lower(), (
         "offsets no longer broadcast"
     )
+    # (the final presentation orderBy contributes ONE legitimate range
+    # exchange; the rejected draft had a second, on the input side)
+    assert plan.count("rangepartitioning") == 1, (
+        "sampled input range phase crept back"
+    )
+    assert "ExistingRDD" not in plan, "data-sized materialize crept back"
+    assert "mkey" in plan, "calendar cell column gone from the plan"
 
     from pyspark.sql import Window
     from pyspark.sql import functions as F
