@@ -97,6 +97,7 @@ HEADLINE = [
     "l38_incremental_exact_dedup",  # new-batch-vs-corpus-index dedup (no old x old)
     # round-6 additions
     "l40_incremental_banded_neardup",  # capped band-index probe + exact verify, zero-shuffle plan
+    "w10_distributed_running_total",   # two-phase prefix running total (calendar cells + offset broadcast)
 ]
 
 
