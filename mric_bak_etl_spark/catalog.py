@@ -98,21 +98,23 @@ def all_specs() -> dict[str, QuerySpec]:
 # queries (174 full value-hash green, 4 rows-only by design, 0 failures
 # ever — CORRECTNESS_r01-r04), leaving 90 catalog entries never sampled.
 # Round-6 head — the FINAL rotation (r5 verdict item 1): the flagship
-# canary, then the one round-6 addition (l40, brand-new — highest
-# verification risk; rows-only by nature), then ALL 45 queries with no
-# driver CORRECTNESS row across rounds 1-5, in the round-4 cheapest-first
+# canary, then the round-6 additions (l40/w10/l2f/a3b, brand-new —
+# highest verification risk), then ALL 45 queries with no driver
+# CORRECTNESS row across rounds 1-5, in the round-4 cheapest-first
 # profile order (sf0.01, warm session) with x5_map_in_arrow promoted
-# into the first half (it changed in r5 — verdict item 5). 47 entries
-# fit the driver's ~50-query budget in one round; a green CORRECTNESS_r06
-# attests the complete catalog. Already-green queries follow in sorted
-# order; the local parity suite (tests/test_oracle_parity.py over all
-# oracle entries, value-matched before every commit) remains the
-# regression guard. A guard test asserts this list stays in sync with
-# the registry.
+# into the first half (it changed in r5 — verdict item 5). 50 entries
+# exactly fill the driver's 50-query budget (50 sampled in each of
+# r1-r5); a green CORRECTNESS_r06 attests the complete catalog.
+# Already-green queries follow in sorted order; the local parity suite
+# (tests/test_oracle_parity.py over all oracle entries, value-matched
+# before every commit) remains the regression guard. A guard test
+# asserts this list stays in sync with the registry.
 _VERIFY_FIRST: tuple[str, ...] = (
     "a1_pricing_summary",
     "l40_incremental_banded_neardup",
     "w10_distributed_running_total",
+    "l2f_portable_minhash",
+    "a3b_portable_hll",
     "x5_map_in_arrow",
     "h20_dominant_supplier", "l7_chunking",
     "l3d_ivf_topk", "o3_range_partitioned_sort", "q3_session_variables",

@@ -212,7 +212,13 @@ def lsh_candidate_pairs(
     (boilerplate text colliding everywhere) — the standard cap that bounds
     the per-bucket O(b²) expansion; sized far above anything in testdata.
     """
-    bands = band_hashes(signatures, n_bands)
+    return _pairs_from_bands(band_hashes(signatures, n_bands), max_bucket)
+
+
+def _pairs_from_bands(bands: DataFrame, max_bucket: int) -> DataFrame:
+    """(band, band_hash)-bucketed pair expansion shared by the xxhash64 LSH
+    (l2) and the portable md5 LSH (l2f) — band_hash may be int64 or string;
+    the grouping and i<j expansion are type-agnostic."""
     buckets = (
         bands.groupBy("band", "band_hash")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
@@ -392,6 +398,133 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return jac.filter(F.col("jaccard") >= 0.5).orderBy("doc_a", "doc_b")
+
+
+def portable_minhash_signatures(
+    sh_tbl: DataFrame, n_hashes: int = N_MINHASHES
+) -> DataFrame:
+    """MinHash signatures from an ENGINE-PORTABLE hash family: slot i is the
+    lexicographic minimum of ``md5(i || ':' || shingle)`` over the doc's
+    string-shingle set. md5 emits lowercase hex in every engine and hex
+    strings order identically under binary collation, so any SQL engine
+    reproduces these signatures bit-for-bit — unlike xxhash64/murmur whose
+    seeding is engine-private. Same narrow zero-shuffle shape as
+    :func:`minhash_signatures`; ~2× its cost (md5 vs xxhash64 per shingle),
+    which is the price of cross-engine auditability — production dedup
+    stays on l2's xxhash path, this family exists so sketches persisted by
+    ONE engine can be verified/extended by another."""
+
+    def slot(i: int) -> Column:
+        return F.array_min(
+            F.transform("sh", lambda s: F.md5(F.concat(F.lit(f"{i}:"), s)))
+        ).alias(f"mh_{i}")
+
+    return sh_tbl.select("doc_id", *[slot(i) for i in range(n_hashes)])
+
+
+def portable_band_hashes(
+    signatures: DataFrame, n_bands: int = N_BANDS
+) -> DataFrame:
+    """(doc_id, band, band_hash) with band_hash = md5 of the '|'-joined
+    band slots — the portable analogue of :func:`band_hashes`."""
+    rows_per_band = N_MINHASHES // n_bands
+    return signatures.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            *[
+                                F.col(f"mh_{b * rows_per_band + r}")
+                                for r in range(rows_per_band)
+                            ],
+                        )
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band", "band_hash"),
+    )
+
+
+_L2F_SIG_ORACLE = ", ".join(
+    f"list_min(list_transform(sh, s -> md5(concat('{i}:', s))))"
+    for i in range(N_MINHASHES)
+)
+
+
+@register(
+    "l2f_portable_minhash",
+    oracle=f"""
+    WITH corpus AS ({_CORPUS_ORACLE}),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(string_split_regex(text, '\\s+')) - 2, 1) + 1),
+               i -> array_to_string(string_split_regex(text, '\\s+')[i:i+2], ' ')
+             )) AS sh
+      FROM corpus
+    ),
+    sig AS (SELECT doc_id, [{_L2F_SIG_ORACLE}] AS mh FROM sh),
+    bands AS (
+      SELECT doc_id, b.band,
+             md5(concat_ws('|', mh[b.band*4+1], mh[b.band*4+2],
+                                mh[b.band*4+3], mh[b.band*4+4])) AS band_hash
+      FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) b
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b
+        ON a.band = b.band AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+    ),
+    scored AS (
+      SELECT doc_a, doc_b,
+             round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                   / (len(sa.sh) + len(sb.sh)
+                      - len(list_intersect(sa.sh, sb.sh))), 4) AS jaccard
+      FROM cands
+      JOIN sh sa ON sa.doc_id = doc_a
+      JOIN sh sb ON sb.doc_id = doc_b
+    )
+    SELECT doc_a, doc_b, jaccard FROM scored
+    WHERE jaccard >= 0.5
+    ORDER BY doc_a, doc_b
+    """,
+    doc="L2f: MinHash+LSH near-dup on a PORTABLE hash family — signature "
+    "slot i = lexicographic min of md5(i||':'||shingle); band key = md5 of "
+    "the joined band slots. Identical pipeline shape to l2 (shingle → 16 "
+    "minhashes → 4 bands → bucket pairing → exact-Jaccard verify ≥ 0.5) "
+    "but every intermediate is reproducible in ANY SQL engine, so this "
+    "entry carries a FULL value oracle: DuckDB computes the same "
+    "signatures, the same candidate set, and the same verified pairs "
+    "bit-for-bit — closing the 'LSH has no tractable oracle' gap for the "
+    "L2 class (the engine-private-hash members l2/l2c keep their "
+    "rows-only status; this is the auditable variant). At 100 TB the use "
+    "case is real: a persisted sketch index written by Spark can be "
+    "probed/validated by DuckDB/Trino (or vice versa) because the family "
+    "is engine-neutral; cost is ~2× the xxhash path.",
+    tags=("llm", "dedup"),
+)
+def portable_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mric_bak_etl_spark.tables import materialize
+
+    corpus = corpus_with_near_dups(spark, sf_dir)
+    # One tokenize+shingle pass (STRING shingles — the portable hash needs
+    # shingle text, as l2b's oracle does) serves signatures AND verify.
+    sh_tbl = materialize(corpus.select("doc_id", shingles().alias("sh")))
+    pairs = _pairs_from_bands(
+        portable_band_hashes(portable_minhash_signatures(sh_tbl)),
+        max_bucket=10_000,
+    )
+    return (
+        exact_jaccard(sh_tbl, pairs)
+        .filter(F.col("jaccard") >= 0.5)
+        .orderBy("doc_a", "doc_b")
+    )
 
 
 N_SIMHASH_BITS = 32  # production uses 64 — same expression shape

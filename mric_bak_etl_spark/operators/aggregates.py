@@ -120,6 +120,177 @@ def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Portable HLL (a3b): m = 2^4 = 16 buckets; rank drawn from the next 13 hex
+# chars (52 bits) of md5. The estimate constant alpha_16 * m^2 * 2^53 is
+# pre-multiplied in PYTHON (one float multiply rounds, the 2^53 scaling is
+# exact) and embedded verbatim in BOTH engines' SQL, so the raw estimate is
+# a single double division of identically-parsed constants — bit-identical
+# across engines by construction. alpha_16 = 0.673 (Flajolet et al. 2007).
+_HLL_M = 16
+_HLL_C = repr(0.673 * _HLL_M * _HLL_M * 2.0**53)
+# Raw-vs-small-range switch at 2.5*m; the ln() correction branch is the one
+# sub-ulp cross-engine risk (libm vs java.lang.Math), so it is rounded to
+# 12dp on both sides (repo convention for iterative/libm state). With the
+# testdata cardinalities (>= hundreds of distinct parts per ship-year at
+# every SF) the raw branch always wins; the branch exists for correctness.
+_HLL_EST_SQL = (
+    f"round(CASE WHEN {_HLL_C} / CAST(denom AS DOUBLE) <= 40.0"
+    f"            AND v_empty > 0"
+    f"           THEN 16.0 * ln(16.0 / CAST(v_empty AS DOUBLE))"
+    f"           ELSE {_HLL_C} / CAST(denom AS DOUBLE) END, 12)"
+)
+
+
+@register(
+    "a3b_portable_hll",
+    oracle=f"""
+    WITH parts AS (
+      SELECT ship_year,
+             instr('0123456789abcdef', substring(h, 1, 1)) - 1 AS bucket,
+             substring(h, 2, 13) AS rest
+      FROM (SELECT CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+                   md5(CAST(l_partkey AS VARCHAR)) AS h
+            FROM lineitem)
+    ),
+    rho AS (
+      SELECT ship_year, bucket,
+             CASE WHEN length(regexp_extract(rest, '^0*')) = 13 THEN 53
+                  ELSE length(regexp_extract(rest, '^0*')) * 4
+                       + CASE WHEN instr('0123456789abcdef',
+                                   substring(rest,
+                                     length(regexp_extract(rest, '^0*')) + 1,
+                                     1)) - 1 >= 8 THEN 0
+                              WHEN instr('0123456789abcdef',
+                                   substring(rest,
+                                     length(regexp_extract(rest, '^0*')) + 1,
+                                     1)) - 1 >= 4 THEN 1
+                              WHEN instr('0123456789abcdef',
+                                   substring(rest,
+                                     length(regexp_extract(rest, '^0*')) + 1,
+                                     1)) - 1 >= 2 THEN 2
+                              ELSE 3 END
+                       + 1 END AS r
+      FROM parts
+    ),
+    maxr AS (SELECT ship_year, bucket, max(r) AS r
+             FROM rho GROUP BY ship_year, bucket),
+    spine AS (
+      SELECT f.ship_year, b.bucket
+      FROM (SELECT DISTINCT CAST(year(l_shipdate) AS BIGINT) AS ship_year
+            FROM lineitem) f
+      CROSS JOIN (SELECT unnest(range({_HLL_M})) AS bucket) b
+    ),
+    filled AS (
+      SELECT spine.ship_year, spine.bucket, coalesce(maxr.r, 0) AS r
+      FROM spine LEFT JOIN maxr
+        ON spine.ship_year = maxr.ship_year
+       AND spine.bucket = maxr.bucket
+    ),
+    sketch AS (
+      SELECT ship_year,
+             CAST(sum(CAST(1 AS BIGINT) << (53 - r)) AS BIGINT) AS denom,
+             CAST(sum(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_empty
+      FROM filled GROUP BY ship_year
+    ),
+    est AS (SELECT ship_year, {_HLL_EST_SQL} AS e FROM sketch),
+    exact AS (SELECT CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+                     count(DISTINCT l_partkey) AS n_exact
+              FROM lineitem GROUP BY ship_year)
+    SELECT exact.ship_year,
+           CAST(n_exact AS BIGINT) AS n_exact,
+           round(e, 4) AS hll_estimate,
+           round(abs(e - n_exact) / CAST(n_exact AS DOUBLE), 4) AS rel_error
+    FROM exact JOIN est ON exact.ship_year = est.ship_year
+    ORDER BY exact.ship_year
+    """,
+    doc="A3b: HyperLogLog computed PORTABLY from md5 — bucket = first hex "
+    "nibble (m=16), rank = leading-zero run of the next 52 bits, both "
+    "derived with engine-neutral string ops (instr/regexp_extract/"
+    "substring); the per-(group,bucket) max-rank table IS the mergeable "
+    "sketch state. Unlike a3's engine-private HLL++ this estimate is "
+    "bit-identical in any SQL engine — the 2^-rank sum is computed as an "
+    "EXACT bigint (sum of 1<<(53-r), max 16 terms of <= 2^53: no float "
+    "accumulation order to diverge), the alpha*m^2*2^53 constant is "
+    "pre-multiplied and embedded verbatim, and the raw estimate is a "
+    "single double division — so a3b carries a FULL value oracle, closing "
+    "the 'approx sketches can't be value-verified' gap for the A3 class. "
+    "At 100 TB: same single-pass fixed-memory shape as a3 (map-side "
+    "partial max per bucket), and sketches persisted by one engine can be "
+    "merged/audited by another (max is the merge op).",
+    tags=("agg", "approx"),
+)
+def portable_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    # Group by ship-year: unlike l_returnflag (every flag sees every part →
+    # three identical sketches), per-year part sets differ, so the demo
+    # shows distinct per-group estimates and errors.
+    year = F.year("l_shipdate").cast("bigint").alias("ship_year")
+    parts = li.select(
+        year, F.md5(F.col("l_partkey").cast("string")).alias("h")
+    ).select(
+        "ship_year",
+        (F.expr("instr('0123456789abcdef', substring(h, 1, 1))") - 1).alias(
+            "bucket"
+        ),
+        F.substring("h", 2, 13).alias("rest"),
+    )
+    zeros = F.length(F.regexp_extract("rest", "^0*", 0))
+    nib = (
+        F.expr(
+            "instr('0123456789abcdef', substring(rest,"
+            " length(regexp_extract(rest, '^0*', 0)) + 1, 1))"
+        )
+        - 1
+    )
+    lead = (
+        F.when(nib >= 8, 0).when(nib >= 4, 1).when(nib >= 2, 2).otherwise(3)
+    )
+    rho = F.when(zeros == 13, F.lit(53)).otherwise(zeros * 4 + lead + 1)
+    maxr = (
+        parts.select("ship_year", "bucket", rho.alias("r"))
+        .groupBy("ship_year", "bucket")
+        .agg(F.max("r").alias("r"))
+    )
+    # Bucket spine: empty buckets contribute rank 0 (2^0 terms). ~7 years ×
+    # 16 buckets — a constant-size broadcast nested-loop, not a data cross.
+    spine = li.select(year).distinct().crossJoin(
+        F.broadcast(
+            spark.range(_HLL_M).select(F.col("id").cast("int").alias("bucket"))
+        )
+    )
+    sketch = (
+        spine.join(maxr, ["ship_year", "bucket"], "left")
+        .select(
+            "ship_year", F.coalesce("r", F.lit(0)).alias("r")
+        )
+        .groupBy("ship_year")
+        .agg(
+            F.expr(
+                "CAST(sum(shiftleft(CAST(1 AS BIGINT), 53 - r)) AS BIGINT)"
+            ).alias("denom"),
+            F.expr(
+                "CAST(sum(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS BIGINT)"
+            ).alias("v_empty"),
+        )
+    )
+    est = sketch.select("ship_year", F.expr(_HLL_EST_SQL).alias("e"))
+    exact = li.groupBy(year).agg(
+        F.countDistinct("l_partkey").alias("n_exact")
+    )
+    return (
+        exact.join(est, "ship_year")
+        .select(
+            "ship_year",
+            F.col("n_exact").cast("bigint").alias("n_exact"),
+            F.round("e", 4).alias("hll_estimate"),
+            F.expr(
+                "round(abs(e - n_exact) / CAST(n_exact AS DOUBLE), 4)"
+            ).alias("rel_error"),
+        )
+        .orderBy("ship_year")
+    )
+
+
 @register(
     "a4_rollup",
     oracle="""

@@ -379,3 +379,87 @@ def test_banded_incremental_planted_classes(spark, sf_dir):
         r["new_id"] for r in rows if r["match_doc"] == r["new_id"] - 9_000_000
     }
     assert len(own) >= 0.8 * n4, f"band recall {len(own)}/{n4}"
+
+
+def test_portable_minhash_matches_engine_private_semantics(spark, sf_dir):
+    # l2f swaps the hash family (md5 strings vs xxhash64) but keeps the
+    # pipeline: its verified pairs must be a subset of the exact ngram
+    # ground truth with IDENTICAL jaccard values, and recall over the
+    # true pair set must hold just like l2's (same 4×4 banding curve).
+    from mric_bak_etl_spark.llm.dedup import portable_minhash_lsh
+
+    l2f = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in portable_minhash_lsh(spark, sf_dir).collect()
+    }
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard(spark, sf_dir).collect()
+    }
+    assert set(l2f) <= set(exact)
+    for pair, j in l2f.items():
+        assert j == exact[pair], f"{pair}: {j} != {exact[pair]}"
+    recall = len(set(l2f) & set(exact)) / len(exact)
+    assert recall >= 0.8, f"portable LSH recall {recall:.2f}"
+
+
+def test_portable_minhash_signatures_are_reproducible_off_spark(spark, sf_dir):
+    # The POINT of the portable family: any engine (here plain Python
+    # hashlib) recomputes the signature bit-for-bit from the shingle set.
+    import hashlib
+
+    from mric_bak_etl_spark.llm.dedup import (
+        portable_minhash_signatures,
+        shingles,
+    )
+
+    corpus = corpus_with_near_dups(spark, sf_dir)
+    sh_tbl = corpus.select("doc_id", shingles().alias("sh")).limit(20)
+    sigs = portable_minhash_signatures(sh_tbl).collect()
+    sh_map = {r["doc_id"]: r["sh"] for r in sh_tbl.collect()}
+    for row in sigs:
+        sh = sh_map[row["doc_id"]]
+        for i in range(16):
+            expected = min(
+                hashlib.md5(f"{i}:{s}".encode()).hexdigest() for s in sh
+            )
+            assert row[f"mh_{i}"] == expected
+
+
+def test_portable_band_index_auditable_by_duckdb(spark, sf_dir, tmp_path, duck):
+    # The 100 TB claim behind l2f: a sketch index PERSISTED by one engine
+    # is consumable by another. Spark writes the (doc_id, band, band_hash)
+    # band index to parquet; DuckDB reads that same parquet cold and
+    # derives the candidate pair set — the two engines must agree exactly.
+    from mric_bak_etl_spark.llm.dedup import (
+        _pairs_from_bands,
+        portable_band_hashes,
+        portable_minhash_signatures,
+        shingles,
+    )
+
+    corpus = corpus_with_near_dups(spark, sf_dir)
+    sh_tbl = corpus.select("doc_id", shingles().alias("sh"))
+    bands = portable_band_hashes(portable_minhash_signatures(sh_tbl))
+    path = str(tmp_path / "band_index.parquet")
+    bands.write.mode("overwrite").parquet(path)
+
+    spark_pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in _pairs_from_bands(
+            spark.read.parquet(path), max_bucket=10_000
+        ).collect()
+    }
+    duck_pairs = {
+        tuple(r)
+        for r in duck.execute(
+            f"""
+            SELECT DISTINCT a.doc_id, b.doc_id
+            FROM read_parquet('{path}/*.parquet') a
+            JOIN read_parquet('{path}/*.parquet') b
+              ON a.band = b.band AND a.band_hash = b.band_hash
+             AND a.doc_id < b.doc_id
+            """
+        ).fetchall()
+    }
+    assert spark_pairs == duck_pairs and len(spark_pairs) > 0

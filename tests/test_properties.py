@@ -282,3 +282,59 @@ def test_growth_accounting_identities(spark, sf_dir, duck):
             continue  # gap week: the identity moves through churn rows
         _, ret_n, _, chu_n = rows[nxt]
         assert ret_n + chu_n == active[w], (w, nxt, rows[nxt], active[w])
+
+
+def test_portable_hll_matches_pure_python_reference(spark, sf_dir):
+    # a3b's claim is engine-neutrality: recompute the whole sketch in
+    # plain Python (hashlib.md5, integer bit ops, one float division) and
+    # demand the 4dp estimates agree exactly — a reference independent of
+    # BOTH Spark and DuckDB.
+    import hashlib
+
+    from mric_bak_etl_spark.operators.aggregates import _HLL_M, portable_hll
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select(
+            F.year("l_shipdate").cast("bigint").alias("y"),
+            F.col("l_partkey").cast("string").alias("v"),
+        )
+        .distinct()
+        .collect()
+    )
+    sketches: dict[int, list[int]] = {}
+    for r in rows:
+        h = hashlib.md5(r["v"].encode()).hexdigest()
+        bucket = int(h[0], 16)
+        rest = h[1:14]
+        stripped = rest.lstrip("0")
+        if not stripped:
+            rho = 53
+        else:
+            nib = int(stripped[0], 16)
+            lead = 0 if nib >= 8 else 1 if nib >= 4 else 2 if nib >= 2 else 3
+            rho = (len(rest) - len(stripped)) * 4 + lead + 1
+        buckets = sketches.setdefault(r["y"], [0] * _HLL_M)
+        buckets[bucket] = max(buckets[bucket], rho)
+    expected = {}
+    c = 0.673 * _HLL_M * _HLL_M * 2.0**53
+    for y, buckets in sketches.items():
+        denom = sum(1 << (53 - rho) for rho in buckets)
+        raw = c / float(denom)
+        v_empty = buckets.count(0)
+        est = (
+            16.0 * __import__("math").log(16.0 / v_empty)
+            if raw <= 40.0 and v_empty > 0
+            else raw
+        )
+        expected[y] = round(round(est, 12), 4)
+    got = {
+        r["ship_year"]: r["hll_estimate"]
+        for r in portable_hll(spark, sf_dir).collect()
+    }
+    assert got == expected
+    # Estimates are genuinely approximate but usable: m=16 gives a ~26%
+    # standard error; demand every per-year estimate lands within 60%.
+    exact = Counter(r["y"] for r in rows)
+    for y, est in got.items():
+        assert abs(est - exact[y]) / exact[y] < 0.6, (y, est, exact[y])
