@@ -132,6 +132,12 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "q2_recursive_cte", "s5b_orc_xml_roundtrip", "x8_arrow_python_udf",
     "g3_user_components", "g2_shortest_path", "s13_jdbc_roundtrip",
     "x3_python_udtf", "f23_collation",
+    # Round-6 session-3 additions — appended BELOW the 50-entry driver
+    # budget on purpose: positions 1-50 are the full-catalog attestation
+    # head and must not shift; these four are round-7 rotation debt,
+    # locally value-verified by tests/test_oracle_parity.py meanwhile.
+    "a26_moment_profile", "e13_experiment_ztest",
+    "f29_outer_flatten", "s19_replica_checksum_audit",
 )
 
 

@@ -1762,3 +1762,52 @@ def variant_bronze_silver(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("generation", "status")
     )
+
+
+@register(
+    "f29_outer_flatten",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             CASE WHEN lang = 'de' THEN NULL
+                  WHEN n_chars % 7 = 0 THEN []
+                  ELSE string_split(text, ' ')[1:4] END AS a
+      FROM documents
+    )
+    SELECT doc_id, CAST(NULL AS BIGINT) AS pos, CAST(NULL AS VARCHAR) AS tok
+    FROM base WHERE a IS NULL OR len(a) = 0
+    UNION ALL
+    SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, a[i] AS tok
+    FROM base, LATERAL (SELECT unnest(range(1, len(a) + 1)) AS i) g
+    WHERE a IS NOT NULL AND len(a) > 0
+    ORDER BY doc_id, pos
+    """,
+    doc="F29: null-preserving array flattening — posexplode_outer over "
+    "a column that is deterministically NULL for one slice (lang='de'),"
+    " EMPTY for another (n_chars %% 7 = 0) and a token prefix "
+    "otherwise: outer explode emits one (NULL, NULL) row for both "
+    "degenerate shapes instead of silently dropping the parent row — "
+    "the corner plain explode gets wrong in any 'flatten then count "
+    "by parent' pipeline (inner explode loses the parents; counts "
+    "no longer reconcile with the source). DuckDB has no outer "
+    "unnest, so the oracle is the two-branch emulation (degenerate "
+    "rows unioned with an indexed-range LATERAL unnest — the repo's "
+    "WITH-ORDINALITY workaround). Flattening is a narrow per-row "
+    "transform: no shuffle, whole-stage codegen, output-proportional "
+    "— the plan shape that makes explode safe at 100 TB while the "
+    "row-multiplying join it replaces is not.",
+    tags=("functions",),
+)
+def outer_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    arr = F.expr(
+        "CASE WHEN lang = 'de' THEN NULL "
+        "WHEN n_chars % 7 = 0 THEN array() "
+        "ELSE slice(split(text, ' '), 1, 4) END"
+    )
+    ex = d.select("doc_id", F.posexplode_outer(arr))
+    return ex.select(
+        "doc_id",
+        F.col("pos").cast("bigint").alias("pos"),
+        F.col("col").alias("tok"),
+    ).orderBy("doc_id", "pos")

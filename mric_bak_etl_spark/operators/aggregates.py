@@ -1100,3 +1100,129 @@ def exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# a26: one-pass distributed moment profile. The moment sums are kept
+# EXACT — prices as integer cents in DECIMAL(38,0) (Spark) / HUGEINT
+# (DuckDB), so there is no float accumulation order to diverge across
+# engines, partitionings, or retries — and every derived statistic is
+# ONE shared double-arithmetic formula string evaluated over the
+# double-cast sums by both engines (the l33/l2f portable recipe:
+# identical expression text over identical inputs → bit-identical
+# IEEE results; +,-,*,/ and sqrt are all correctly-rounded).
+# Headroom: c <= ~1e7 cents, c^4 <= 1e28; sum over 6e8 rows (sf100
+# lineitem) ~ 6e36 < 1e38 — fits both DECIMAL(38,0) and HUGEINT.
+_A26_SUMS = {
+    "n": "count(*)",
+    "s1": "sum(c)",
+    "s2": "sum(c * c)",
+    "s3": "sum(c * c * c)",
+    "s4": "sum(c * c * c * c)",
+    "q1": "sum(q)",
+    "q2": "sum(q * q)",
+    "sq": "sum(q * c)",
+}
+_A26_VAR = "(s2 / n - (s1 / n) * (s1 / n))"
+_A26_QVAR = "(q2 / n - (q1 / n) * (q1 / n))"
+_A26_STATS = {
+    "n_items": "CAST(n AS BIGINT)",
+    "mean_price": "round(s1 / n / 100, 4)",
+    "std_price": f"round(sqrt({_A26_VAR}) / 100, 4)",
+    "skewness": (
+        "round((s3 / n - 3 * (s1 / n) * (s2 / n)"
+        " + 2 * (s1 / n) * (s1 / n) * (s1 / n))"
+        f" / ({_A26_VAR} * sqrt({_A26_VAR})), 4)"
+    ),
+    "kurtosis": (
+        "round((s4 / n - 4 * (s1 / n) * (s3 / n)"
+        " + 6 * (s1 / n) * (s1 / n) * (s2 / n)"
+        " - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))"
+        f" / ({_A26_VAR} * {_A26_VAR}) - 3, 4)"
+    ),
+    "corr_qty_price": (
+        "round((sq / n - (q1 / n) * (s1 / n))"
+        f" / (sqrt({_A26_QVAR}) * sqrt({_A26_VAR})), 4)"
+    ),
+}
+
+
+def _a26_oracle() -> str:
+    sums = ",\n             ".join(
+        f"{expr} AS {name}" for name, expr in _A26_SUMS.items()
+    )
+    casts = ",\n             ".join(
+        f"CAST({name} AS DOUBLE) AS {name}" for name in _A26_SUMS
+    )
+    stats = ",\n           ".join(
+        f"{expr} AS {name}" for name, expr in _A26_STATS.items()
+    )
+    return f"""
+    WITH cents AS (
+      SELECT l_returnflag,
+             CAST(round(l_extendedprice * 100) AS HUGEINT) AS c,
+             CAST(round(l_quantity) AS HUGEINT)            AS q
+      FROM lineitem
+    ),
+    sums AS (
+      SELECT l_returnflag,
+             {sums}
+      FROM cents GROUP BY l_returnflag
+    ),
+    d AS (
+      SELECT l_returnflag,
+             {casts}
+      FROM sums
+    )
+    SELECT l_returnflag,
+           {stats}
+    FROM d
+    ORDER BY l_returnflag
+    """
+
+
+@register(
+    "a26_moment_profile",
+    oracle=_a26_oracle(),
+    doc="A26: grouped higher-moment profile — stddev, population "
+    "skewness (g1 = m3/m2^1.5), excess kurtosis (m4/m2^2 - 3) and a "
+    "quantity-price correlation per return flag, computed from EXACT "
+    "integer power sums: prices become integer cents in DECIMAL(38,0) "
+    "(DuckDB: HUGEINT) so the shuffled partial sums are exact and "
+    "order-independent — the one-pass distributed-moments recipe that "
+    "needs no Welford merging and cannot drift, unlike double "
+    "accumulation whose sum order varies per partitioning. Every "
+    "derived statistic is a single shared formula string over the "
+    "double-cast sums, so both engines run bit-identical IEEE "
+    "arithmetic (the l33/l2f portability recipe). Spark's builtin "
+    "skewness/kurtosis match these definitions but accumulate in "
+    "doubles; the exact-sum form is what a reproducible data-card "
+    "pipeline publishes. At 100 TB: pure map-side partial aggregation "
+    "into 8 exact sums per group — one tiny shuffle, no value buffers, "
+    "and sums from different engines/clusters merge by addition. "
+    "Reference parity: profiles the snapshot the reference loads "
+    "blindly (src/bak_unload.ps1:90-103 restores without inspecting).",
+    tags=("agg",),
+)
+def moment_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = li.select(
+        "l_returnflag",
+        F.expr("CAST(round(l_extendedprice * 100) AS DECIMAL(38,0))").alias(
+            "c"
+        ),
+        F.expr("CAST(round(l_quantity) AS DECIMAL(38,0))").alias("q"),
+    )
+    sums = cents.groupBy("l_returnflag").agg(
+        *[F.expr(expr).alias(name) for name, expr in _A26_SUMS.items()]
+    )
+    d = sums.select(
+        "l_returnflag",
+        *[
+            F.expr(f"CAST({name} AS DOUBLE)").alias(name)
+            for name in _A26_SUMS
+        ],
+    )
+    return d.select(
+        "l_returnflag",
+        *[F.expr(expr).alias(name) for name, expr in _A26_STATS.items()],
+    ).orderBy("l_returnflag")

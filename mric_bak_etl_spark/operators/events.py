@@ -954,3 +954,158 @@ def growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("week")
     )
+
+
+# e13: deterministic A/B experiment readout. Arm assignment is the
+# l15 Knuth multiplicative hash thresholded at half — pure bigint
+# arithmetic, so membership is bit-identical across engines (no
+# engine-private sample()). All accumulations are EXACT integers
+# (event values as cents, conversions as 0/1 counts), and every
+# derived statistic is one shared double-formula string evaluated by
+# both engines over the double-cast sums (the l33/l2f/a26 portable
+# recipe) — so even sqrt-based z-scores carry a full value oracle.
+_E13_ARM = "((user_id * 2654435761) % 2147483648) < 1073741824"
+_E13_PROP_Z = (
+    "(ca / na - cb / nb)"
+    " / sqrt(((ca + cb) / (na + nb)) * (1 - (ca + cb) / (na + nb))"
+    " * (1 / na + 1 / nb))"
+)
+_E13_VA = "(s2a / na - (s1a / na) * (s1a / na))"
+_E13_VB = "(s2b / nb - (s1b / nb) * (s1b / nb))"
+_E13_WELCH_Z = (
+    f"(s1a / na - s1b / nb) / sqrt({_E13_VA} / na + {_E13_VB} / nb)"
+)
+
+_E13_USER_SUMS = {
+    "na": f"sum(CASE WHEN {_E13_ARM} THEN 1 ELSE 0 END)",
+    "nb": f"sum(CASE WHEN {_E13_ARM} THEN 0 ELSE 1 END)",
+    "ca": f"sum(CASE WHEN {_E13_ARM} THEN converted ELSE 0 END)",
+    "cb": f"sum(CASE WHEN {_E13_ARM} THEN 0 ELSE converted END)",
+}
+_E13_EVENT_SUMS = {
+    "na": f"sum(CASE WHEN {_E13_ARM} THEN 1 ELSE 0 END)",
+    "nb": f"sum(CASE WHEN {_E13_ARM} THEN 0 ELSE 1 END)",
+    "s1a": f"sum(CASE WHEN {_E13_ARM} THEN vc ELSE 0 END)",
+    "s1b": f"sum(CASE WHEN {_E13_ARM} THEN 0 ELSE vc END)",
+    "s2a": f"sum(CASE WHEN {_E13_ARM} THEN vc * vc ELSE 0 END)",
+    "s2b": f"sum(CASE WHEN {_E13_ARM} THEN 0 ELSE vc * vc END)",
+}
+_E13_PROP_STATS = {
+    "metric": "'purchase_conversion'",
+    "n_a": "CAST(na AS BIGINT)",
+    "n_b": "CAST(nb AS BIGINT)",
+    "mean_a": "round(ca / na, 4)",
+    "mean_b": "round(cb / nb, 4)",
+    "lift": "round(ca / na - cb / nb, 4)",
+    "z_score": f"round({_E13_PROP_Z}, 4)",
+    "significant": f"abs({_E13_PROP_Z}) >= 1.96",
+}
+_E13_VALUE_STATS = {
+    "metric": "'avg_event_value'",
+    "n_a": "CAST(na AS BIGINT)",
+    "n_b": "CAST(nb AS BIGINT)",
+    "mean_a": "round(s1a / na / 100, 4)",
+    "mean_b": "round(s1b / nb / 100, 4)",
+    "lift": "round(s1a / na / 100 - s1b / nb / 100, 4)",
+    "z_score": f"round({_E13_WELCH_Z}, 4)",
+    "significant": f"abs({_E13_WELCH_Z}) >= 1.96",
+}
+
+
+def _e13_select(stats: dict[str, str]) -> str:
+    return ",\n           ".join(f"{e} AS {n}" for n, e in stats.items())
+
+
+def _e13_casts(sums: dict[str, str]) -> str:
+    return ", ".join(f"CAST({n} AS DOUBLE) AS {n}" for n in sums)
+
+
+def _e13_oracle() -> str:
+    user_sums = ",\n             ".join(
+        f"{e} AS {n}" for n, e in _E13_USER_SUMS.items()
+    )
+    event_sums = ",\n             ".join(
+        f"{e} AS {n}" for n, e in _E13_EVENT_SUMS.items()
+    )
+    return f"""
+    WITH users AS (
+      SELECT user_id,
+             max(CASE WHEN event_type = 'purchase' AND value >= 95
+                      THEN 1 ELSE 0 END)
+               AS converted
+      FROM events GROUP BY user_id
+    ),
+    usums AS (
+      SELECT {user_sums}
+      FROM users
+    ),
+    ud AS (SELECT {_e13_casts(_E13_USER_SUMS)} FROM usums),
+    ev AS (
+      SELECT user_id,
+             CAST(round(value * 100) AS BIGINT) AS vc
+      FROM events
+    ),
+    esums AS (
+      SELECT {event_sums}
+      FROM ev
+    ),
+    ed AS (SELECT {_e13_casts(_E13_EVENT_SUMS)} FROM esums)
+    SELECT {_e13_select(_E13_PROP_STATS)}
+    FROM ud
+    UNION ALL
+    SELECT {_e13_select(_E13_VALUE_STATS)}
+    FROM ed
+    ORDER BY metric
+    """
+
+
+@register(
+    "e13_experiment_ztest",
+    oracle=_e13_oracle(),
+    doc="E13: A/B experiment readout — users deterministically hashed "
+    "into two arms (Knuth multiplicative hash thresholded at half, the "
+    "l15 recipe: reproducible across engines and reruns, no "
+    "seed-dependent sample()), then a two-proportion z-test on "
+    "user-grain HIGH-VALUE purchase conversion (>= $95 — the raw purchase rate saturates at 1.0 in the fixture, which would make the pooled z 0/0) and a Welch z-test on event-grain "
+    "mean value. Accumulations are exact integers (cents, 0/1 flags); "
+    "each statistic is one shared double-formula string both engines "
+    "evaluate over the double-cast sums, so the sqrt-based z-scores "
+    "and the significance booleans are bit-identical (sqrt is "
+    "IEEE-correctly-rounded). At 100 TB: the user-grain pass is one "
+    "hash aggregate on user_id, the event-grain pass is a pure "
+    "map-side conditional-sum aggregate with a single 1-row exchange — "
+    "both arms accumulate in the same pass, nothing is buffered. The "
+    "experiment-analytics face of the events family: e8 attributes, "
+    "e10 censors, e12 accounts, e13 decides.",
+    tags=("events",),
+)
+def experiment_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") >= 95),
+                1,
+            ).otherwise(0)
+        ).alias("converted")
+    )
+    usums = users.agg(
+        *[F.expr(e).alias(n) for n, e in _E13_USER_SUMS.items()]
+    )
+    ud = usums.select(
+        *[F.expr(f"CAST({n} AS DOUBLE)").alias(n) for n in _E13_USER_SUMS]
+    )
+    esums = ev.select(
+        "user_id",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("vc"),
+    ).agg(*[F.expr(e).alias(n) for n, e in _E13_EVENT_SUMS.items()])
+    ed = esums.select(
+        *[F.expr(f"CAST({n} AS DOUBLE)").alias(n) for n in _E13_EVENT_SUMS]
+    )
+    prop = ud.select(
+        *[F.expr(e).alias(n) for n, e in _E13_PROP_STATS.items()]
+    )
+    welch = ed.select(
+        *[F.expr(e).alias(n) for n, e in _E13_VALUE_STATS.items()]
+    )
+    return prop.unionByName(welch).orderBy("metric")

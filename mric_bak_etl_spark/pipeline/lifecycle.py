@@ -1732,3 +1732,157 @@ def source_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# s19: anti-entropy checksum audit between two replicas of a table.
+# The reference's pipeline produces a daily full snapshot on one system
+# and loads it into another (src/bak_unload.ps1:90-103) with no check
+# that the two sides still agree; this is the audit that scales: each
+# side folds every row into a per-bucket (count, XOR-of-row-hash)
+# pair — order-independent, merge-by-xor, one map-side aggregate —
+# and only the buckets are exchanged and compared. The row hash is
+# the PORTABLE md5-prefix bigint (the l2f/a3b hash family: md5 of a
+# canonical row string, first 12 hex nibbles parsed with instr — no
+# engine-private hash), so a Spark cluster can audit a snapshot
+# checksummed by DuckDB, SQL Server, or any SQL engine.
+_S19_BUCKETS = 64
+_S19_DEL_MOD = 997  # replica is missing these keys (lost rows)
+_S19_UPD_MOD = 1499  # replica drifted on these keys (changed values)
+
+
+def _s19_canon(price_expr: str) -> str:
+    # Numeric fields enter the canonical string as exact integers
+    # (cents), never as float-to-string renderings, which differ
+    # across engines.
+    return (
+        "concat_ws('|', CAST(o_orderkey AS STRING), "
+        f"CAST(CAST(round(({price_expr}) * 100) AS BIGINT) AS STRING), "
+        "o_orderstatus, o_orderpriority, "
+        "CAST(year(o_orderdate) AS STRING))"
+    )
+
+
+_S19_REPL_PRICE = (
+    f"CASE WHEN o_orderkey % {_S19_UPD_MOD} = 0 "
+    "THEN o_totalprice + 1.0 ELSE o_totalprice END"
+)
+# First 12 hex nibbles of md5(canon) as a 48-bit bigint. The explicit
+# BIGINT cast matters in Spark ANSI mode: small weight literals parse
+# as INT and nibble*INT would overflow 32 bits.
+_S19_HV = " + ".join(
+    f"CAST(instr('0123456789abcdef', substring(h, {i + 1}, 1)) - 1"
+    f" AS BIGINT) * {16 ** (11 - i)}"
+    for i in range(12)
+)
+
+
+def _s19_side(canon: str, where: str) -> str:
+    return f"""(
+      SELECT bucket, count(*) AS n, bit_xor(hv) AS x
+      FROM (
+        SELECT o_orderkey % {_S19_BUCKETS} AS bucket, {_S19_HV} AS hv
+        FROM (SELECT o_orderkey, md5({canon}) AS h FROM orders{where})
+      )
+      GROUP BY bucket
+    )"""
+
+
+_S19_ORACLE = f"""
+    WITH p AS {_s19_side(_s19_canon("o_totalprice"), "")},
+    r AS {_s19_side(
+        _s19_canon(_S19_REPL_PRICE),
+        f" WHERE o_orderkey % {_S19_DEL_MOD} <> 0",
+    )}
+    SELECT coalesce(p.bucket, r.bucket) AS bucket,
+           CAST(coalesce(p.n, 0) AS BIGINT) AS n_primary,
+           CAST(coalesce(r.n, 0) AS BIGINT) AS n_replica,
+           CAST(coalesce(p.x, 0) AS BIGINT) AS checksum_primary,
+           CAST(coalesce(r.x, 0) AS BIGINT) AS checksum_replica,
+           CASE WHEN coalesce(p.n, 0) <> coalesce(r.n, 0)
+                THEN 'row_count_drift'
+                ELSE 'content_drift' END AS status
+    FROM p FULL JOIN r ON p.bucket = r.bucket
+    WHERE p.n IS DISTINCT FROM r.n OR p.x IS DISTINCT FROM r.x
+    ORDER BY bucket
+    """
+
+
+@register(
+    "s19_replica_checksum_audit",
+    oracle=_S19_ORACLE,
+    doc="S19: merkle-style anti-entropy audit — locate where two "
+    "replicas of a table diverge by exchanging per-bucket checksums "
+    "instead of rows. Each side computes, in ONE map-side aggregate, "
+    "(count, bit_xor of a portable row hash) per key bucket; buckets "
+    "whose pairs disagree are reported with a drift class "
+    "(row_count_drift vs content_drift). The fixture plants both "
+    "divergence shapes deterministically: the replica is missing "
+    "every 997th order and carries a +$1 price drift on every 1499th. "
+    "Row hash = first 48 bits of md5 over a canonical row string "
+    "(numerics as exact cents, never float rendering) — the l2f/a3b "
+    "engine-neutral hash family, so either side of the audit can be "
+    "computed by ANY SQL engine and compared byte-for-byte; XOR makes "
+    "the fold order-independent and incrementally maintainable "
+    "(applying a row delta re-xors one value). At 100 TB: the scan "
+    "is embarrassingly parallel with partial aggregation, the "
+    "exchange is #buckets rows (KBs for any table), and repair "
+    "re-reads ONLY the diverging buckets — the audit never moves the "
+    "table. Twin of r16 (row-level diff): r16 answers WHAT changed, "
+    "s19 answers WHERE, 6 orders of magnitude cheaper. Known "
+    "limitation, documented: xor cancels identical even-multiplicity "
+    "divergences within a bucket — counts catch add/remove pairs, "
+    "and bucket granularity bounds the blast radius.",
+    tags=("lifecycle",),
+)
+def replica_checksum_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    primary = orders.select(
+        "o_orderkey", F.expr(f"md5({_s19_canon('o_totalprice')})").alias("h")
+    )
+    replica = orders.filter(
+        F.expr(f"o_orderkey % {_S19_DEL_MOD} <> 0")
+    ).select(
+        "o_orderkey",
+        F.expr(f"md5({_s19_canon(_S19_REPL_PRICE)})").alias("h"),
+    )
+
+    def side(df: DataFrame) -> DataFrame:
+        return (
+            df.select(
+                F.expr(f"o_orderkey % {_S19_BUCKETS}").alias("bucket"),
+                F.expr(_S19_HV).alias("hv"),
+            )
+            .groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.expr("bit_xor(hv)").alias("x"),
+            )
+        )
+
+    p = side(primary).alias("p")
+    r = side(replica).alias("r")
+    joined = p.join(r, F.col("p.bucket") == F.col("r.bucket"), "full_outer")
+    return (
+        joined.filter(
+            ~F.col("p.n").eqNullSafe(F.col("r.n"))
+            | ~F.col("p.x").eqNullSafe(F.col("r.x"))
+        )
+        .select(
+            F.coalesce("p.bucket", "r.bucket").alias("bucket"),
+            F.coalesce("p.n", F.lit(0)).cast("bigint").alias("n_primary"),
+            F.coalesce("r.n", F.lit(0)).cast("bigint").alias("n_replica"),
+            F.coalesce("p.x", F.lit(0))
+            .cast("bigint")
+            .alias("checksum_primary"),
+            F.coalesce("r.x", F.lit(0))
+            .cast("bigint")
+            .alias("checksum_replica"),
+            F.when(
+                F.coalesce("p.n", F.lit(0)) != F.coalesce("r.n", F.lit(0)),
+                F.lit("row_count_drift"),
+            )
+            .otherwise(F.lit("content_drift"))
+            .alias("status"),
+        )
+        .orderBy("bucket")
+    )

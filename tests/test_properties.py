@@ -338,3 +338,210 @@ def test_portable_hll_matches_pure_python_reference(spark, sf_dir):
     exact = Counter(r["y"] for r in rows)
     for y, est in got.items():
         assert abs(est - exact[y]) / exact[y] < 0.6, (y, est, exact[y])
+
+
+def test_moment_profile_matches_pure_python_reference(spark, sf_dir):
+    # a26's claim is exactness: the power sums are exact integers, so a
+    # pure-Python recompute (arbitrary-precision ints, then the same
+    # left-to-right double formulas) must agree to the 4dp round on
+    # every statistic — and Spark's own double-accumulating builtins
+    # must sit within float-drift distance of the exact answer.
+    from mric_bak_etl_spark.operators.aggregates import moment_profile
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_returnflag", "l_extendedprice", "l_quantity")
+        .collect()
+    )
+    acc: dict[str, list[int]] = {}
+    for r in rows:
+        c = int(round(r["l_extendedprice"] * 100))
+        q = int(round(r["l_quantity"]))
+        a = acc.setdefault(r["l_returnflag"], [0] * 8)
+        a[0] += 1
+        a[1] += c
+        a[2] += c * c
+        a[3] += c * c * c
+        a[4] += c * c * c * c
+        a[5] += q
+        a[6] += q * q
+        a[7] += q * c
+    got = {r["l_returnflag"]: r for r in moment_profile(spark, sf_dir).collect()}
+    assert set(got) == set(acc)
+    import math
+
+    for flag, (n_i, s1_i, s2_i, s3_i, s4_i, q1_i, q2_i, sq_i) in acc.items():
+        n, s1, s2, s3, s4, q1, q2, sq = (
+            float(v) for v in (n_i, s1_i, s2_i, s3_i, s4_i, q1_i, q2_i, sq_i)
+        )
+        var = s2 / n - (s1 / n) * (s1 / n)
+        qvar = q2 / n - (q1 / n) * (q1 / n)
+        ref = {
+            "n_items": n_i,
+            "mean_price": s1 / n / 100,
+            "std_price": math.sqrt(var) / 100,
+            "skewness": (
+                s3 / n
+                - 3 * (s1 / n) * (s2 / n)
+                + 2 * (s1 / n) * (s1 / n) * (s1 / n)
+            )
+            / (var * math.sqrt(var)),
+            "kurtosis": (
+                s4 / n
+                - 4 * (s1 / n) * (s3 / n)
+                + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+                - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n)
+            )
+            / (var * var)
+            - 3,
+            "corr_qty_price": (sq / n - (q1 / n) * (s1 / n))
+            / (math.sqrt(qvar) * math.sqrt(var)),
+        }
+        row = got[flag]
+        assert row["n_items"] == ref["n_items"], flag
+        for k in (
+            "mean_price",
+            "std_price",
+            "skewness",
+            "kurtosis",
+            "corr_qty_price",
+        ):
+            # engine rounds half-away, Python round is banker's: compare
+            # to the unrounded reference with a half-round tolerance.
+            assert abs(row[k] - ref[k]) <= 5.1e-5, (flag, k, row[k], ref[k])
+
+    # Spark's builtin (double-accumulating) moments agree with the exact
+    # ones to float-drift distance — same definitions, g1/excess.
+    builtin = {
+        r["l_returnflag"]: r
+        for r in spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .groupBy("l_returnflag")
+        .agg(
+            F.skewness("l_extendedprice").alias("sk"),
+            F.kurtosis("l_extendedprice").alias("ku"),
+            F.corr("l_quantity", "l_extendedprice").alias("co"),
+        )
+        .collect()
+    }
+    for flag, row in got.items():
+        assert abs(row["skewness"] - builtin[flag]["sk"]) < 1e-3
+        assert abs(row["kurtosis"] - builtin[flag]["ku"]) < 1e-3
+        assert abs(row["corr_qty_price"] - builtin[flag]["co"]) < 1e-3
+
+
+def test_experiment_ztest_reference_and_flag_consistency(spark, sf_dir):
+    # Pure-Python recompute of both z-tests (exact integer sums, the
+    # same double formulas) + the structural contract: `significant`
+    # is exactly |z| >= 1.96 evaluated on the UNROUNDED statistic.
+    import math
+
+    from mric_bak_etl_spark.operators.events import experiment_ztest
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id", "event_type", "value")
+        .collect()
+    )
+    in_a = lambda u: ((u * 2654435761) % 2147483648) < 1073741824  # noqa: E731
+    conv: dict[int, int] = {}
+    ev_sums = {"na": 0, "nb": 0, "s1a": 0, "s1b": 0, "s2a": 0, "s2b": 0}
+    for r in rows:
+        u = r["user_id"]
+        hit = 1 if (r["event_type"] == "purchase" and r["value"] >= 95) else 0
+        conv[u] = max(conv.get(u, 0), hit)
+        vc = int(round(r["value"] * 100))
+        if in_a(u):
+            ev_sums["na"] += 1
+            ev_sums["s1a"] += vc
+            ev_sums["s2a"] += vc * vc
+        else:
+            ev_sums["nb"] += 1
+            ev_sums["s1b"] += vc
+            ev_sums["s2b"] += vc * vc
+    na = float(sum(1 for u in conv if in_a(u)))
+    nb = float(len(conv)) - na
+    ca = float(sum(c for u, c in conv.items() if in_a(u)))
+    cb = float(sum(conv.values())) - ca
+    p = (ca + cb) / (na + nb)
+    z_prop = (ca / na - cb / nb) / math.sqrt(
+        p * (1 - p) * (1 / na + 1 / nb)
+    )
+    ena, enb = float(ev_sums["na"]), float(ev_sums["nb"])
+    s1a, s1b = float(ev_sums["s1a"]), float(ev_sums["s1b"])
+    s2a, s2b = float(ev_sums["s2a"]), float(ev_sums["s2b"])
+    va = s2a / ena - (s1a / ena) * (s1a / ena)
+    vb = s2b / enb - (s1b / enb) * (s1b / enb)
+    z_welch = (s1a / ena - s1b / enb) / math.sqrt(va / ena + vb / enb)
+
+    got = {r["metric"]: r for r in experiment_ztest(spark, sf_dir).collect()}
+    assert set(got) == {"purchase_conversion", "avg_event_value"}
+    pc, av = got["purchase_conversion"], got["avg_event_value"]
+    assert (pc["n_a"], pc["n_b"]) == (int(na), int(nb))
+    assert (av["n_a"], av["n_b"]) == (int(ena), int(enb))
+    assert abs(pc["z_score"] - z_prop) <= 5.1e-5
+    assert abs(av["z_score"] - z_welch) <= 5.1e-5
+    assert pc["significant"] == (abs(z_prop) >= 1.96)
+    assert av["significant"] == (abs(z_welch) >= 1.96)
+
+
+def test_outer_flatten_preserves_every_parent(spark, sf_dir):
+    # The operator's whole point: outer explode loses NO parent rows —
+    # the degenerate slices (NULL for lang='de', empty for n_chars%7==0)
+    # surface as exactly one (NULL, NULL) row, and real arrays flatten
+    # to contiguous 0-based positions.
+    from mric_bak_etl_spark.functions.scalar import outer_flatten
+
+    docs = {
+        r["doc_id"]: r
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    out: dict[int, list] = {}
+    for r in outer_flatten(spark, sf_dir).collect():
+        out.setdefault(r["doc_id"], []).append((r["pos"], r["tok"]))
+    assert set(out) == set(docs)  # no parent dropped, none invented
+    for doc_id, pairs in out.items():
+        d = docs[doc_id]
+        if d["lang"] == "de" or d["n_chars"] % 7 == 0:
+            assert pairs == [(None, None)], doc_id
+        else:
+            toks = d["text"].split(" ")[:4]
+            assert sorted(pairs) == [
+                (i, t) for i, t in enumerate(toks)
+            ], doc_id
+
+
+def test_replica_checksum_audit_finds_exactly_the_planted_buckets(
+    spark, sf_dir
+):
+    # Every bucket containing a planted divergence is flagged with the
+    # right drift class; no clean bucket is ever flagged (the hash is
+    # deterministic, so false positives are impossible by construction).
+    from mric_bak_etl_spark.pipeline.lifecycle import (
+        _S19_BUCKETS,
+        _S19_DEL_MOD,
+        _S19_UPD_MOD,
+        replica_checksum_audit,
+    )
+
+    keys = [
+        r["o_orderkey"]
+        for r in spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_orderkey")
+        .collect()
+    ]
+    deleted = {k for k in keys if k % _S19_DEL_MOD == 0}
+    updated = {k for k in keys if k % _S19_UPD_MOD == 0 and k not in deleted}
+    count_drift = {k % _S19_BUCKETS for k in deleted}
+    content_only = {k % _S19_BUCKETS for k in updated} - count_drift
+    got = {
+        r["bucket"]: r for r in replica_checksum_audit(spark, sf_dir).collect()
+    }
+    assert set(got) == count_drift | content_only
+    for b, r in got.items():
+        if b in count_drift:
+            assert r["status"] == "row_count_drift"
+            assert r["n_primary"] > r["n_replica"]
+        else:
+            assert r["status"] == "content_drift"
+            assert r["n_primary"] == r["n_replica"]
+            assert r["checksum_primary"] != r["checksum_replica"]
