@@ -74,6 +74,7 @@ QUERIES = [
     "e9_sequence_pattern",     # user-grain CEP
     "l19_kmeans",              # broadcast-centroid clustering
     "l40_incremental_banded_neardup",  # capped band-index probe (r6)
+    "s19_replica_checksum_audit",  # two-scan map-side checksum fold (r6)
 ]
 
 
