@@ -98,6 +98,8 @@ HEADLINE = [
     # round-6 additions
     "l40_incremental_banded_neardup",  # capped band-index probe + exact verify, zero-shuffle plan
     "w10_distributed_running_total",   # two-phase prefix running total (calendar cells + offset broadcast)
+    "a26_moment_profile",   # exact decimal power sums → portable moments
+    "s19_replica_checksum_audit",  # two-replica per-bucket count+xor audit
 ]
 
 

@@ -1205,15 +1205,42 @@ def _a26_oracle() -> str:
 )
 def moment_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    cents = li.select(
+    # The Spark side restructures the EXACT sums for speed — integer
+    # arithmetic is associativity-free, so the values (and therefore
+    # the double-cast stats) are unchanged vs the oracle's plain form:
+    # - s1/q1/q2/sq accumulate in BIGINT (codegen fast path; headroom
+    #   at sf100: s1 <= 1e7 * 6e8 = 6e15, sq <= 5e8 * 6e8 = 3e17);
+    # - c2 = c*c is computed ONCE and c3/c4 derive from it (3 BigDecimal
+    #   multiplies per row instead of 6 — Spark decimals beyond 18
+    #   digits are JVM BigDecimal with no int128 fast path, so every
+    #   shared product is ~20% of this plan's wall).
+    ints = li.select(
         "l_returnflag",
+        F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("cb"),
         F.expr("CAST(round(l_extendedprice * 100) AS DECIMAL(38,0))").alias(
             "c"
         ),
-        F.expr("CAST(round(l_quantity) AS DECIMAL(38,0))").alias("q"),
+        F.expr("CAST(round(l_quantity) AS BIGINT)").alias("qb"),
     )
-    sums = cents.groupBy("l_returnflag").agg(
-        *[F.expr(expr).alias(name) for name, expr in _A26_SUMS.items()]
+    prods = ints.select(
+        "l_returnflag", "cb", "qb", F.expr("c * c").alias("c2")
+    ).select(
+        "l_returnflag",
+        "cb",
+        "qb",
+        "c2",
+        F.expr("c2 * cb").alias("c3"),
+        F.expr("c2 * c2").alias("c4"),
+    )
+    sums = prods.groupBy("l_returnflag").agg(
+        F.expr("count(*)").alias("n"),
+        F.expr("sum(cb)").alias("s1"),
+        F.expr("sum(c2)").alias("s2"),
+        F.expr("sum(c3)").alias("s3"),
+        F.expr("sum(c4)").alias("s4"),
+        F.expr("sum(qb)").alias("q1"),
+        F.expr("sum(qb * qb)").alias("q2"),
+        F.expr("sum(qb * cb)").alias("sq"),
     )
     d = sums.select(
         "l_returnflag",

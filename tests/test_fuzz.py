@@ -814,3 +814,111 @@ def test_random_string_plans_agree(spark, duck, sf_dir, case):
     got = spark.sql(sql).toPandas()
     want = duck.execute(sql).df()
     assert_frames_match(got, want, f"str[{sql[:120]}]")
+
+
+# --- exact-arithmetic statistics grammar (a26/e13's compositional core) -----
+# The portable-stats recipe: measures become EXACT integers (cents in
+# DECIMAL(38,0) on Spark, HUGEINT on DuckDB — the one dialect token that
+# differs), power sums accumulate exactly (no float summation order),
+# and every derived statistic is ONE shared double-formula string both
+# engines evaluate over the double-cast sums. The grammar composes
+# random measure x filter x group-key x degree x statistic pulls and
+# demands bit-level agreement (no rounding, no tolerance slack needed:
+# identical IEEE expressions over identical inputs). Degenerate groups
+# (var = 0 from single-row or all-equal groups) are guarded with the
+# same CASE convention on both sides — pinning the guard IS part of
+# the recipe.
+
+_XS_MEASURES = [
+    "round(o_totalprice * 100)",
+    "o_custkey",
+    "o_orderkey % 1000",
+]
+_XS_VAR = "(s2 / n - (s1 / n) * (s1 / n))"
+_XS_STATS = {
+    # name -> (min degree, formula over double-cast n, s1..s4)
+    "mean": (1, "s1 / n"),
+    "var": (2, _XS_VAR),
+    "std": (2, f"CASE WHEN {_XS_VAR} > 0 THEN sqrt({_XS_VAR}) ELSE 0 END"),
+    "cv": (
+        2,
+        f"CASE WHEN {_XS_VAR} > 0 AND s1 <> 0 "
+        f"THEN sqrt({_XS_VAR}) / (s1 / n) ELSE NULL END",
+    ),
+    "skew": (
+        3,
+        f"CASE WHEN {_XS_VAR} > 0 THEN "
+        "(s3 / n - 3 * (s1 / n) * (s2 / n)"
+        " + 2 * (s1 / n) * (s1 / n) * (s1 / n))"
+        f" / ({_XS_VAR} * sqrt({_XS_VAR})) ELSE NULL END",
+    ),
+    "kurt": (
+        4,
+        f"CASE WHEN {_XS_VAR} > 0 THEN "
+        "(s4 / n - 4 * (s1 / n) * (s3 / n)"
+        " + 6 * (s1 / n) * (s1 / n) * (s2 / n)"
+        " - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))"
+        f" / ({_XS_VAR} * {_XS_VAR}) - 3 ELSE NULL END",
+    ),
+}
+
+XSTAT_CASES = st.fixed_dictionaries(
+    {
+        "measure": st.sampled_from(_XS_MEASURES),
+        "degree": st.integers(min_value=2, max_value=4),
+        "filters": st.lists(
+            st.sampled_from(FILTERS), min_size=0, max_size=2, unique=True
+        ),
+        "t": st.integers(min_value=1000, max_value=400000),
+        "m": st.integers(min_value=0, max_value=6),
+        "key": st.sampled_from(KEY_COLS + ["__none__"]),
+        "stats": st.lists(
+            st.sampled_from(sorted(_XS_STATS)), min_size=1, max_size=4,
+            unique=True,
+        ),
+    }
+)
+
+
+def render_xstat_sql(case: dict, exact_type: str) -> str:
+    degree = case["degree"]
+    stats = [
+        s for s in case["stats"] if _XS_STATS[s][0] <= degree
+    ] or ["mean"]
+    where = " AND ".join(
+        "(" + f.format(t=case["t"], m=case["m"]) + ")"
+        for f in case["filters"]
+    )
+    key = case["key"]
+    key_sel = f"{key}, " if key != "__none__" else ""
+    sums = ["count(*) AS n", "sum(c) AS s1"]
+    for d in range(2, degree + 1):
+        sums.append(f"sum({' * '.join(['c'] * d)}) AS s{d}")
+    casts = ", ".join(
+        f"CAST({a.split(' AS ')[1]} AS DOUBLE) AS {a.split(' AS ')[1]}"
+        for a in sums
+    )
+    sel = ", ".join(f"{_XS_STATS[s][1]} AS {s}" for s in stats)
+    sql = (
+        f"WITH ex AS (SELECT {key_sel}"
+        f"CAST({case['measure']} AS {exact_type}) AS c FROM orders"
+        + (f" WHERE {where}" if where else "")
+        + f"), sums AS (SELECT {key_sel}{', '.join(sums)} FROM ex"
+        + (f" GROUP BY {key}" if key != "__none__" else "")
+        + f"), d AS (SELECT {key_sel}{casts} FROM sums)"
+        + f" SELECT {key_sel}{sel} FROM d"
+        + (f" ORDER BY {key}" if key != "__none__" else "")
+    )
+    return sql
+
+
+@FUZZ_SETTINGS
+@given(case=XSTAT_CASES)
+def test_random_exact_stat_plans_agree(spark, duck, sf_dir, case):
+    from mric_bak_etl_spark.tables import register_views
+    from test_oracle_parity import assert_frames_match
+
+    register_views(spark, sf_dir)
+    got = spark.sql(render_xstat_sql(case, "DECIMAL(38,0)")).toPandas()
+    want = duck.execute(render_xstat_sql(case, "HUGEINT")).df()
+    assert_frames_match(got, want, f"xstat[{case['measure']}|{case['stats']}]")
