@@ -39,6 +39,11 @@ at 1-2.4x single-threaded DuckDB at sf0.1 — while sub-second queries
 show inflated ratios that are pure fixed overhead over DuckDB's
 millisecond plans; those converge toward the heavy-query band as SF
 grows (the sf0.1 vs sf0.01 spread demonstrates exactly that).
+ITERATIVE queries (g5's 5 PageRank rounds) pay that fixed floor once
+PER ROUND — a ~5x multiplier on the overhead term that a recursive-CTE
+engine doesn't have — so their fixture-scale ratios sit above the
+single-pass heavy band while their data-scaling stays flat (SCALE.md:
+g5 1.16x wall at 10x data).
 """
 
 from __future__ import annotations

@@ -545,3 +545,65 @@ def test_replica_checksum_audit_finds_exactly_the_planted_buckets(
             assert r["status"] == "content_drift"
             assert r["n_primary"] == r["n_replica"]
             assert r["checksum_primary"] != r["checksum_replica"]
+
+
+def test_replica_checksum_is_incrementally_maintainable(spark, sf_dir):
+    # The s19 doc's maintenance claim, pinned: changing ONE row moves a
+    # bucket's checksum by exactly xor(old_hash) xor(new_hash) — so a
+    # live table's audit state updates per-delta without rescanning the
+    # bucket, and a full recompute after the change must land on the
+    # incrementally-predicted value.
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from mric_bak_etl_spark.pipeline.lifecycle import (
+        _S19_BUCKETS,
+        _S19_HV_SPARK,
+        _s19_canon,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    target = orders.select("o_orderkey").orderBy("o_orderkey").limit(1).collect()[0][0]
+
+    def fold(df):
+        hashed = df.select(
+            F.expr(f"o_orderkey % {_S19_BUCKETS}").alias("bucket"),
+            F.expr(f"md5({_s19_canon('o_totalprice')})").alias("h"),
+        ).select("bucket", F.expr(_S19_HV_SPARK).alias("hv"))
+        return {
+            r["bucket"]: r["x"]
+            for r in hashed.groupBy("bucket")
+            .agg(F.expr("bit_xor(hv)").alias("x"))
+            .collect()
+        }
+
+    before = fold(orders)
+    changed = orders.withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") == target, F.col("o_totalprice") + 1.0
+        ).otherwise(F.col("o_totalprice")),
+    )
+    after = fold(changed)
+
+    hv_pair = (
+        orders.filter(F.col("o_orderkey") == target)
+        .select(
+            F.expr(f"o_orderkey % {_S19_BUCKETS}").alias("bucket"),
+            F.expr(f"md5({_s19_canon('o_totalprice')})").alias("h_old"),
+            F.expr(
+                f"md5({_s19_canon('o_totalprice + 1.0')})"
+            ).alias("h_new"),
+        )
+        .select(
+            "bucket",
+            F.expr(_S19_HV_SPARK.replace("h,", "h_old,")).alias("hv_old"),
+            F.expr(_S19_HV_SPARK.replace("h,", "h_new,")).alias("hv_new"),
+        )
+        .collect()[0]
+    )
+    b = hv_pair["bucket"]
+    predicted = before[b] ^ hv_pair["hv_old"] ^ hv_pair["hv_new"]
+    assert after[b] == predicted
+    for bucket, x in before.items():  # every other bucket untouched
+        if bucket != b:
+            assert after[bucket] == x
