@@ -138,6 +138,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     # locally value-verified by tests/test_oracle_parity.py meanwhile.
     "a26_moment_profile", "e13_experiment_ztest",
     "f29_outer_flatten", "s19_replica_checksum_audit",
+    "s20_bucket_scoped_repair",
 )
 
 

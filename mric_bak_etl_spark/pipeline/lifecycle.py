@@ -1892,3 +1892,126 @@ def replica_checksum_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+_S20_DIVERGED = f"""(
+      SELECT coalesce(p.bucket, r.bucket) AS bucket
+      FROM {{p}} p FULL JOIN {{r}} r ON p.bucket = r.bucket
+      WHERE p.n IS DISTINCT FROM r.n OR p.x IS DISTINCT FROM r.x
+    )"""
+
+
+@register(
+    "s20_bucket_scoped_repair",
+    oracle=f"""
+    WITH prim AS (
+      SELECT o_orderkey,
+             o_orderkey % {_S19_BUCKETS} AS bucket,
+             md5({_s19_canon("o_totalprice")}) AS h
+      FROM orders
+    ),
+    repl AS (
+      SELECT o_orderkey,
+             o_orderkey % {_S19_BUCKETS} AS bucket,
+             md5({_s19_canon(_S19_REPL_PRICE)}) AS h
+      FROM orders WHERE o_orderkey % {_S19_DEL_MOD} <> 0
+    ),
+    pagg AS (SELECT bucket, count(*) AS n, bit_xor({_S19_HV}) AS x
+             FROM prim GROUP BY bucket),
+    ragg AS (SELECT bucket, count(*) AS n, bit_xor({_S19_HV}) AS x
+             FROM repl GROUP BY bucket),
+    diverged AS {_S20_DIVERGED.format(p="pagg", r="ragg")}
+    SELECT coalesce(p.o_orderkey, r.o_orderkey) AS o_orderkey,
+           coalesce(p.bucket, r.bucket) AS bucket,
+           CASE WHEN r.o_orderkey IS NULL THEN 'missing_in_replica'
+                WHEN p.o_orderkey IS NULL THEN 'missing_in_primary'
+                ELSE 'value_drift' END AS status
+    FROM (SELECT prim.* FROM prim
+          JOIN diverged ON prim.bucket = diverged.bucket) p
+    FULL JOIN (SELECT repl.* FROM repl
+               JOIN diverged ON repl.bucket = diverged.bucket) r
+      ON p.o_orderkey = r.o_orderkey
+    WHERE p.o_orderkey IS NULL OR r.o_orderkey IS NULL OR p.h <> r.h
+    ORDER BY o_orderkey
+    """,
+    doc="S20: bucket-scoped repair — the row-level drill-down s19's "
+    "audit points at: re-read ONLY the buckets whose checksums "
+    "disagreed, full-outer-join the two sides on the key within that "
+    "slice, and emit each divergent row with its repair class "
+    "(missing_in_replica / missing_in_primary / value_drift). The "
+    "two-phase economics are the point at 100 TB: phase 1 (s19) "
+    "exchanges #buckets checksum rows; phase 2 scans only the flagged "
+    "buckets — with replicas PARTITIONED by the audit bucket (the s4 "
+    "layout) the re-read is partition-pruned to the damage, so repair "
+    "cost tracks the divergence volume, not the table. The diverged "
+    "bucket list is joined as a broadcast semi-filter (cluster-side, "
+    "never collected), and the row join shuffles only flagged-bucket "
+    "rows. r16 is the full-table row diff; s19+s20 is the same answer "
+    "at checksum prices when divergence is sparse — which is what "
+    "anti-entropy assumes.",
+    tags=("lifecycle",),
+)
+def bucket_scoped_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+
+    def rows(price_expr: str, where: str | None) -> DataFrame:
+        df = orders.filter(F.expr(where)) if where else orders
+        return df.select(
+            "o_orderkey",
+            F.expr(f"o_orderkey % {_S19_BUCKETS}").alias("bucket"),
+            F.expr(f"md5({_s19_canon(price_expr)})").alias("h"),
+        )
+
+    prim = rows("o_totalprice", None)
+    repl = rows(_S19_REPL_PRICE, f"o_orderkey % {_S19_DEL_MOD} <> 0")
+
+    def agg(df: DataFrame) -> DataFrame:
+        return (
+            df.select("bucket", F.expr(_S19_HV_SPARK).alias("hv"))
+            .groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.expr("bit_xor(hv)").alias("x"),
+            )
+        )
+
+    from mric_bak_etl_spark.tables import materialize
+
+    p, r = agg(prim).alias("p"), agg(repl).alias("r")
+    # materialize (localCheckpoint) the <= _S19_BUCKETS-row bucket list:
+    # it feeds TWO broadcast semi-filters, and without pinning each
+    # broadcast re-executes the whole audit lineage (observed: 6 orders
+    # scans in the plan instead of 4 — the l32 edge-list lesson).
+    diverged = materialize(
+        p.join(r, F.col("p.bucket") == F.col("r.bucket"), "full_outer")
+        .filter(
+            ~F.col("p.n").eqNullSafe(F.col("r.n"))
+            | ~F.col("p.x").eqNullSafe(F.col("r.x"))
+        )
+        .select(F.coalesce("p.bucket", "r.bucket").alias("bucket"))
+    )
+    # The bucket list is at most _S19_BUCKETS rows: broadcast semi-join
+    # it into BOTH sides so only flagged-bucket rows reach the row join.
+    pf = prim.join(F.broadcast(diverged), "bucket", "left_semi").alias("pf")
+    rf = repl.join(F.broadcast(diverged), "bucket", "left_semi").alias("rf")
+    joined = pf.join(
+        rf, F.col("pf.o_orderkey") == F.col("rf.o_orderkey"), "full_outer"
+    )
+    return (
+        joined.filter(
+            F.col("pf.o_orderkey").isNull()
+            | F.col("rf.o_orderkey").isNull()
+            | (F.col("pf.h") != F.col("rf.h"))
+        )
+        .select(
+            F.coalesce("pf.o_orderkey", "rf.o_orderkey").alias("o_orderkey"),
+            F.coalesce("pf.bucket", "rf.bucket").alias("bucket"),
+            F.when(
+                F.col("rf.o_orderkey").isNull(), F.lit("missing_in_replica")
+            )
+            .when(F.col("pf.o_orderkey").isNull(), F.lit("missing_in_primary"))
+            .otherwise(F.lit("value_drift"))
+            .alias("status"),
+        )
+        .orderBy("o_orderkey")
+    )

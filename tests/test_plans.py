@@ -873,3 +873,16 @@ def test_w10_plan_is_two_phase_and_boundary_invariant(spark, sf_dir, catalog_pla
         spark, sf_dir
     ).collect()
     assert got == direct
+
+
+def test_bucket_scoped_repair_plan_shape(catalog_plan):
+    # s20's two-phase economics, pinned in the plan: the diverged
+    # bucket list is localCheckpointed once (so the final plan scans
+    # orders exactly twice — the row sides — instead of re-running the
+    # audit lineage per broadcast), and both row sides are pruned by
+    # BROADCAST semi-joins before the full-outer row join.
+    plan = catalog_plan("s20_bucket_scoped_repair")
+    n_scans = plan.count("orders.parquet")
+    assert n_scans == 2, f"orders scanned {n_scans}x in the repair plan"
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "LeftSemi" in plan

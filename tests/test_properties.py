@@ -607,3 +607,33 @@ def test_replica_checksum_is_incrementally_maintainable(spark, sf_dir):
     for bucket, x in before.items():  # every other bucket untouched
         if bucket != b:
             assert after[bucket] == x
+
+
+def test_bucket_scoped_repair_recovers_exactly_the_planted_rows(
+    spark, sf_dir
+):
+    # Phase-2 of the audit must name precisely the planted damage:
+    # every deleted key as missing_in_replica, every (non-deleted)
+    # updated key as value_drift, nothing else.
+    from mric_bak_etl_spark.pipeline.lifecycle import (
+        _S19_DEL_MOD,
+        _S19_UPD_MOD,
+        bucket_scoped_repair,
+    )
+
+    keys = [
+        r["o_orderkey"]
+        for r in spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_orderkey")
+        .collect()
+    ]
+    deleted = {k for k in keys if k % _S19_DEL_MOD == 0}
+    updated = {k for k in keys if k % _S19_UPD_MOD == 0 and k not in deleted}
+    got = {
+        r["o_orderkey"]: r["status"]
+        for r in bucket_scoped_repair(spark, sf_dir).collect()
+    }
+    assert got == {
+        **{k: "missing_in_replica" for k in deleted},
+        **{k: "value_drift" for k in updated},
+    }
