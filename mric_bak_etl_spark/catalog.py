@@ -93,52 +93,50 @@ def all_specs() -> dict[str, QuerySpec]:
     return dict(_REGISTRY)
 
 
-# Verification order — round 5 rotation. The driver's correctness run is
-# time-budgeted (~50 entries/round); rounds 1-4 drove 178 distinct
-# queries (174 full value-hash green, 4 rows-only by design, 0 failures
-# ever — CORRECTNESS_r01-r04), leaving 90 catalog entries never sampled.
-# Round-6 head — the FINAL rotation (r5 verdict item 1): the flagship
-# canary, then the round-6 additions (l40/w10/l2f/a3b, brand-new —
-# highest verification risk), then ALL 45 queries with no driver
-# CORRECTNESS row across rounds 1-5, in the round-4 cheapest-first
-# profile order (sf0.01, warm session) with x5_map_in_arrow promoted
-# into the first half (it changed in r5 — verdict item 5). 50 entries
-# exactly fill the driver's 50-query budget (50 sampled in each of
-# r1-r5); a green CORRECTNESS_r06 attests the complete catalog.
-# Already-green queries follow in sorted order; the local parity suite
-# (tests/test_oracle_parity.py over all oracle entries, value-matched
-# before every commit) remains the regression guard. A guard test
-# asserts this list stays in sync with the registry.
+# Verification order — round 7 rotation. The driver's correctness run is
+# time-budgeted (~50 entries/round); rounds 1-6 drove 276 distinct
+# queries (267 full value-hash green, 9 rows-only by design, 0 failures
+# ever — CORRECTNESS_r01-r06), leaving exactly 5 catalog entries never
+# sampled: the round-6 session-3 additions that were deliberately parked
+# below the 50-entry budget so the r6 attestation head stayed frozen.
+# Round-7 head (r6 verdict items 1-2): the flagship canary, then those
+# 5 rotation-debt queries (green CORRECTNESS_r07 rows close the catalog
+# at 281/281 driver-sampled), then g5_user_pagerank FIRST among the
+# re-confirmations (its Spark-side plan changes this round — perf work,
+# verdict item 3 — and a changed query needs a post-change driver row),
+# then the bench HEADLINE set and the heavy dedup/sketch flagships to
+# re-confirm the queries users actually run. 50 entries exactly fill
+# the driver's 50-query budget. Already-green queries follow in sorted
+# order; the local parity suite (tests/test_oracle_parity.py over all
+# oracle entries, value-matched before every commit) remains the
+# regression guard. A guard test asserts this list stays in sync with
+# the registry.
 _VERIFY_FIRST: tuple[str, ...] = (
     "a1_pricing_summary",
-    "l40_incremental_banded_neardup",
-    "w10_distributed_running_total",
-    "l2f_portable_minhash",
-    "a3b_portable_hll",
-    "x5_map_in_arrow",
-    "h20_dominant_supplier", "l7_chunking",
-    "l3d_ivf_topk", "o3_range_partitioned_sort", "q3_session_variables",
-    "h15_top_supplier", "t7_stream_stream_join",
-    "w4_range_interval_frame", "tx_bigram_freq", "dq4_observed_metrics",
-    "h21_waiting_supplier", "h11_important_stock",
-    "s4_partitioned_snapshot", "t8_stream_static_join", "tx_boilerplate",
-    "l20_oov_rate", "s6_schema_evolution", "q4_parameterized_sql",
-    "l15_mixture_rebalance", "f21_intervals", "w5_forward_fill",
-    "f12_bitwise", "l17_semdedup", "s7_compaction", "f9_hashing",
-    "l8_tfidf", "t6_stateful_custom", "tx_quality_score",
-    "w6_distribution", "f20_xml", "f8_string_distance",
-    "u3_union_distinct", "tx_fingerprint", "s12_python_datasource",
-    "x7_polymorphic_udtf", "s8_dynamic_partition_pruning",
-    "q2_recursive_cte", "s5b_orc_xml_roundtrip", "x8_arrow_python_udf",
-    "g3_user_components", "g2_shortest_path", "s13_jdbc_roundtrip",
-    "x3_python_udtf", "f23_collation",
-    # Round-6 session-3 additions — appended BELOW the 50-entry driver
-    # budget on purpose: positions 1-50 are the full-catalog attestation
-    # head and must not shift; these four are round-7 rotation debt,
-    # locally value-verified by tests/test_oracle_parity.py meanwhile.
+    # Rotation debt — the only never-driver-sampled queries (r6 s3).
     "a26_moment_profile", "e13_experiment_ztest",
     "f29_outer_flatten", "s19_replica_checksum_audit",
     "s20_bucket_scoped_repair",
+    # Changed this round (perf work) — needs a post-change driver row.
+    "g5_user_pagerank",
+    # Re-confirmations: bench HEADLINE order, then heavy flagships.
+    "a4_rollup", "j1_inner_equi", "j2_broadcast_dims", "j6_asof",
+    "w1_ranking", "w3_frames", "o2_topk", "u2b_except_all", "f5_arrays",
+    "h3_shipping_priority", "h5_local_supplier_volume",
+    "h18_large_volume_customer", "sq2_scalar_correlated",
+    "j8_salted_skew_join", "t1_tumbling_window", "l2_minhash_lsh",
+    "l3_cosine_topk", "l4_tokenize_tf", "l17_semdedup", "l18_unigram_lm",
+    "e4_event_transitions", "m2_feature_extract", "e6_event_paths",
+    "a18_bitmap_exact_distinct", "j12_interval_overlap_join",
+    "l19_kmeans", "j15_bloom_prejoin", "g4_triangle_count",
+    "l22_slice_divergence", "r21_incremental_agg",
+    "l29_exact_substring_dedup", "e9_sequence_pattern",
+    "l38_incremental_exact_dedup", "l40_incremental_banded_neardup",
+    "w10_distributed_running_total",
+    "l2f_portable_minhash", "a3b_portable_hll", "l2e_dup_clusters",
+    "l39_incremental_jaccard_neardup", "x5_map_in_arrow",
+    "l2d_embedding_neardup", "l32_substring_dup_clusters",
+    "l33_logreg_train",
 )
 
 

@@ -970,8 +970,11 @@ _E13_PROP_Z = (
     " / sqrt(((ca + cb) / (na + nb)) * (1 - (ca + cb) / (na + nb))"
     " * (1 / na + 1 / nb))"
 )
-_E13_VA = "(s2a / na - (s1a / na) * (s1a / na))"
-_E13_VB = "(s2b / nb - (s1b / nb) * (s1b / nb))"
+# Sample variance (Bessel-corrected, /(n-1)) as Welch's test specifies:
+# population second moment times n/(n-1). Both engines evaluate the same
+# string over the same double-cast sums, so parity is by construction.
+_E13_VA = "((s2a / na - (s1a / na) * (s1a / na)) * (na / (na - 1)))"
+_E13_VB = "((s2b / nb - (s1b / nb) * (s1b / nb)) * (nb / (nb - 1)))"
 _E13_WELCH_Z = (
     f"(s1a / na - s1b / nb) / sqrt({_E13_VA} / na + {_E13_VB} / nb)"
 )
@@ -1066,7 +1069,10 @@ def _e13_oracle() -> str:
     "into two arms (Knuth multiplicative hash thresholded at half, the "
     "l15 recipe: reproducible across engines and reruns, no "
     "seed-dependent sample()), then a two-proportion z-test on "
-    "user-grain HIGH-VALUE purchase conversion (>= $95 — the raw purchase rate saturates at 1.0 in the fixture, which would make the pooled z 0/0) and a Welch z-test on event-grain "
+    "user-grain HIGH-VALUE purchase conversion (>= $95 — the raw "
+    "purchase rate saturates at 1.0 in the fixture, which would make "
+    "the pooled z 0/0) and a Welch z-test (Bessel-corrected sample "
+    "variance) on event-grain "
     "mean value. Accumulations are exact integers (cents, 0/1 flags); "
     "each statistic is one shared double-formula string both engines "
     "evaluate over the double-cast sums, so the sqrt-based z-scores "

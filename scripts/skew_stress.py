@@ -30,7 +30,7 @@ honest local proxy for growing the data 1000x. The 256 MB production
 default corresponds to the same hot/average ratio at cluster scale.
 
 Usage:
-    python scripts/skew_stress.py [n_hot_rows]   # default 6_000_000
+    python scripts/skew_stress.py [n_hot_rows]   # default 12_000_000
 
 Writes the skew corpus once under /tmp/skew_corpus (reused across
 runs); prints one result line per variant plus whether the AQE plan
