@@ -1780,11 +1780,23 @@ _S19_HV = " + ".join(
     for i in range(12)
 )
 _S19_HV_SPARK = "CAST(conv(substring(h, 1, 12), 16, 10) AS BIGINT)"
+# Second checksum: SUM of the row hashes folded mod 2^61-1 (a Mersenne
+# prime), alongside the XOR. XOR alone cancels identical
+# even-multiplicity divergences within a bucket; the (xor, sum) pair
+# only misses a divergence whose multiset delta cancels in BOTH folds
+# simultaneously. The sum accumulates in DECIMAL(38,0) — hv < 2^48, so
+# BIGINT would overflow past ~2^15 rows per bucket, while 38 digits
+# carry ~3e23 rows of headroom per bucket (any table, any scale); the
+# final mod + CAST lands the exchanged value back in BIGINT. One shared
+# string, evaluated by both engines — exact integer equality end to end.
+_S19_SUM = (
+    "CAST(sum(CAST(hv AS DECIMAL(38,0))) % 2305843009213693951 AS BIGINT)"
+)
 
 
 def _s19_side(canon: str, where: str) -> str:
     return f"""(
-      SELECT bucket, count(*) AS n, bit_xor(hv) AS x
+      SELECT bucket, count(*) AS n, bit_xor(hv) AS x, {_S19_SUM} AS s
       FROM (
         SELECT o_orderkey % {_S19_BUCKETS} AS bucket, {_S19_HV} AS hv
         FROM (SELECT o_orderkey, md5({canon}) AS h FROM orders{where})
@@ -1804,11 +1816,14 @@ _S19_ORACLE = f"""
            CAST(coalesce(r.n, 0) AS BIGINT) AS n_replica,
            CAST(coalesce(p.x, 0) AS BIGINT) AS checksum_primary,
            CAST(coalesce(r.x, 0) AS BIGINT) AS checksum_replica,
+           CAST(coalesce(p.s, 0) AS BIGINT) AS hashsum_primary,
+           CAST(coalesce(r.s, 0) AS BIGINT) AS hashsum_replica,
            CASE WHEN coalesce(p.n, 0) <> coalesce(r.n, 0)
                 THEN 'row_count_drift'
                 ELSE 'content_drift' END AS status
     FROM p FULL JOIN r ON p.bucket = r.bucket
     WHERE p.n IS DISTINCT FROM r.n OR p.x IS DISTINCT FROM r.x
+       OR p.s IS DISTINCT FROM r.s
     ORDER BY bucket
     """
 
@@ -1819,8 +1834,9 @@ _S19_ORACLE = f"""
     doc="S19: merkle-style anti-entropy audit — locate where two "
     "replicas of a table diverge by exchanging per-bucket checksums "
     "instead of rows. Each side computes, in ONE map-side aggregate, "
-    "(count, bit_xor of a portable row hash) per key bucket; buckets "
-    "whose pairs disagree are reported with a drift class "
+    "(count, bit_xor, mod-2^61-1 sum of a portable row hash) per key "
+    "bucket; buckets "
+    "whose triples disagree are reported with a drift class "
     "(row_count_drift vs content_drift). The fixture plants both "
     "divergence shapes deterministically: the replica is missing "
     "every 997th order and carries a +$1 price drift on every 1499th. "
@@ -1834,10 +1850,14 @@ _S19_ORACLE = f"""
     "exchange is #buckets rows (KBs for any table), and repair "
     "re-reads ONLY the diverging buckets — the audit never moves the "
     "table. Twin of r16 (row-level diff): r16 answers WHAT changed, "
-    "s19 answers WHERE, 6 orders of magnitude cheaper. Known "
-    "limitation, documented: xor cancels identical even-multiplicity "
-    "divergences within a bucket — counts catch add/remove pairs, "
-    "and bucket granularity bounds the blast radius.",
+    "s19 answers WHERE, 6 orders of magnitude cheaper. The xor fold "
+    "alone cancels identical even-multiplicity divergences within a "
+    "bucket; the second, additive fold (sum of hashes mod 2^61-1) "
+    "closes that blind spot for one extra agg expression — a miss now "
+    "needs a multiset delta that cancels in xor AND sums to 0 mod a "
+    "Mersenne prime simultaneously. Both folds stay order-independent "
+    "and incrementally maintainable (a row delta re-xors one value "
+    "and adds one signed residue).",
     tags=("lifecycle",),
 )
 def replica_checksum_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1862,6 +1882,7 @@ def replica_checksum_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(
                 F.count(F.lit(1)).alias("n"),
                 F.expr("bit_xor(hv)").alias("x"),
+                F.expr(_S19_SUM).alias("s"),
             )
         )
 
@@ -1872,6 +1893,7 @@ def replica_checksum_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.filter(
             ~F.col("p.n").eqNullSafe(F.col("r.n"))
             | ~F.col("p.x").eqNullSafe(F.col("r.x"))
+            | ~F.col("p.s").eqNullSafe(F.col("r.s"))
         )
         .select(
             F.coalesce("p.bucket", "r.bucket").alias("bucket"),
@@ -1883,6 +1905,12 @@ def replica_checksum_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("r.x", F.lit(0))
             .cast("bigint")
             .alias("checksum_replica"),
+            F.coalesce("p.s", F.lit(0))
+            .cast("bigint")
+            .alias("hashsum_primary"),
+            F.coalesce("r.s", F.lit(0))
+            .cast("bigint")
+            .alias("hashsum_replica"),
             F.when(
                 F.coalesce("p.n", F.lit(0)) != F.coalesce("r.n", F.lit(0)),
                 F.lit("row_count_drift"),
@@ -1898,6 +1926,7 @@ _S20_DIVERGED = f"""(
       SELECT coalesce(p.bucket, r.bucket) AS bucket
       FROM {{p}} p FULL JOIN {{r}} r ON p.bucket = r.bucket
       WHERE p.n IS DISTINCT FROM r.n OR p.x IS DISTINCT FROM r.x
+         OR p.s IS DISTINCT FROM r.s
     )"""
 
 
@@ -1916,10 +1945,14 @@ _S20_DIVERGED = f"""(
              md5({_s19_canon(_S19_REPL_PRICE)}) AS h
       FROM orders WHERE o_orderkey % {_S19_DEL_MOD} <> 0
     ),
-    pagg AS (SELECT bucket, count(*) AS n, bit_xor({_S19_HV}) AS x
-             FROM prim GROUP BY bucket),
-    ragg AS (SELECT bucket, count(*) AS n, bit_xor({_S19_HV}) AS x
-             FROM repl GROUP BY bucket),
+    pagg AS (SELECT bucket, count(*) AS n, bit_xor(hv) AS x,
+                    {_S19_SUM} AS s
+             FROM (SELECT bucket, {_S19_HV} AS hv FROM prim)
+             GROUP BY bucket),
+    ragg AS (SELECT bucket, count(*) AS n, bit_xor(hv) AS x,
+                    {_S19_SUM} AS s
+             FROM (SELECT bucket, {_S19_HV} AS hv FROM repl)
+             GROUP BY bucket),
     diverged AS {_S20_DIVERGED.format(p="pagg", r="ragg")}
     SELECT coalesce(p.o_orderkey, r.o_orderkey) AS o_orderkey,
            coalesce(p.bucket, r.bucket) AS bucket,
@@ -1972,6 +2005,7 @@ def bucket_scoped_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(
                 F.count(F.lit(1)).alias("n"),
                 F.expr("bit_xor(hv)").alias("x"),
+                F.expr(_S19_SUM).alias("s"),
             )
         )
 
@@ -1987,6 +2021,7 @@ def bucket_scoped_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(
             ~F.col("p.n").eqNullSafe(F.col("r.n"))
             | ~F.col("p.x").eqNullSafe(F.col("r.x"))
+            | ~F.col("p.s").eqNullSafe(F.col("r.s"))
         )
         .select(F.coalesce("p.bucket", "r.bucket").alias("bucket"))
     )

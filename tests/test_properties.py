@@ -548,19 +548,23 @@ def test_replica_checksum_audit_finds_exactly_the_planted_buckets(
 
 
 def test_replica_checksum_is_incrementally_maintainable(spark, sf_dir):
-    # The s19 doc's maintenance claim, pinned: changing ONE row moves a
-    # bucket's checksum by exactly xor(old_hash) xor(new_hash) — so a
-    # live table's audit state updates per-delta without rescanning the
-    # bucket, and a full recompute after the change must land on the
-    # incrementally-predicted value.
+    # The s19 doc's maintenance claim, pinned for BOTH folds: changing
+    # ONE row moves a bucket's xor checksum by exactly
+    # xor(old_hash) xor(new_hash), and its additive checksum by
+    # (new_hash - old_hash) mod 2^61-1 — so a live table's audit state
+    # updates per-delta without rescanning the bucket, and a full
+    # recompute after the change must land on the
+    # incrementally-predicted values.
     from pyspark.sql import functions as F  # noqa: PLC0415
 
     from mric_bak_etl_spark.pipeline.lifecycle import (
         _S19_BUCKETS,
         _S19_HV_SPARK,
+        _S19_SUM,
         _s19_canon,
     )
 
+    mersenne = 2305843009213693951
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     target = orders.select("o_orderkey").orderBy("o_orderkey").limit(1).collect()[0][0]
 
@@ -570,9 +574,12 @@ def test_replica_checksum_is_incrementally_maintainable(spark, sf_dir):
             F.expr(f"md5({_s19_canon('o_totalprice')})").alias("h"),
         ).select("bucket", F.expr(_S19_HV_SPARK).alias("hv"))
         return {
-            r["bucket"]: r["x"]
+            r["bucket"]: (r["x"], r["s"])
             for r in hashed.groupBy("bucket")
-            .agg(F.expr("bit_xor(hv)").alias("x"))
+            .agg(
+                F.expr("bit_xor(hv)").alias("x"),
+                F.expr(_S19_SUM).alias("s"),
+            )
             .collect()
         }
 
@@ -602,11 +609,14 @@ def test_replica_checksum_is_incrementally_maintainable(spark, sf_dir):
         .collect()[0]
     )
     b = hv_pair["bucket"]
-    predicted = before[b] ^ hv_pair["hv_old"] ^ hv_pair["hv_new"]
-    assert after[b] == predicted
-    for bucket, x in before.items():  # every other bucket untouched
+    predicted_x = before[b][0] ^ hv_pair["hv_old"] ^ hv_pair["hv_new"]
+    predicted_s = (
+        before[b][1] - hv_pair["hv_old"] + hv_pair["hv_new"]
+    ) % mersenne
+    assert after[b] == (predicted_x, predicted_s)
+    for bucket, pair in before.items():  # every other bucket untouched
         if bucket != b:
-            assert after[bucket] == x
+            assert after[bucket] == pair
 
 
 def test_bucket_scoped_repair_recovers_exactly_the_planted_rows(
