@@ -367,14 +367,19 @@ _UPR_ITER = """
     "g3's star-reduced co-activity graph — the influence ranking of the "
     "duplicate-cluster / cohort graph. Unlike g1/g2 (vocabulary-sized, "
     "driver-materialized by design), nodes and edges here are user-sized "
-    "DataFrames that NEVER touch the driver: the edge list "
-    "localCheckpoints once (on a cluster: a persisted table), each "
-    "iteration is one |edges| join + one |nodes| groupBy, and the "
-    "FIXED 5 rounds chain lazily into one linear-lineage plan (each "
-    "round reads the previous exactly once — per-round checkpointing "
-    "is only for unbounded convergence loops, l2e's case). Only the "
-    "node count — one scalar — crosses to the driver, as the teleport "
-    "constant. Dangling nodes (rank sinks "
+    "DataFrames that NEVER touch the driver: the distinct event set "
+    "materializes once so the fact table is scanned ONCE (hubs, pairs, "
+    "and nodes all derive from the pin — without it, three full events "
+    "scans), edge weights come from a window count over the same "
+    "src-partitioned shuffle the weight projection needs anyway (no "
+    "separate out-degree join), and each iteration is one |edges| join "
+    "plus one groupBy whose input UNIONs a zero row per node — the "
+    "dangling/edge-less-node left join folded into the aggregate, one "
+    "fewer shuffle per round. The FIXED 5 rounds chain lazily into one "
+    "linear-lineage plan (each round reads the previous exactly once — "
+    "per-round checkpointing is only for unbounded convergence loops, "
+    "l2e's case). Only the node count — one scalar — crosses to the "
+    "driver, as the teleport constant. Dangling nodes (rank sinks "
     "with no out-edges) keep the simple leak semantics on BOTH engines: "
     "their mass decays rather than redistributing, which needs no "
     "second aggregate per round and is deterministic. Star reduction "
@@ -386,9 +391,16 @@ _UPR_ITER = """
     tags=("graph", "events", "iterative"),
 )
 def user_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     from mric_bak_etl_spark.tables import materialize
 
-    ev = (
+    # The distinct (event_type, day, user_id) set is materialized FIRST:
+    # hubs, pairs, and nodes all derive from it, and without the pin the
+    # fact table is scanned three times (hub aggregate, pair probe, node
+    # set) — at 100 TB the events scan dominates everything below, so
+    # one scan instead of three is the operator's biggest lever.
+    ev = materialize(
         load_table(spark, sf_dir, "events")
         .filter(F.col("value") >= G3_VALUE_CUT)
         .select("event_type", F.to_date("ts").alias("day"), "user_id")
@@ -401,42 +413,64 @@ def user_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("user_id").alias("a"), F.col("hub").alias("b"))
         .distinct()
     )
-    edges = materialize(
-        prs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
-        .union(prs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
-        .distinct()
+    # hub = min(user_id) of its group and a != hub, so every prs pair
+    # has a > b: the forward projection emits only src > dst rows and
+    # the reversed one only src < dst — the union is duplicate-free by
+    # construction, no distinct needed (one edge-list shuffle saved).
+    # Out-degree comes from a window count over the same src-partitioned
+    # shuffle the weight projection needs anyway, replacing the former
+    # separate groupBy + join + second materialize job.
+    edges = prs.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
+        prs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    w = materialize(
+        edges.select(
+            "src",
+            "dst",
+            F.round(
+                1.0 / F.count(F.lit(1)).over(Window.partitionBy("src")), 12
+            ).alias("weight"),
+        )
     )
     nodes = materialize(ev.select(F.col("user_id").alias("v")).distinct())
     n_nodes = nodes.count()  # one scalar: the teleport denominator
 
-    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
-    w = materialize(
-        edges.join(outdeg, "src").select(
-            "src", "dst", F.round(1.0 / F.col("od"), 12).alias("weight")
-        )
-    )
-
     base = (1.0 - DAMPING) / n_nodes
+    # Dangling/edge-less nodes re-enter each round as a zero
+    # contribution UNIONed into the aggregate input rather than a
+    # nodes-LEFT-JOIN after it (r6 verdict: fold the join into the
+    # contribs aggregate). Same semantics — sum(c) over the union is
+    # exactly coalesce(contrib, 0.0), since adding 0.0 to a double sum
+    # is exact — but one fewer stage AND one fewer shuffle per
+    # iteration: the zero rows ride the groupBy exchange the iteration
+    # already pays, instead of a third per-round join. At 100 TB, where
+    # the rank table is too big to broadcast, that removes 5 of 15
+    # shuffles from the chain.
+    zero = nodes.select("v", F.lit(0.0).alias("c"))
     ranks = nodes.select("v", F.round(F.lit(1.0 / n_nodes), 12).alias("r"))
     for _ in range(N_ITERATIONS):
-        contribs = (
-            w.join(ranks.withColumnRenamed("v", "src_v"), w["src"] == F.col("src_v"))
-            .groupBy("dst")
-            .agg(F.sum(F.col("weight") * F.col("r")).alias("contrib"))
-        )
         # Lazy chaining is deliberate: each round references the previous
-        # rank table exactly ONCE (inside contribs), so lineage grows
-        # LINEARLY with the fixed 5 iterations and one job executes the
-        # whole chain — per-round localCheckpoint would add 5 blocking
-        # jobs for no lineage benefit. (Convergence-loop variants with
-        # unbounded rounds do need the per-round truncation — see l2e.)
-        ranks = nodes.join(contribs, nodes["v"] == contribs["dst"], "left").select(
-            "v",
-            F.round(
-                F.lit(base)
-                + DAMPING * F.coalesce("contrib", F.lit(0.0)),
-                12,
-            ).alias("r"),
+        # rank table exactly ONCE (inside the edge contributions), so
+        # lineage grows LINEARLY with the fixed 5 iterations and one job
+        # executes the whole chain — per-round localCheckpoint would add
+        # 5 blocking jobs for no lineage benefit. (Convergence-loop
+        # variants with unbounded rounds do need the per-round
+        # truncation — see l2e.)
+        edge_c = (
+            w.join(ranks.withColumnRenamed("v", "src_v"), w["src"] == F.col("src_v"))
+            .select(
+                F.col("dst").alias("v"),
+                (F.col("weight") * F.col("r")).alias("c"),
+            )
+        )
+        ranks = (
+            edge_c.unionByName(zero)
+            .groupBy("v")
+            .agg(
+                F.round(
+                    F.lit(base) + DAMPING * F.sum("c"), 12
+                ).alias("r")
+            )
         )
     return ranks.select(
         F.col("v").alias("user_id"), F.round("r", 6).alias("pagerank")
