@@ -12,9 +12,16 @@ the per-crawl cost is O(|new| + capped probe)"):
            index path, same library functions), written to parquet.
            One-time / amortized across crawls.
   probe  — a FIXED increment (truncated revisions of the 5,000 real
-           base docs that must match, plus fresh docs that must not)
+           base docs that must match, fresh docs that must not, and
+           ONE boilerplate doc that must cap out to zero candidates)
            band-probes the PERSISTED index and exact-verifies band
            survivors against the persisted shingle table. Per-crawl.
+
+The corpus carries l40's planted boilerplate cluster
+(L40_BOILER_COPIES identical docs) at every size, so the posting-list
+cap is exercised end-to-end: dropped at index build, zero candidates
+at probe — this is the REGISTERED l40 composition run against a
+persisted index, not just its happy path.
 
 Corpus sizes 1x / 10x / 100x (5 k / 50 k / 500 k docs): the 5 k real
 sf0.1 documents plus (k-1) x 5 k synthetic docs whose texts are sha2
@@ -42,6 +49,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mric_bak_etl_spark.llm.dedup import (
+    _L40_BOILER_TEXT,
+    L40_BOILER_COPIES,
     L40_MAX_POSTING,
     band_hashes,
     minhash_signatures,
@@ -51,7 +60,7 @@ from mric_bak_etl_spark.llm.text import tokens  # noqa: F401  (revision build)
 from mric_bak_etl_spark.session import get_spark
 
 SRC = "/root/testdata/sf0.1"
-BASE_DIR = "/tmp/incr_corpus"
+BASE_DIR = "/tmp/incr_corpus_v2"  # v2: corpora carry the l40 boiler block
 SIZES = (1, 10, 100)
 N_TOK = 60  # synthetic doc length ~ real doc token count
 
@@ -81,6 +90,16 @@ def synth_corpus(spark: SparkSession, k: int, out: str) -> None:
             ).alias("text"),
         )
         parts.append(noise)
+    # The l40 boilerplate cluster rides along at EVERY corpus size:
+    # L40_BOILER_COPIES identical disclaimer docs whose band posting
+    # lists exceed the cap, so the index build must drop them and the
+    # boiler probe doc must produce zero candidates — the full l40
+    # composition, not just its happy path.
+    boiler = spark.range(L40_BOILER_COPIES).select(
+        (F.col("id") + 8_000_000).alias("doc_id"),
+        F.lit(_L40_BOILER_TEXT).alias("text"),
+    )
+    parts.append(boiler)
     df = parts[0]
     for p in parts[1:]:
         df = df.unionByName(p)
@@ -105,7 +124,14 @@ def fixed_increment(spark: SparkSession) -> DataFrame:
             F.lit(" entirely new tokens"),
         ).alias("text"),
     )
-    return revisions.unionByName(fresh)
+    # l40's third probe class: one boilerplate doc that would fan out to
+    # every planted copy without the posting cap and must generate ZERO
+    # candidates with it (drop-as-boilerplate).
+    boiler_probe = spark.range(1).select(
+        F.lit(9_999_999).cast("long").alias("doc_id"),
+        F.lit(_L40_BOILER_TEXT).alias("text"),
+    )
+    return revisions.unionByName(fresh).unionByName(boiler_probe)
 
 
 def build_index(spark: SparkSession, corpus_path: str, idx_dir: str) -> float:
@@ -162,7 +188,12 @@ def probe_banded(spark: SparkSession, idx_dir: str, nb_sh: DataFrame) -> tuple[f
         .filter(F.col("j") >= 0.5)
     )
     n = out.count()
-    return round(time.perf_counter() - t0, 2), n
+    wall = round(time.perf_counter() - t0, 2)
+    # Cap assertion, end-to-end: the boilerplate probe doc must survive
+    # to zero candidates at every corpus size (its corpus copies were
+    # dropped at index build).
+    n_boiler = out.filter(F.col("new_id") == 9_999_999).count()
+    return wall, n, n_boiler
 
 
 def probe_exact(spark: SparkSession, idx_dir: str, nb: DataFrame) -> tuple[float, int]:
@@ -189,13 +220,15 @@ def main() -> None:
             synth_corpus(spark, k, cdir)
         build_s = build_index(spark, cdir, idir)
         # Warm + measure probe twice (first read populates page cache).
-        p1, n1 = probe_banded(spark, idir, nb_sh)
-        p2, n2 = probe_banded(spark, idir, nb_sh)
+        p1, n1, b1 = probe_banded(spark, idir, nb_sh)
+        p2, n2, b2 = probe_banded(spark, idir, nb_sh)
         e1, h1 = probe_exact(spark, idir, nb)
         e2, h2 = probe_exact(spark, idir, nb)
+        assert b1 == b2 == 0, f"boilerplate cap leaked: {b1}/{b2}"
         print(
-            f"RESULT {k}x: docs={5000 * k} build={build_s}s "
-            f"banded_probe={p1}/{p2}s out={n1}/{n2} "
+            f"RESULT {k}x: docs={5000 * k + L40_BOILER_COPIES} "
+            f"build={build_s}s "
+            f"banded_probe={p1}/{p2}s out={n1}/{n2} boiler={b1}/{b2} "
             f"exact_probe={e1}/{e2}s hits={h1}/{h2}",
             flush=True,
         )

@@ -212,12 +212,52 @@ def relational100_main() -> None:
     print(json.dumps(report, indent=1))
 
 
+def graph100_main() -> None:
+    """Two-decade iterative-graph scale curve: g5 at 1x/10x/100x.
+
+    g5 reads ONLY events; the key-shift synth gives 100 disjoint copies
+    of the sf0.1 co-activity graph (user_id shifts per copy), so nodes,
+    edges, and rank rows all scale 100x with no cross-copy edges — the
+    honest linear case. The question the curve answers: g5's sf0.1 wall
+    is dominated by fixed stage latency (5 aggregation barriers + setup
+    jobs on a 1k-node graph); does that overhead amortize into
+    sub-linear growth across two decades, as the 10x row claims?
+    Min-of-3 warm runs per point (single runs invert orderings on this
+    host — SCALE.md round-6 note)."""
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf100_events"
+    spark = get_spark("scale-stress-graph100")
+    spark.sparkContext.setLogLevel("ERROR")
+    specs = all_specs()
+    if not os.path.exists(os.path.join(out_dir, "events.parquet")):
+        print(f"synthesizing 100x events corpus at {out_dir}", flush=True)
+        synth(spark, out_dir, copies=100, tables=("events",))
+    report = {}
+    for label, d in (("x1", SRC), ("x10", "/tmp/sf1_synth"),
+                     ("x100", out_dir)):
+        if not os.path.exists(os.path.join(d, "events.parquet")):
+            print(f"skipping {label}: {d} missing", flush=True)
+            continue
+        walls = []
+        for _ in range(4):  # first run warms; min of the last 3
+            t0 = time.time()
+            specs["g5_user_pagerank"].builder(spark, d).write.mode(
+                "overwrite"
+            ).format("noop").save()
+            walls.append(round(time.time() - t0, 2))
+        report[label] = {"walls": walls, "min_warm": min(walls[1:])}
+        print(f"  g5 {label}: {report[label]}", flush=True)
+    print(json.dumps(report, indent=1))
+
+
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--highdup":
         highdup_main()
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--relational100":
         relational100_main()
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--graph100":
+        graph100_main()
         return
     out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1_synth"
     spark = get_spark("scale-stress")
