@@ -1734,6 +1734,103 @@ def source_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# dq11: Benford first-significant-digit drift audit. Expected shares
+# log10(1 + 1/d) are computed ONCE in Python and embedded verbatim in
+# both engines' SQL (the l2f/a26 portable-constant recipe — libm log10
+# is not guaranteed identically rounded across engines, repr'd doubles
+# are), so every derived double is the same IEEE arithmetic over the
+# same inputs on both sides. The first digit comes from the CENTS
+# bigint rendered as a string — integer-to-string is engine-stable,
+# unlike float/decimal rendering.
+# The CAST AS DOUBLE matters: bare decimal literals of mixed scale
+# unify to engine-specific DECIMAL types in a CASE; forcing DOUBLE
+# pins both the arithmetic and the output column to IEEE doubles.
+_DQ11_EXPECTED = (
+    "CAST(CASE digit WHEN 1 THEN 0.30103 WHEN 2 THEN 0.176091 "
+    "WHEN 3 THEN 0.124939 WHEN 4 THEN 0.09691 WHEN 5 THEN 0.079181 "
+    "WHEN 6 THEN 0.066947 WHEN 7 THEN 0.057992 WHEN 8 THEN 0.051153 "
+    "ELSE 0.045757 END AS DOUBLE)"
+)
+# Pearson chi-square contribution per digit, written as bare *, -, /
+# so no libm function enters the cross-engine path. nd/td are the
+# double-cast digit count and grand total.
+_DQ11_CHI2 = (
+    f"((nd - td * ({_DQ11_EXPECTED})) * (nd - td * ({_DQ11_EXPECTED})))"
+    f" / (td * ({_DQ11_EXPECTED}))"
+)
+_DQ11_CRIT = "3.841458820694124"  # chi-square 95th percentile, 1 dof
+
+
+@register(
+    "dq11_benford_drift",
+    oracle=f"""
+    WITH digits AS (
+      SELECT CAST(substring(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                                 AS STRING), 1, 1) AS INT) AS digit
+      FROM orders WHERE o_totalprice > 0
+    ),
+    agg AS (SELECT digit, count(*) AS n FROM digits GROUP BY digit),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM agg),
+    d AS (
+      SELECT digit, n, CAST(n AS DOUBLE) AS nd, CAST(total AS DOUBLE) AS td
+      FROM agg, tot
+    )
+    SELECT digit,
+           CAST(n AS BIGINT)             AS n_orders,
+           round(nd / td, 6)             AS share,
+           {_DQ11_EXPECTED}              AS expected_share,
+           round({_DQ11_CHI2}, 6)        AS chi2_term,
+           {_DQ11_CHI2} >= {_DQ11_CRIT}  AS digit_drift
+    FROM d
+    ORDER BY digit
+    """,
+    doc="DQ11: Benford's-law first-significant-digit audit on order "
+    "totals — the classic fabricated-data / broken-upstream detector "
+    "for financial measures: a feed that starts emitting constants, "
+    "truncated values, or synthetic fill shifts the leading-digit "
+    "distribution long before volume or freshness gates notice. Per "
+    "digit 1-9: observed count and share, the Benford expectation "
+    "log10(1+1/d), the Pearson chi-square contribution, and a per-digit "
+    "drift flag at the 95% critical value. Exact-integer core (cents "
+    "via the s19 canonicalization; digit from the bigint's string "
+    "rendering, which is engine-stable), expected shares embedded as "
+    "repr'd Python constants (libm log10 is not identically rounded "
+    "across engines), all derived doubles one shared formula string — "
+    "full value oracle despite the statistics. At 100 TB: one "
+    "map-side-combined count by 9 keys, a 9-row broadcast of the "
+    "total, zero row-proportional exchange; TPC-H uniform prices are "
+    "deliberately non-Benford, so the fixture exercises the DETECT "
+    "path (several digits flag) deterministically.",
+    tags=("pipeline", "quality"),
+)
+def benford_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 0
+    )
+    digits = orders.select(
+        F.expr(
+            "CAST(substring(CAST(CAST(round(o_totalprice * 100) AS BIGINT)"
+            " AS STRING), 1, 1) AS INT)"
+        ).alias("digit")
+    )
+    agg = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    tot = agg.agg(F.sum("n").cast("bigint").alias("total"))
+    d = agg.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        "n",
+        F.col("n").cast("double").alias("nd"),
+        F.col("total").cast("double").alias("td"),
+    )
+    return d.select(
+        "digit",
+        F.col("n").cast("bigint").alias("n_orders"),
+        F.round(F.col("nd") / F.col("td"), 6).alias("share"),
+        F.expr(_DQ11_EXPECTED).alias("expected_share"),
+        F.round(F.expr(_DQ11_CHI2), 6).alias("chi2_term"),
+        F.expr(f"{_DQ11_CHI2} >= {_DQ11_CRIT}").alias("digit_drift"),
+    ).orderBy("digit")
+
+
 # s19: anti-entropy checksum audit between two replicas of a table.
 # The reference's pipeline produces a daily full snapshot on one system
 # and loads it into another (src/bak_unload.ps1:90-103) with no check

@@ -469,8 +469,10 @@ def test_experiment_ztest_reference_and_flag_consistency(spark, sf_dir):
     ena, enb = float(ev_sums["na"]), float(ev_sums["nb"])
     s1a, s1b = float(ev_sums["s1a"]), float(ev_sums["s1b"])
     s2a, s2b = float(ev_sums["s2a"]), float(ev_sums["s2b"])
-    va = s2a / ena - (s1a / ena) * (s1a / ena)
-    vb = s2b / enb - (s1b / enb) * (s1b / enb)
+    # Bessel-corrected sample variance (n/(n-1) * population second
+    # moment), matching the r7 Welch form in operators/events.py.
+    va = (s2a / ena - (s1a / ena) * (s1a / ena)) * (ena / (ena - 1))
+    vb = (s2b / enb - (s1b / enb) * (s1b / enb)) * (enb / (enb - 1))
     z_welch = (s1a / ena - s1b / enb) / math.sqrt(va / ena + vb / enb)
 
     got = {r["metric"]: r for r in experiment_ztest(spark, sf_dir).collect()}
@@ -647,3 +649,31 @@ def test_bucket_scoped_repair_recovers_exactly_the_planted_rows(
         **{k: "missing_in_replica" for k in deleted},
         **{k: "value_drift" for k in updated},
     }
+
+
+def test_benford_audit_is_a_consistent_distribution_report(spark, sf_dir):
+    # dq11 structural invariants: digits are a subset of 1-9, observed
+    # counts reconcile with the filtered input, shares sum to ~1 (each
+    # share rounds to 6dp, so the sum may be off by <= 9 * 5e-7), and
+    # every chi-square contribution is non-negative. Detection
+    # property: TPC-H prices are ~uniform over a bounded range, NOT
+    # Benford — the leading-digit mass sits far from log10(2) on
+    # digit 1, so the audit must flag drift somewhere (deterministic
+    # fixture, not a statistical accident).
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from mric_bak_etl_spark.pipeline.lifecycle import benford_drift
+
+    rows = benford_drift(spark, sf_dir).collect()
+    digits = [r["digit"] for r in rows]
+    assert set(digits) <= set(range(1, 10))
+    assert digits == sorted(digits)
+    n_input = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(F.col("o_totalprice") > 0)
+        .count()
+    )
+    assert sum(r["n_orders"] for r in rows) == n_input
+    assert abs(sum(r["share"] for r in rows) - 1.0) <= 9 * 5e-7
+    assert all(r["chi2_term"] >= 0 for r in rows)
+    assert any(r["digit_drift"] for r in rows)
