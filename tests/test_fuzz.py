@@ -922,3 +922,152 @@ def test_random_exact_stat_plans_agree(spark, duck, sf_dir, case):
     got = spark.sql(render_xstat_sql(case, "DECIMAL(38,0)")).toPandas()
     want = duck.execute(render_xstat_sql(case, "HUGEINT")).df()
     assert_frames_match(got, want, f"xstat[{case['measure']}|{case['stats']}]")
+
+
+# --- replica checksum-audit grammar (s19's compositional core) --------------
+# The anti-entropy recipe generalized: a random column subset enters a
+# canonical row string (numerics as exact cents, never float rendering),
+# each row folds into a per-bucket (count, bit_xor, mod-2^61-1 sum) of
+# the portable md5-prefix hash, and a replica with randomly-planted
+# damage (missing keys, price drift, both, or NONE) is audited against
+# the primary. Everything is ONE shared SQL string both engines parse —
+# the engine-neutral instr nibble parse, not Spark's conv() fast path —
+# except the exact accumulator type (DECIMAL(38,0) vs HUGEINT, the
+# grammar-13 dialect token). Two properties per case: the engines agree
+# bit-for-bit on the audit report, and the flagged bucket set equals
+# EXACTLY the set of buckets containing planted damage (no false
+# positives ever — the hash is deterministic; a false negative needs a
+# simultaneous count+xor+sum collision).
+
+_AUD_COLS = [
+    "CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS STRING)",
+    "o_orderstatus",
+    "o_orderpriority",
+    "CAST(year(o_orderdate) AS STRING)",
+    "CAST(o_custkey AS STRING)",
+]
+_AUD_HV = " + ".join(
+    f"CAST(instr('0123456789abcdef', substring(h, {i + 1}, 1)) - 1"
+    f" AS BIGINT) * {16 ** (11 - i)}"
+    for i in range(12)
+)
+
+AUDIT_CASES = st.fixed_dictionaries(
+    {
+        "cols": st.lists(
+            st.sampled_from(_AUD_COLS), min_size=1, max_size=3, unique=True
+        ),
+        "buckets": st.sampled_from([4, 16, 64, 128]),
+        "del_mod": st.sampled_from([0, 401, 611, 997]),
+        "upd_mod": st.sampled_from([0, 733, 1499]),
+        "drift_cents": st.sampled_from([1, 250]),
+    }
+)
+
+
+def _aud_canon(case: dict, price_drift: bool) -> str:
+    cols = ["CAST(o_orderkey AS STRING)"] + list(case["cols"])
+    if price_drift:
+        drifted = (
+            "CAST(CAST(round(o_totalprice * 100) AS BIGINT)"
+            f" + {case['drift_cents']} AS STRING)"
+        )
+        cols = [
+            drifted
+            if c == _AUD_COLS[0]
+            else c
+            for c in cols
+        ]
+    return "concat_ws('|', " + ", ".join(cols) + ")"
+
+
+def render_audit_sql(case: dict, exact_type: str) -> str:
+    b = case["buckets"]
+    modsum = (
+        f"CAST(sum(CAST(hv AS {exact_type})) % 2305843009213693951"
+        " AS BIGINT)"
+    )
+    # The replica: drop keys % del_mod = 0; drift the price column (if
+    # it participates in the canonical string) on keys % upd_mod = 0.
+    repl_where = (
+        f" WHERE o_orderkey % {case['del_mod']} <> 0"
+        if case["del_mod"]
+        else ""
+    )
+    if case["upd_mod"] and _AUD_COLS[0] in case["cols"]:
+        repl_canon = (
+            f"CASE WHEN o_orderkey % {case['upd_mod']} = 0 "
+            f"THEN {_aud_canon(case, True)} "
+            f"ELSE {_aud_canon(case, False)} END"
+        )
+    else:
+        repl_canon = _aud_canon(case, False)
+
+    def side(canon: str, where: str) -> str:
+        return (
+            f"(SELECT bucket, count(*) AS n, bit_xor(hv) AS x, {modsum} AS s"
+            f" FROM (SELECT o_orderkey % {b} AS bucket, {_AUD_HV} AS hv"
+            f" FROM (SELECT o_orderkey, o_custkey, o_totalprice,"
+            f" o_orderstatus, o_orderpriority, o_orderdate,"
+            f" md5({canon}) AS h FROM orders{where}))"
+            " GROUP BY bucket)"
+        )
+
+    return (
+        f"WITH p AS {side(_aud_canon(case, False), '')},"
+        f" r AS {side(repl_canon, repl_where)}"
+        " SELECT coalesce(p.bucket, r.bucket) AS bucket,"
+        " CAST(coalesce(p.n, 0) AS BIGINT) AS n_primary,"
+        " CAST(coalesce(r.n, 0) AS BIGINT) AS n_replica,"
+        " CAST(coalesce(p.x, 0) AS BIGINT) AS x_primary,"
+        " CAST(coalesce(r.x, 0) AS BIGINT) AS x_replica,"
+        " CAST(coalesce(p.s, 0) AS BIGINT) AS s_primary,"
+        " CAST(coalesce(r.s, 0) AS BIGINT) AS s_replica"
+        " FROM p FULL JOIN r ON p.bucket = r.bucket"
+        " WHERE p.n IS DISTINCT FROM r.n OR p.x IS DISTINCT FROM r.x"
+        " OR p.s IS DISTINCT FROM r.s"
+        " ORDER BY bucket"
+    )
+
+
+@FUZZ_SETTINGS
+@given(case=AUDIT_CASES)
+def test_random_checksum_audits_agree_and_locate_planted_damage(
+    spark, duck, sf_dir, case
+):
+    from mric_bak_etl_spark.tables import register_views
+    from test_oracle_parity import assert_frames_match
+
+    register_views(spark, sf_dir)
+    got = spark.sql(render_audit_sql(case, "DECIMAL(38,0)")).toPandas()
+    want = duck.execute(render_audit_sql(case, "HUGEINT")).df()
+    assert_frames_match(
+        got, want, f"audit[b{case['buckets']}|{case['del_mod']}/{case['upd_mod']}]"
+    )
+    # Ground truth: the flagged buckets must be exactly those containing
+    # planted damage. Price drift only damages rows whose canonical
+    # string actually carries the price column.
+    preds = []
+    if case["del_mod"]:
+        preds.append(f"o_orderkey % {case['del_mod']} = 0")
+    if case["upd_mod"] and _AUD_COLS[0] in case["cols"]:
+        dm = (
+            f"o_orderkey % {case['upd_mod']} = 0"
+            + (
+                f" AND o_orderkey % {case['del_mod']} <> 0"
+                if case["del_mod"]
+                else ""
+            )
+        )
+        preds.append(dm)
+    if not preds:
+        assert len(got) == 0, "audit of identical replicas must be silent"
+        return
+    expected = {
+        r[0]
+        for r in duck.execute(
+            f"SELECT DISTINCT o_orderkey % {case['buckets']} FROM orders"
+            f" WHERE {' OR '.join('(' + p + ')' for p in preds)}"
+        ).fetchall()
+    }
+    assert set(got["bucket"]) == expected

@@ -56,6 +56,15 @@ REPRESENTATIVES = [
     "l38_incremental_exact_dedup",
     "l39_incremental_jaccard_neardup",
     "f28_variant_bronze_silver",
+    # round-7: the audit pair's full-outer bucket join + broadcast
+    # semi-filter changed this round (additive hash fold, s20 predicate)
+    # and g5's chain was restructured (union-zero fold, window
+    # out-degree) — the no_broadcast/shuffle_hash scenarios are exactly
+    # the physical strategies those plans flip between; dq11's 9-row
+    # broadcast total must survive no_broadcast too.
+    "s19_replica_checksum_audit",
+    "s20_bucket_scoped_repair",
+    "dq11_benford_drift",
 ]
 
 SCENARIOS = {
