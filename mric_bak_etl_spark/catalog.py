@@ -142,6 +142,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     # and must not shift; these entries are round-8 rotation debt,
     # locally value-verified by tests/test_oracle_parity.py meanwhile.
     "dq11_benford_drift",
+    "l40b_portable_incremental_neardup",
 )
 
 

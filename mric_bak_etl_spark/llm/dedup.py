@@ -1706,3 +1706,187 @@ def incremental_banded_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= 0.5)
         .orderBy("new_id", "match_doc")
     )
+
+
+# l40b: the l40 composition on the PORTABLE hash family — l2f's move
+# applied to the incremental path, so the rows-only-by-design status of
+# l40 (engine-private xxhash bands) gets a fully value-oracled twin:
+# DuckDB rebuilds the same capped band index, the same candidate set,
+# and the same verified pairs bit-for-bit.
+_L40B_SHINGLE_SQL = """list_distinct(list_transform(
+               range(1, greatest(len(string_split_regex(text, '\\s+')) - 2, 1) + 1),
+               i -> array_to_string(string_split_regex(text, '\\s+')[i:i+2], ' ')
+             ))"""
+_L40B_SIG_SQL = ", ".join(
+    f"list_min(list_transform(sh, s -> md5(concat('{i}:', s))))"
+    for i in range(N_MINHASHES)
+)
+_L40B_BANDS_SQL = """SELECT doc_id, b.band,
+             md5(concat_ws('|', mh[b.band*4+1], mh[b.band*4+2],
+                                mh[b.band*4+3], mh[b.band*4+4])) AS band_hash
+      FROM {sig} CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) b"""
+
+
+@register(
+    "l40b_portable_incremental_neardup",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT 8000000 + i, '{_L40_BOILER_TEXT}' FROM range({L40_BOILER_COPIES}) t(i)
+    ),
+    c_sh AS (SELECT doc_id, {_L40B_SHINGLE_SQL} AS sh FROM corpus),
+    c_sig AS (SELECT doc_id, [{_L40B_SIG_SQL}] AS mh FROM c_sh),
+    c_bands AS ({_L40B_BANDS_SQL.format(sig="c_sig")}),
+    hot AS (
+      SELECT band, band_hash FROM c_bands
+      GROUP BY band, band_hash HAVING count(*) > {L40_MAX_POSTING}
+    ),
+    capped AS (
+      SELECT doc_id AS match_doc, band, band_hash
+      FROM c_bands ANTI JOIN hot USING (band, band_hash)
+    ),
+    nb AS (
+      SELECT doc_id + 9000000 AS doc_id,
+             array_to_string(
+               string_split_regex(text, '\\s+')
+                 [1:greatest(len(string_split_regex(text, '\\s+')) - 5, 1)],
+               ' ') AS text
+      FROM documents WHERE doc_id % 10 = 4
+      UNION ALL
+      SELECT doc_id + 9500000,
+             'fresh content ' || doc_id || ' entirely new tokens'
+      FROM documents WHERE doc_id % 10 = 6
+      UNION ALL
+      SELECT 9999999, '{_L40_BOILER_TEXT}'
+    ),
+    n_sh AS (SELECT doc_id, {_L40B_SHINGLE_SQL} AS sh FROM nb),
+    n_sig AS (SELECT doc_id, [{_L40B_SIG_SQL}] AS mh FROM n_sh),
+    n_bands AS ({_L40B_BANDS_SQL.format(sig="n_sig")}),
+    cands AS (
+      SELECT DISTINCT n.doc_id AS new_id, c.match_doc
+      FROM n_bands n
+      JOIN capped c ON n.band = c.band AND n.band_hash = c.band_hash
+    ),
+    scored AS (
+      SELECT new_id, match_doc,
+             round(CAST(len(list_intersect(na.sh, cb.sh)) AS DOUBLE)
+                   / (len(na.sh) + len(cb.sh)
+                      - len(list_intersect(na.sh, cb.sh))), 4) AS jaccard
+      FROM cands
+      JOIN n_sh na ON na.doc_id = new_id
+      JOIN c_sh cb ON cb.doc_id = match_doc
+    )
+    SELECT new_id, match_doc, jaccard FROM scored
+    WHERE jaccard >= 0.5
+    ORDER BY new_id, match_doc
+    """,
+    doc="L40b: l40's incremental banded near-dup on the PORTABLE hash "
+    "family (l2f's md5 signatures and band keys) — identical plan shape "
+    "to l40: capped band index built once from the corpus (+ the planted "
+    "boilerplate block, whose over-cap postings the build drops via the "
+    "broadcast ANTI join), the new batch's bands broadcast onto the "
+    "capped index, exact string-shingle Jaccard >= 0.5 on band survivors "
+    "only. Because every intermediate is engine-neutral md5, this twin "
+    "carries a FULL value oracle: DuckDB rebuilds the same index, drops "
+    "the same hot buckets, produces the same candidates, and verifies "
+    "the same pairs bit-for-bit — closing the rows-only gap for the "
+    "INCREMENTAL LSH class the way l2f closed it for the batch class "
+    "(l40 keeps the production xxhash path; this family is what lets a "
+    "sketch index persisted by one engine be probed by another). "
+    "LSH recall < 1 applies identically on both sides: a revision whose "
+    "bands all miss is absent from BOTH engines' output by the same "
+    "deterministic arithmetic. At 100 TB the plan is l40's: zero "
+    "hashpartitioning exchanges, corpus scanned never shuffled, "
+    "per-crawl cost O(|new| + capped probe) at ~2x the xxhash wall.",
+    tags=("llm", "dedup"),
+)
+def portable_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mric_bak_etl_spark.tables import materialize
+
+    d = spread(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        "doc_id",
+    )
+    boiler = spark.range(L40_BOILER_COPIES).select(
+        (F.col("id") + 8_000_000).alias("doc_id"),
+        F.lit(_L40_BOILER_TEXT).alias("text"),
+    )
+    corpus = d.unionByName(boiler)
+    # STRING shingles (the portable hash needs shingle text); one
+    # tokenize+shingle pass per side serves signatures AND the verify.
+    corpus_sh = materialize(corpus.select("doc_id", shingles().alias("sh")))
+    index = portable_band_hashes(portable_minhash_signatures(corpus_sh))
+    hot_buckets = (
+        index.groupBy("band", "band_hash")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") > L40_MAX_POSTING)
+        .select("band", "band_hash")
+    )
+    capped_index = index.join(
+        F.broadcast(hot_buckets), ["band", "band_hash"], "left_anti"
+    ).select(F.col("doc_id").alias("match_doc"), "band", "band_hash")
+
+    nb = (
+        d.filter(F.col("doc_id") % 10 == 4)
+        .select(
+            (F.col("doc_id") + 9_000_000).alias("doc_id"),
+            F.array_join(
+                F.slice(
+                    tokens(), 1, F.greatest(F.size(tokens()) - 5, F.lit(1))
+                ),
+                " ",
+            ).alias("text"),
+        )
+        .unionByName(
+            d.filter(F.col("doc_id") % 10 == 6).select(
+                (F.col("doc_id") + 9_500_000).alias("doc_id"),
+                F.concat(
+                    F.lit("fresh content "),
+                    F.col("doc_id").cast("string"),
+                    F.lit(" entirely new tokens"),
+                ).alias("text"),
+            )
+        )
+        .unionByName(
+            spark.range(1).select(
+                F.lit(9_999_999).cast("long").alias("doc_id"),
+                F.lit(_L40_BOILER_TEXT).alias("text"),
+            )
+        )
+    )
+    nb_sh = materialize(nb.select("doc_id", shingles().alias("sh")))
+    probe = portable_band_hashes(
+        portable_minhash_signatures(nb_sh)
+    ).withColumnRenamed("doc_id", "new_id")
+
+    candidates = (
+        F.broadcast(probe)
+        .join(capped_index, ["band", "band_hash"])
+        .select("new_id", "match_doc")
+        .distinct()
+    )
+    return (
+        F.broadcast(candidates)
+        .join(
+            nb_sh.select(F.col("doc_id").alias("new_id"), F.col("sh").alias("sh_a")),
+            "new_id",
+        )
+        .join(
+            corpus_sh.select(
+                F.col("doc_id").alias("match_doc"), F.col("sh").alias("sh_b")
+            ),
+            "match_doc",
+        )
+        .select(
+            "new_id",
+            "match_doc",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / F.size(F.array_union("sh_a", "sh_b")),
+                4,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+        .orderBy("new_id", "match_doc")
+    )

@@ -463,3 +463,33 @@ def test_portable_band_index_auditable_by_duckdb(spark, sf_dir, tmp_path, duck):
         ).fetchall()
     }
     assert spark_pairs == duck_pairs and len(spark_pairs) > 0
+
+
+def test_portable_incremental_planted_classes(spark, sf_dir):
+    """l40b mirrors l40's planted-class semantics on the md5 hash family:
+    revisions recovered through the portable band probe (recall >= 0.8 —
+    banding is lossy by design, identically on both engines), fresh docs
+    match nothing, the boilerplate probe doc and every planted copy are
+    dropped by the posting cap, and each emitted pair carries exact
+    Jaccard >= 0.5."""
+    from mric_bak_etl_spark.catalog import all_specs
+
+    rows = (
+        all_specs()["l40b_portable_incremental_neardup"]
+        .builder(spark, sf_dir)
+        .collect()
+    )
+    assert rows, "no near-dup pairs emitted"
+    assert all(r["jaccard"] >= 0.5 for r in rows)
+    assert all(r["new_id"] != 9_999_999 for r in rows)
+    assert all(not 8_000_000 <= r["match_doc"] < 8_100_000 for r in rows)
+    assert all(not 9_500_000 <= r["new_id"] < 9_999_999 for r in rows)
+    n4 = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter("doc_id % 10 = 4")
+        .count()
+    )
+    own = {
+        r["new_id"] for r in rows if r["match_doc"] == r["new_id"] - 9_000_000
+    }
+    assert len(own) >= 0.8 * n4, f"portable band recall {len(own)}/{n4}"
