@@ -143,6 +143,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     # locally value-verified by tests/test_oracle_parity.py meanwhile.
     "dq11_benford_drift",
     "l40b_portable_incremental_neardup",
+    "e14_cuped_experiment",
 )
 
 

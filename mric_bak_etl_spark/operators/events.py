@@ -1115,3 +1115,219 @@ def experiment_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.expr(e).alias(n) for n, e in _E13_VALUE_STATS.items()]
     )
     return prop.unionByName(welch).orderBy("metric")
+
+
+# e14: CUPED variance reduction (Deng et al., "Improving the
+# Sensitivity of Online Controlled Experiments by Utilizing
+# Pre-Experiment Data", WSDM 2013) on top of e13's deterministic arms.
+# The pre-period covariate X is each user's total event value (cents)
+# BEFORE the corpus epoch midpoint; the experiment metric Y is the
+# total AFTER it. theta = cov(X,Y)/var(X) is estimated POOLED across
+# arms (pre-period behavior is independent of assignment by
+# construction of the hash), each user's Y is adjusted by
+# theta * (X - mean(X)), and the z-test runs on the adjusted means —
+# same decision machinery as e13, tighter confidence at the same n.
+# Portability is the e13/a26 recipe end to end: user-grain X/Y are
+# exact BIGINT cents, corpus second moments accumulate in
+# DECIMAL(38,0) (Spark) / HUGEINT (DuckDB), and every derived double
+# is a shared formula string layered through named intermediate
+# columns (xb, theta, ...) so both engines run bit-identical IEEE
+# arithmetic over identical inputs. The epoch-midpoint cutoff is
+# floor-exact on both engines (unix_timestamp == floor(epoch); the
+# midpoint halving happens in doubles below 2^53).
+_E14_SUMS = ("na", "nb", "sxa", "sxb", "sya", "syb",
+             "sxxa", "sxxb", "syya", "syyb", "sxya", "sxyb")
+# layer m: means over the double-cast arm sums
+_E14_M = {
+    "xb": "(sxa + sxb) / (na + nb)",
+    "yb": "(sya + syb) / (na + nb)",
+    "ma": "sya / na",
+    "mb": "syb / nb",
+    "mxa": "sxa / na",
+    "mxb": "sxb / nb",
+}
+# layer t: pooled population moments -> theta (guarded for the
+# degenerate no-pre-period-signal corpus)
+_E14_T = {
+    "varx": "(sxxa + sxxb) / (na + nb) - xb * xb",
+    "covxy": "(sxya + sxyb) / (na + nb) - xb * yb",
+}
+_E14_THETA = {"theta": "CASE WHEN varx > 0 THEN covxy / varx ELSE 0 END"}
+# layer v: Bessel-corrected per-arm (co)variances and adjusted means
+_E14_V = {
+    "madj_a": "ma - theta * (mxa - xb)",
+    "madj_b": "mb - theta * (mxb - xb)",
+    "vya": "(syya / na - ma * ma) * (na / (na - 1))",
+    "vyb": "(syyb / nb - mb * mb) * (nb / (nb - 1))",
+    "vxa": "(sxxa / na - mxa * mxa) * (na / (na - 1))",
+    "vxb": "(sxxb / nb - mxb * mxb) * (nb / (nb - 1))",
+    "cva": "(sxya / na - mxa * ma) * (na / (na - 1))",
+    "cvb": "(sxyb / nb - mxb * mb) * (nb / (nb - 1))",
+}
+_E14_W = {
+    "vadj_a": "vya - 2 * theta * cva + theta * theta * vxa",
+    "vadj_b": "vyb - 2 * theta * cvb + theta * theta * vxb",
+}
+_E14_Z_UN = "(ma - mb) / sqrt(vya / na + vyb / nb)"
+_E14_Z_ADJ = (
+    "(madj_a - madj_b) / sqrt(vadj_a / na + vadj_b / nb)"
+)
+_E14_ROW_UN = {
+    "metric": "'avg_user_value'",
+    "n_a": "CAST(na AS BIGINT)",
+    "n_b": "CAST(nb AS BIGINT)",
+    "mean_a": "round(ma / 100, 4)",
+    "mean_b": "round(mb / 100, 4)",
+    "lift": "round((ma - mb) / 100, 4)",
+    "theta": "CAST(0 AS DOUBLE)",
+    "z_score": f"round({_E14_Z_UN}, 4)",
+    "significant": f"abs({_E14_Z_UN}) >= 1.96",
+}
+_E14_ROW_ADJ = {
+    "metric": "'avg_user_value_cuped'",
+    "n_a": "CAST(na AS BIGINT)",
+    "n_b": "CAST(nb AS BIGINT)",
+    "mean_a": "round(madj_a / 100, 4)",
+    "mean_b": "round(madj_b / 100, 4)",
+    "lift": "round((madj_a - madj_b) / 100, 4)",
+    "theta": "round(theta, 6)",
+    "z_score": f"round({_E14_Z_ADJ}, 4)",
+    "significant": f"abs({_E14_Z_ADJ}) >= 1.96",
+}
+
+
+def _e14_user_sums(exact: str) -> dict[str, str]:
+    a = _E13_ARM
+    return {
+        "na": f"sum(CASE WHEN {a} THEN 1 ELSE 0 END)",
+        "nb": f"sum(CASE WHEN {a} THEN 0 ELSE 1 END)",
+        "sxa": f"sum(CASE WHEN {a} THEN x ELSE 0 END)",
+        "sxb": f"sum(CASE WHEN {a} THEN 0 ELSE x END)",
+        "sya": f"sum(CASE WHEN {a} THEN y ELSE 0 END)",
+        "syb": f"sum(CASE WHEN {a} THEN 0 ELSE y END)",
+        "sxxa": f"sum(CASE WHEN {a} THEN xw * x ELSE 0 END)",
+        "sxxb": f"sum(CASE WHEN {a} THEN 0 ELSE xw * x END)",
+        "syya": f"sum(CASE WHEN {a} THEN yw * y ELSE 0 END)",
+        "syyb": f"sum(CASE WHEN {a} THEN 0 ELSE yw * y END)",
+        "sxya": f"sum(CASE WHEN {a} THEN xw * y ELSE 0 END)",
+        "sxyb": f"sum(CASE WHEN {a} THEN 0 ELSE xw * y END)",
+    }
+
+
+def _e14_sel(stats: dict[str, str]) -> str:
+    return ",\n           ".join(f"{e} AS {n}" for n, e in stats.items())
+
+
+def _e14_oracle() -> str:
+    sums = ",\n             ".join(
+        f"{e} AS {n}" for n, e in _e14_user_sums("HUGEINT").items()
+    )
+    casts = ", ".join(f"CAST({n} AS DOUBLE) AS {n}" for n in _E14_SUMS)
+    return f"""
+    WITH cut AS (
+      SELECT CAST(floor((floor(epoch(min(ts))) + floor(epoch(max(ts))))
+                        / 2.0) AS BIGINT) AS cutoff
+      FROM events
+    ),
+    users AS (
+      SELECT user_id,
+             sum(CASE WHEN floor(epoch(ts)) < cutoff
+                      THEN CAST(round(value * 100) AS BIGINT)
+                      ELSE 0 END) AS x,
+             sum(CASE WHEN floor(epoch(ts)) >= cutoff
+                      THEN CAST(round(value * 100) AS BIGINT)
+                      ELSE 0 END) AS y
+      FROM events, cut GROUP BY user_id
+    ),
+    wide AS (SELECT user_id, x, y,
+                    CAST(x AS HUGEINT) AS xw, CAST(y AS HUGEINT) AS yw
+             FROM users),
+    sums AS (SELECT {sums} FROM wide),
+    d AS (SELECT {casts} FROM sums),
+    m AS (SELECT *, {_e14_sel(_E14_M)} FROM d),
+    t0 AS (SELECT *, {_e14_sel(_E14_T)} FROM m),
+    t AS (SELECT *, {_e14_sel(_E14_THETA)} FROM t0),
+    v AS (SELECT *, {_e14_sel(_E14_V)} FROM t),
+    w AS (SELECT *, {_e14_sel(_E14_W)} FROM v)
+    SELECT {_e14_sel(_E14_ROW_UN)} FROM w
+    UNION ALL
+    SELECT {_e14_sel(_E14_ROW_ADJ)} FROM w
+    ORDER BY metric
+    """
+
+
+@register(
+    "e14_cuped_experiment",
+    oracle=_e14_oracle(),
+    doc="E14: CUPED variance-reduced experiment readout (Deng et al. "
+    "2013) — the step every mature experimentation platform runs after "
+    "e13's plain z-test: each user's pre-period value (before the "
+    "corpus epoch midpoint) is a covariate; theta = cov(X,Y)/var(X) "
+    "pooled across arms adjusts the metric to Y - theta*(X - mean(X)), "
+    "which strictly shrinks variance by the squared X-Y correlation "
+    "while leaving the treatment-effect estimate unbiased (assignment "
+    "is independent of pre-period behavior — here by the deterministic "
+    "l15 hash). Emits the unadjusted and adjusted readouts side by "
+    "side: same lift, tighter z. Exactness recipe end to end: user "
+    "X/Y as exact BIGINT cents, corpus second moments in DECIMAL(38,0) "
+    "(DuckDB: HUGEINT), every derived double one shared formula string "
+    "layered through named columns — full value oracle, sqrt included. "
+    "At 100 TB: one hash aggregate to user grain (the exchange the "
+    "metric needs anyway), then a single 12-sum map-side fold to ONE "
+    "row; theta, the adjustment, and both z-tests are driver-free "
+    "scalar arithmetic on that row. The experiment family: e13 "
+    "decides, e14 decides with less data.",
+    tags=("events",),
+)
+def cuped_experiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    horizon = ev.agg(
+        F.expr(
+            "CAST(floor((min(unix_timestamp(ts)) + max(unix_timestamp(ts)))"
+            " / 2.0) AS BIGINT)"
+        ).alias("cutoff")
+    )
+    users = (
+        ev.crossJoin(F.broadcast(horizon))
+        .select(
+            "user_id",
+            F.expr(
+                "CASE WHEN unix_timestamp(ts) < cutoff"
+                " THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END"
+            ).alias("xc"),
+            F.expr(
+                "CASE WHEN unix_timestamp(ts) >= cutoff"
+                " THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END"
+            ).alias("yc"),
+        )
+        .groupBy("user_id")
+        .agg(F.expr("sum(xc)").alias("x"), F.expr("sum(yc)").alias("y"))
+    )
+    wide = users.select(
+        "user_id",
+        "x",
+        "y",
+        F.expr("CAST(x AS DECIMAL(38,0))").alias("xw"),
+        F.expr("CAST(y AS DECIMAL(38,0))").alias("yw"),
+    )
+    sums = wide.agg(
+        *[
+            F.expr(e).alias(n)
+            for n, e in _e14_user_sums("DECIMAL(38,0)").items()
+        ]
+    )
+    d = sums.select(
+        *[F.expr(f"CAST({n} AS DOUBLE)").alias(n) for n in _E14_SUMS]
+    )
+    step = d
+    for layer in (_E14_M, _E14_T, _E14_THETA, _E14_V, _E14_W):
+        step = step.select(
+            "*", *[F.expr(e).alias(n) for n, e in layer.items()]
+        )
+    un = step.select(
+        *[F.expr(e).alias(n) for n, e in _E14_ROW_UN.items()]
+    )
+    adj = step.select(
+        *[F.expr(e).alias(n) for n, e in _E14_ROW_ADJ.items()]
+    )
+    return un.unionByName(adj).orderBy("metric")

@@ -677,3 +677,83 @@ def test_benford_audit_is_a_consistent_distribution_report(spark, sf_dir):
     assert abs(sum(r["share"] for r in rows) - 1.0) <= 9 * 5e-7
     assert all(r["chi2_term"] >= 0 for r in rows)
     assert any(r["digit_drift"] for r in rows)
+
+
+def test_cuped_reference_recompute_and_contract(spark, sf_dir):
+    # Pure-Python recompute of e14's CUPED readout (exact integer sums,
+    # the same double formulas) + the structural contract: the
+    # unadjusted row matches a plain per-arm mean/z, theta is the
+    # pooled cov/var ratio, and `significant` is |z| >= 1.96 on the
+    # unrounded statistic.
+    import math
+
+    from mric_bak_etl_spark.operators.events import cuped_experiment
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id", "ts", "value")
+        .selectExpr(
+            "user_id",
+            "unix_timestamp(ts) AS e",
+            "CAST(round(value * 100) AS BIGINT) AS c",
+        )
+        .collect()
+    )
+    emin = min(r["e"] for r in rows)
+    emax = max(r["e"] for r in rows)
+    cutoff = int(math.floor((emin + emax) / 2.0))
+    in_a = lambda u: ((u * 2654435761) % 2147483648) < 1073741824  # noqa: E731
+    xs: dict[int, int] = {}
+    ys: dict[int, int] = {}
+    for r in rows:
+        u = r["user_id"]
+        xs.setdefault(u, 0)
+        ys.setdefault(u, 0)
+        if r["c"] is None:
+            continue
+        if r["e"] < cutoff:
+            xs[u] += r["c"]
+        else:
+            ys[u] += r["c"]
+
+    def arm_sums(pred):
+        us = [u for u in xs if pred(u)]
+        n = float(len(us))
+        sx = float(sum(xs[u] for u in us))
+        sy = float(sum(ys[u] for u in us))
+        sxx = float(sum(xs[u] * xs[u] for u in us))
+        syy = float(sum(ys[u] * ys[u] for u in us))
+        sxy = float(sum(xs[u] * ys[u] for u in us))
+        return n, sx, sy, sxx, syy, sxy
+
+    na, sxa, sya, sxxa, syya, sxya = arm_sums(in_a)
+    nb, sxb, syb, sxxb, syyb, sxyb = arm_sums(lambda u: not in_a(u))
+    n = na + nb
+    xb, yb = (sxa + sxb) / n, (sya + syb) / n
+    varx = (sxxa + sxxb) / n - xb * xb
+    theta = ((sxya + sxyb) / n - xb * yb) / varx if varx > 0 else 0.0
+    ma, mb_ = sya / na, syb / nb
+    mxa, mxb = sxa / na, sxb / nb
+    madj_a = ma - theta * (mxa - xb)
+    madj_b = mb_ - theta * (mxb - xb)
+    vya = (syya / na - ma * ma) * (na / (na - 1))
+    vyb = (syyb / nb - mb_ * mb_) * (nb / (nb - 1))
+    vxa = (sxxa / na - mxa * mxa) * (na / (na - 1))
+    vxb = (sxxb / nb - mxb * mxb) * (nb / (nb - 1))
+    cva = (sxya / na - mxa * ma) * (na / (na - 1))
+    cvb = (sxyb / nb - mxb * mb_) * (nb / (nb - 1))
+    vadj_a = vya - 2 * theta * cva + theta * theta * vxa
+    vadj_b = vyb - 2 * theta * cvb + theta * theta * vxb
+    z_un = (ma - mb_) / math.sqrt(vya / na + vyb / nb)
+    z_adj = (madj_a - madj_b) / math.sqrt(vadj_a / na + vadj_b / nb)
+
+    got = {r["metric"]: r for r in cuped_experiment(spark, sf_dir).collect()}
+    assert set(got) == {"avg_user_value", "avg_user_value_cuped"}
+    un, adj = got["avg_user_value"], got["avg_user_value_cuped"]
+    assert (un["n_a"], un["n_b"]) == (int(na), int(nb))
+    assert abs(un["z_score"] - z_un) <= 5.1e-5
+    assert abs(adj["z_score"] - z_adj) <= 5.1e-5
+    assert abs(adj["theta"] - theta) <= 5.1e-7
+    assert abs(adj["mean_a"] - madj_a / 100) <= 5.1e-5
+    assert un["significant"] == (abs(z_un) >= 1.96)
+    assert adj["significant"] == (abs(z_adj) >= 1.96)
