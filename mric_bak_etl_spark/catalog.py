@@ -144,6 +144,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "dq11_benford_drift",
     "l40b_portable_incremental_neardup",
     "e14_cuped_experiment",
+    "l2g_portable_simhash",
 )
 
 

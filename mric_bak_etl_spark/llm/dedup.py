@@ -1890,3 +1890,128 @@ def portable_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= 0.5)
         .orderBy("new_id", "match_doc")
     )
+
+
+# l2g: SimHash on the PORTABLE hash family — the l2f/l40b move applied
+# to l2c: token hash = first 32 bits of md5 (8 hex nibbles), so the
+# bit votes, the fingerprint, the pigeonhole segments, and the hamming
+# verify are all reproducible in any SQL engine and the entry carries
+# a FULL value oracle (l2c keeps the production xxhash64 path).
+_L2G_BITS = 32
+_L2G_SEG_WIDTH = _L2G_BITS // _N_SEGMENTS + 1  # 11 bits x 3 segments
+_L2G_VOTES = {
+    f"v_{j}": f"sum(CASE WHEN ((h >> {j}) & 1) = 1 THEN 1 ELSE -1 END)"
+    for j in range(_L2G_BITS)
+}
+_L2G_FP = "CAST(" + " + ".join(
+    f"(CASE WHEN v_{j} > 0 THEN {1 << j} ELSE 0 END)"
+    for j in range(_L2G_BITS)
+) + " AS BIGINT)"
+_L2G_SEG_VAL = f"((fp >> (seg * {_L2G_SEG_WIDTH})) & {(1 << _L2G_SEG_WIDTH) - 1})"
+# 32-bit token hash from the md5 hex prefix: Spark uses its native
+# base-16 conv() (the s19 fast path); the oracle carries the
+# engine-neutral instr nibble parse. Exact integer equality licenses
+# the two renderings.
+_L2G_H_SPARK = "CAST(conv(substring(md5(token), 1, 8), 16, 10) AS BIGINT)"
+_L2G_H_ORACLE = " + ".join(
+    f"CAST(instr('0123456789abcdef', substring(h0, {i + 1}, 1)) - 1"
+    f" AS BIGINT) * {16 ** (7 - i)}"
+    for i in range(8)
+)
+
+
+@register(
+    "l2g_portable_simhash",
+    oracle=f"""
+    WITH corpus AS ({_CORPUS_ORACLE}),
+    tok AS (
+      SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS token
+      FROM corpus
+    ),
+    th AS (
+      SELECT doc_id, {_L2G_H_ORACLE} AS h
+      FROM (SELECT doc_id, md5(token) AS h0 FROM tok)
+    ),
+    votes AS (
+      SELECT doc_id,
+             {", ".join(f"{e} AS {n}" for n, e in _L2G_VOTES.items())}
+      FROM th GROUP BY doc_id
+    ),
+    fps AS (SELECT doc_id, {_L2G_FP} AS fp FROM votes),
+    segs AS (
+      SELECT doc_id, fp, s.seg, {_L2G_SEG_VAL} AS seg_val
+      FROM fps CROSS JOIN (SELECT unnest([0, 1, 2]) AS seg) s
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.fp AS fa, b.fp AS fb
+      FROM segs a
+      JOIN segs b ON a.seg = b.seg AND a.seg_val = b.seg_val
+       AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
+    FROM cands
+    WHERE bit_count(xor(fa, fb)) <= {SIMHASH_MAX_HAMMING}
+    ORDER BY doc_a, doc_b
+    """,
+    doc="L2g: SimHash near-dup on the PORTABLE hash family — per-token "
+    "hash = first 32 bits of md5 (integer-exact in any engine), bit "
+    "votes +/-1 per occurrence, fingerprint = sign vector, then the "
+    "same Manku pigeonhole blocking as l2c (3 segments; any pair "
+    "within hamming <= 2 agrees exactly on one) and a bit_count(xor) "
+    "verify on segment-colliding candidates only. Everything is "
+    "engine-neutral integer arithmetic, so this twin carries a FULL "
+    "value oracle — DuckDB rebuilds the same fingerprints, segments, "
+    "candidates, and hamming distances bit-for-bit — closing the "
+    "rows-only gap for the SimHash class the way l2f/l40b closed "
+    "MinHash-LSH (l2c keeps the production xxhash64 path; hamming "
+    "verdicts differ legitimately between hash families, identically "
+    "on both engines within a family). At 100 TB the shape is l2c's: "
+    "one token explode + one 32-sum map-side fold per doc, segment "
+    "buckets join only colliding candidates, never O(n^2); the md5 "
+    "premium is the price of cross-engine auditability.",
+    tags=("llm", "dedup"),
+)
+def portable_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = corpus_with_near_dups(spark, sf_dir)
+    th = corpus.select(
+        "doc_id", F.explode(tokens()).alias("token")
+    ).select("doc_id", F.expr(_L2G_H_SPARK).alias("h"))
+    votes = th.groupBy("doc_id").agg(
+        *[F.expr(e).alias(n) for n, e in _L2G_VOTES.items()]
+    )
+    fps = votes.select("doc_id", F.expr(_L2G_FP).alias("fp"))
+    segs = fps.select(
+        "doc_id",
+        "fp",
+        F.explode(F.array(*[F.lit(s) for s in range(_N_SEGMENTS)])).alias(
+            "seg"
+        ),
+    ).select("doc_id", "fp", "seg", F.expr(_L2G_SEG_VAL).alias("seg_val"))
+    a = segs.alias("a")
+    b = segs.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.seg") == F.col("b.seg"))
+            & (F.col("a.seg_val") == F.col("b.seg_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.fp").alias("fa"),
+            F.col("b.fp").alias("fb"),
+        )
+        .distinct()
+    )
+    return (
+        cands.select(
+            "doc_a",
+            "doc_b",
+            F.expr("CAST(bit_count(fa ^ fb) AS INT)").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .orderBy("doc_a", "doc_b")
+    )

@@ -493,3 +493,27 @@ def test_portable_incremental_planted_classes(spark, sf_dir):
         r["new_id"] for r in rows if r["match_doc"] == r["new_id"] - 9_000_000
     }
     assert len(own) >= 0.8 * n4, f"portable band recall {len(own)}/{n4}"
+
+
+def test_portable_simhash_planted_and_structural(spark, sf_dir):
+    """l2g structural contract: every emitted pair is doc_a < doc_b with
+    hamming <= 2, pairs are distinct, and the planted truncated
+    revisions (doc_id + 1M) are recovered at the deterministic rate the
+    32-bit fingerprint yields on this fixture (~half; dropping 5 of ~55
+    tokens flips > 2 bits for the rest — the same strictness knob l2c
+    has, evaluated identically by both engines)."""
+    from mric_bak_etl_spark.llm.dedup import SIMHASH_MAX_HAMMING, portable_simhash
+
+    rows = portable_simhash(spark, sf_dir).collect()
+    assert rows
+    pairs = [(r["doc_a"], r["doc_b"]) for r in rows]
+    assert len(pairs) == len(set(pairs))
+    assert all(a < b for a, b in pairs)
+    assert all(0 <= r["hamming"] <= SIMHASH_MAX_HAMMING for r in rows)
+    n_planted = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter("doc_id % 10 = 0")
+        .count()
+    )
+    recovered = sum(1 for a, b in pairs if b - a == 1_000_000)
+    assert recovered >= 0.35 * n_planted, f"{recovered}/{n_planted}"
