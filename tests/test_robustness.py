@@ -65,6 +65,14 @@ REPRESENTATIVES = [
     "s19_replica_checksum_audit",
     "s20_bucket_scoped_repair",
     "dq11_benford_drift",
+    # round-7 portable twins + CUPED: the band-index anti/probe joins
+    # (l40b) and segment self-join (l2g) are exactly what no_broadcast/
+    # shuffle_hash re-plan; e14's broadcast cutoff + one-row fold must
+    # survive both, and its z-scores are sqrt-of-double sensitive to
+    # any interpreted-path (no_codegen) drift.
+    "l40b_portable_incremental_neardup",
+    "l2g_portable_simhash",
+    "e14_cuped_experiment",
 ]
 
 SCENARIOS = {
