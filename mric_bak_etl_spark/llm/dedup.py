@@ -177,8 +177,15 @@ def band_hashes(signatures: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
     production pipeline stores between crawls (narrow — one int64 per doc
     per band), and both the batch self-dedup (:func:`lsh_candidate_pairs`)
     and the incremental probe (l40) consume it.
+
+    Rows-per-band derives from the signature actually passed in (its
+    ``mh_*`` column count), not the module default — a signature built
+    with ``n_hashes=8`` bands into 8/n_bands slots, it does not index
+    past its own columns (latent composition bug found by the
+    portable-sketch fuzz grammar; the default 16/4 shape is unchanged).
     """
-    rows_per_band = N_MINHASHES // n_bands
+    n_slots = sum(1 for c in signatures.columns if c.startswith("mh_"))
+    rows_per_band = n_slots // n_bands
     return signatures.select(
         "doc_id",
         F.posexplode(
@@ -426,8 +433,11 @@ def portable_band_hashes(
     signatures: DataFrame, n_bands: int = N_BANDS
 ) -> DataFrame:
     """(doc_id, band, band_hash) with band_hash = md5 of the '|'-joined
-    band slots — the portable analogue of :func:`band_hashes`."""
-    rows_per_band = N_MINHASHES // n_bands
+    band slots — the portable analogue of :func:`band_hashes`.
+    Rows-per-band derives from the signature's own mh_* column count
+    (see :func:`band_hashes`)."""
+    n_slots = sum(1 for c in signatures.columns if c.startswith("mh_"))
+    rows_per_band = n_slots // n_bands
     return signatures.select(
         "doc_id",
         F.posexplode(

@@ -1071,3 +1071,131 @@ def test_random_checksum_audits_agree_and_locate_planted_damage(
         ).fetchall()
     }
     assert set(got["bucket"]) == expected
+
+
+# --- portable-sketch grammar (l2f/l40b's compositional core) -----------------
+# The md5 MinHash-LSH recipe generalized: random shingle width x
+# signature size x band count x verify threshold over a deterministic
+# slice of the documents corpus (plus its planted truncated revisions,
+# so true near-dups exist at every threshold). Both engines rebuild the
+# signatures, the band keys, the candidate set, and the exact-Jaccard
+# verified pairs from the same md5 family — the fixed catalog entries
+# (l2f, l40b) pin two points of this space; the grammar pins the
+# composition rules (rows-per-band arithmetic, band indexing, slice
+# bounds, threshold filtering) across it.
+
+_PS_CORPUS_SQL = """
+      SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+      UNION ALL
+      SELECT doc_id + 1000000,
+             array_to_string(
+               string_split_regex(text, '\\s+')
+                 [1:greatest(len(string_split_regex(text, '\\s+')) - 4, 1)],
+               ' ')
+      FROM documents WHERE doc_id % 10 = 0
+"""
+
+PSKETCH_CASES = st.fixed_dictionaries(
+    {
+        "k": st.sampled_from([2, 3, 4]),          # shingle width
+        "n_hashes": st.sampled_from([8, 16]),     # signature slots
+        "n_bands": st.sampled_from([2, 4]),       # LSH bands
+        "thresh": st.sampled_from([0.3, 0.5, 0.7]),
+    }
+)
+
+
+def render_psketch_sql(case: dict) -> str:
+    k, nh, nb = case["k"], case["n_hashes"], case["n_bands"]
+    rpb = nh // nb
+    shingle = f"""list_distinct(list_transform(
+        range(1, greatest(len(string_split_regex(text, '\\s+')) - {k - 1}, 1) + 1),
+        i -> array_to_string(string_split_regex(text, '\\s+')[i:i+{k - 1}], ' ')
+      ))"""
+    sig = ", ".join(
+        f"list_min(list_transform(sh, s -> md5(concat('{i}:', s))))"
+        for i in range(nh)
+    )
+    band_key = ", ".join(
+        f"mh[b.band*{rpb}+{r + 1}]" for r in range(rpb)
+    )
+    bands_list = ", ".join(str(b) for b in range(nb))
+    jac = (
+        "CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)"
+        " / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))"
+    )
+    return f"""
+    WITH corpus AS ({_PS_CORPUS_SQL}),
+    sh AS (SELECT doc_id, {shingle} AS sh FROM corpus),
+    sig AS (SELECT doc_id, [{sig}] AS mh FROM sh),
+    bands AS (
+      SELECT doc_id, b.band, md5(concat_ws('|', {band_key})) AS band_hash
+      FROM sig CROSS JOIN (SELECT unnest([{bands_list}]) AS band) b
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, round({jac}, 4) AS jaccard
+    FROM cands
+    JOIN sh sa ON sa.doc_id = doc_a
+    JOIN sh sb ON sb.doc_id = doc_b
+    WHERE round({jac}, 4) >= {case["thresh"]}
+    ORDER BY doc_a, doc_b
+    """
+
+
+def build_psketch_spark(spark, sf_dir: str, case: dict):
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from mric_bak_etl_spark.llm.dedup import (
+        _pairs_from_bands,
+        exact_jaccard,
+        portable_band_hashes,
+        portable_minhash_signatures,
+        shingles,
+    )
+    from mric_bak_etl_spark.tables import load_table, materialize
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = d.filter(F.expr("doc_id % 5 = 0"))
+    revs = d.filter(F.expr("doc_id % 10 = 0")).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.expr(
+            "array_join(slice(split(text, '\\\\s+'), 1,"
+            " greatest(size(split(text, '\\\\s+')) - 4, 1)), ' ')"
+        ).alias("text"),
+    )
+    corpus = base.unionByName(revs)
+    sh_tbl = materialize(
+        corpus.select("doc_id", shingles(k=case["k"]).alias("sh"))
+    )
+    pairs = _pairs_from_bands(
+        portable_band_hashes(
+            portable_minhash_signatures(sh_tbl, n_hashes=case["n_hashes"]),
+            n_bands=case["n_bands"],
+        ),
+        max_bucket=10_000,
+    )
+    return (
+        exact_jaccard(sh_tbl, pairs)
+        .filter(F.col("jaccard") >= case["thresh"])
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@FUZZ_SETTINGS
+@given(case=PSKETCH_CASES)
+def test_random_portable_sketch_plans_agree(spark, duck, sf_dir, case):
+    from test_oracle_parity import assert_frames_match
+
+    got = build_psketch_spark(spark, sf_dir, case).toPandas()
+    want = duck.execute(render_psketch_sql(case)).df()
+    assert_frames_match(
+        got,
+        want,
+        f"psketch[k{case['k']}|h{case['n_hashes']}|b{case['n_bands']}"
+        f"|t{case['thresh']}]",
+    )
