@@ -170,6 +170,26 @@ def minhash_signatures(corpus: DataFrame, n_hashes: int = N_MINHASHES) -> DataFr
     return sh.select("doc_id", *[slot(i) for i in range(n_hashes)])
 
 
+def _rows_per_band(signatures: DataFrame, n_bands: int) -> int:
+    """Slots-per-band from the signature's own mh_* width, validated.
+
+    A signature whose slot count does not divide evenly into n_bands
+    would silently floor — 16 slots over 3 bands would index only
+    mh_0..mh_14, quietly dropping a slot and degrading recall (the same
+    latent-composition class the mh_*-derivation fix targeted). Fail
+    loudly instead."""
+    n_slots = sum(1 for c in signatures.columns if c.startswith("mh_"))
+    if n_slots == 0:
+        raise ValueError("signature frame has no mh_* slot columns")
+    if n_slots % n_bands != 0:
+        raise ValueError(
+            f"{n_slots} signature slots do not band evenly into "
+            f"{n_bands} bands — every band must get the same number of "
+            "slots or LSH recall degrades silently"
+        )
+    return n_slots // n_bands
+
+
 def band_hashes(signatures: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
     """(doc_id, band, band_hash): each signature row banded and hashed.
 
@@ -184,8 +204,7 @@ def band_hashes(signatures: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
     past its own columns (latent composition bug found by the
     portable-sketch fuzz grammar; the default 16/4 shape is unchanged).
     """
-    n_slots = sum(1 for c in signatures.columns if c.startswith("mh_"))
-    rows_per_band = n_slots // n_bands
+    rows_per_band = _rows_per_band(signatures, n_bands)
     return signatures.select(
         "doc_id",
         F.posexplode(
@@ -434,10 +453,9 @@ def portable_band_hashes(
 ) -> DataFrame:
     """(doc_id, band, band_hash) with band_hash = md5 of the '|'-joined
     band slots — the portable analogue of :func:`band_hashes`.
-    Rows-per-band derives from the signature's own mh_* column count
-    (see :func:`band_hashes`)."""
-    n_slots = sum(1 for c in signatures.columns if c.startswith("mh_"))
-    rows_per_band = n_slots // n_bands
+    Rows-per-band derives from the signature's own mh_* column count,
+    validated the same way (see :func:`band_hashes`)."""
+    rows_per_band = _rows_per_band(signatures, n_bands)
     return signatures.select(
         "doc_id",
         F.posexplode(

@@ -973,8 +973,19 @@ _E13_PROP_Z = (
 # Sample variance (Bessel-corrected, /(n-1)) as Welch's test specifies:
 # population second moment times n/(n-1). Both engines evaluate the same
 # string over the same double-cast sums, so parity is by construction.
-_E13_VA = "((s2a / na - (s1a / na) * (s1a / na)) * (na / (na - 1)))"
-_E13_VB = "((s2b / nb - (s1b / nb) * (s1b / nb)) * (nb / (nb - 1)))"
+# Arms with a single observation have no sample variance — the guard
+# (same shared-string pattern as e14's theta varx guard) yields NULL
+# z/significant instead of a division-by-zero Inf/NaN readout.
+_E13_VA = (
+    "(CASE WHEN na > 1 THEN"
+    " (s2a / na - (s1a / na) * (s1a / na)) * (na / (na - 1))"
+    " ELSE NULL END)"
+)
+_E13_VB = (
+    "(CASE WHEN nb > 1 THEN"
+    " (s2b / nb - (s1b / nb) * (s1b / nb)) * (nb / (nb - 1))"
+    " ELSE NULL END)"
+)
 _E13_WELCH_Z = (
     f"(s1a / na - s1b / nb) / sqrt({_E13_VA} / na + {_E13_VB} / nb)"
 )
@@ -1153,16 +1164,23 @@ _E14_T = {
     "covxy": "(sxya + sxyb) / (na + nb) - xb * yb",
 }
 _E14_THETA = {"theta": "CASE WHEN varx > 0 THEN covxy / varx ELSE 0 END"}
-# layer v: Bessel-corrected per-arm (co)variances and adjusted means
+# layer v: Bessel-corrected per-arm (co)variances and adjusted means.
+# Single-observation arms have no sample (co)variance — the na/nb > 1
+# guards (same shared-string pattern as the theta varx guard) turn the
+# degenerate readout into NULL z/significant instead of Inf/NaN.
+def _e14_bessel(expr: str, n: str) -> str:
+    return f"(CASE WHEN {n} > 1 THEN ({expr}) * ({n} / ({n} - 1)) ELSE NULL END)"
+
+
 _E14_V = {
     "madj_a": "ma - theta * (mxa - xb)",
     "madj_b": "mb - theta * (mxb - xb)",
-    "vya": "(syya / na - ma * ma) * (na / (na - 1))",
-    "vyb": "(syyb / nb - mb * mb) * (nb / (nb - 1))",
-    "vxa": "(sxxa / na - mxa * mxa) * (na / (na - 1))",
-    "vxb": "(sxxb / nb - mxb * mxb) * (nb / (nb - 1))",
-    "cva": "(sxya / na - mxa * ma) * (na / (na - 1))",
-    "cvb": "(sxyb / nb - mxb * mb) * (nb / (nb - 1))",
+    "vya": _e14_bessel("syya / na - ma * ma", "na"),
+    "vyb": _e14_bessel("syyb / nb - mb * mb", "nb"),
+    "vxa": _e14_bessel("sxxa / na - mxa * mxa", "na"),
+    "vxb": _e14_bessel("sxxb / nb - mxb * mxb", "nb"),
+    "cva": _e14_bessel("sxya / na - mxa * ma", "na"),
+    "cvb": _e14_bessel("sxyb / nb - mxb * mb", "nb"),
 }
 _E14_W = {
     "vadj_a": "vya - 2 * theta * cva + theta * theta * vxa",
@@ -1197,7 +1215,14 @@ _E14_ROW_ADJ = {
 
 
 def _e14_user_sums(exact: str) -> dict[str, str]:
+    # `exact` is the engine's wide integer accumulator type
+    # (Spark DECIMAL(38,0), DuckDB HUGEINT): the second moments widen
+    # ONE factor of each product so x*x / x*y accumulate exactly past
+    # BIGINT headroom. The cast is rendered here, inside the sums, so
+    # the signature selects the accumulator the engine actually uses.
     a = _E13_ARM
+    xw = f"CAST(x AS {exact})"
+    yw = f"CAST(y AS {exact})"
     return {
         "na": f"sum(CASE WHEN {a} THEN 1 ELSE 0 END)",
         "nb": f"sum(CASE WHEN {a} THEN 0 ELSE 1 END)",
@@ -1205,12 +1230,12 @@ def _e14_user_sums(exact: str) -> dict[str, str]:
         "sxb": f"sum(CASE WHEN {a} THEN 0 ELSE x END)",
         "sya": f"sum(CASE WHEN {a} THEN y ELSE 0 END)",
         "syb": f"sum(CASE WHEN {a} THEN 0 ELSE y END)",
-        "sxxa": f"sum(CASE WHEN {a} THEN xw * x ELSE 0 END)",
-        "sxxb": f"sum(CASE WHEN {a} THEN 0 ELSE xw * x END)",
-        "syya": f"sum(CASE WHEN {a} THEN yw * y ELSE 0 END)",
-        "syyb": f"sum(CASE WHEN {a} THEN 0 ELSE yw * y END)",
-        "sxya": f"sum(CASE WHEN {a} THEN xw * y ELSE 0 END)",
-        "sxyb": f"sum(CASE WHEN {a} THEN 0 ELSE xw * y END)",
+        "sxxa": f"sum(CASE WHEN {a} THEN {xw} * x ELSE 0 END)",
+        "sxxb": f"sum(CASE WHEN {a} THEN 0 ELSE {xw} * x END)",
+        "syya": f"sum(CASE WHEN {a} THEN {yw} * y ELSE 0 END)",
+        "syyb": f"sum(CASE WHEN {a} THEN 0 ELSE {yw} * y END)",
+        "sxya": f"sum(CASE WHEN {a} THEN {xw} * y ELSE 0 END)",
+        "sxyb": f"sum(CASE WHEN {a} THEN 0 ELSE {xw} * y END)",
     }
 
 
@@ -1239,10 +1264,7 @@ def _e14_oracle() -> str:
                       ELSE 0 END) AS y
       FROM events, cut GROUP BY user_id
     ),
-    wide AS (SELECT user_id, x, y,
-                    CAST(x AS HUGEINT) AS xw, CAST(y AS HUGEINT) AS yw
-             FROM users),
-    sums AS (SELECT {sums} FROM wide),
+    sums AS (SELECT {sums} FROM users),
     d AS (SELECT {casts} FROM sums),
     m AS (SELECT *, {_e14_sel(_E14_M)} FROM d),
     t0 AS (SELECT *, {_e14_sel(_E14_T)} FROM m),
@@ -1303,14 +1325,7 @@ def cuped_experiment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.expr("sum(xc)").alias("x"), F.expr("sum(yc)").alias("y"))
     )
-    wide = users.select(
-        "user_id",
-        "x",
-        "y",
-        F.expr("CAST(x AS DECIMAL(38,0))").alias("xw"),
-        F.expr("CAST(y AS DECIMAL(38,0))").alias("yw"),
-    )
-    sums = wide.agg(
+    sums = users.agg(
         *[
             F.expr(e).alias(n)
             for n, e in _e14_user_sums("DECIMAL(38,0)").items()

@@ -1745,11 +1745,15 @@ def source_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The CAST AS DOUBLE matters: bare decimal literals of mixed scale
 # unify to engine-specific DECIMAL types in a CASE; forcing DOUBLE
 # pins both the arithmetic and the output column to IEEE doubles.
+_DQ11_E = {
+    1: "0.30103", 2: "0.176091", 3: "0.124939", 4: "0.09691",
+    5: "0.079181", 6: "0.066947", 7: "0.057992", 8: "0.051153",
+    9: "0.045757",
+}
 _DQ11_EXPECTED = (
-    "CAST(CASE digit WHEN 1 THEN 0.30103 WHEN 2 THEN 0.176091 "
-    "WHEN 3 THEN 0.124939 WHEN 4 THEN 0.09691 WHEN 5 THEN 0.079181 "
-    "WHEN 6 THEN 0.066947 WHEN 7 THEN 0.057992 WHEN 8 THEN 0.051153 "
-    "ELSE 0.045757 END AS DOUBLE)"
+    "CAST(CASE digit "
+    + " ".join(f"WHEN {d} THEN {_DQ11_E[d]}" for d in range(1, 9))
+    + f" ELSE {_DQ11_E[9]} END AS DOUBLE)"
 )
 # Pearson chi-square contribution per digit, written as bare *, -, /
 # so no libm function enters the cross-engine path. nd/td are the
@@ -1759,6 +1763,43 @@ _DQ11_CHI2 = (
     f" / (td * ({_DQ11_EXPECTED}))"
 )
 _DQ11_CRIT = "3.841458820694124"  # chi-square 95th percentile, 1 dof
+# The aggregate statistic: mild drift spread thinly across all nine
+# digits can stay below every per-digit 1-dof threshold while the
+# distribution as a whole is significantly non-Benford, so the audit
+# also emits the full 8-dof Pearson statistic as a digit-0 row. The
+# total is ONE fixed-order formula string over the pivoted per-digit
+# double counts (c1..c9) — never a double `sum()` over rows, whose
+# accumulation order is engine- and partition-dependent.
+_DQ11_CHI2_TOTAL = " + ".join(
+    f"((c{d} - td * CAST({_DQ11_E[d]} AS DOUBLE))"
+    f" * (c{d} - td * CAST({_DQ11_E[d]} AS DOUBLE)))"
+    f" / (td * CAST({_DQ11_E[d]} AS DOUBLE))"
+    for d in range(1, 10)
+)
+_DQ11_CRIT8 = "15.507313055865453"  # chi-square 95th percentile, 8 dof
+_DQ11_TOTAL_ROW = {
+    "digit": "CAST(0 AS INT)",
+    "n_orders": "CAST(total AS BIGINT)",
+    "share": "CAST(NULL AS DOUBLE)",
+    "expected_share": "CAST(NULL AS DOUBLE)",
+    "chi2_term": f"round({_DQ11_CHI2_TOTAL}, 6)",
+    "digit_drift": f"({_DQ11_CHI2_TOTAL}) >= {_DQ11_CRIT8}",
+}
+
+
+_DQ11_PIV = ", ".join(
+    f"CAST(sum(CASE WHEN digit = {d} THEN n ELSE 0 END) AS BIGINT) AS b{d}"
+    for d in range(1, 10)
+)
+_DQ11_TOTAL_EXPR = " + ".join(f"b{d}" for d in range(1, 10))
+_DQ11_PD = (
+    f"CAST({_DQ11_TOTAL_EXPR} AS BIGINT) AS total, "
+    + ", ".join(f"CAST(b{d} AS DOUBLE) AS c{d}" for d in range(1, 10))
+    + f", CAST({_DQ11_TOTAL_EXPR} AS DOUBLE) AS td"
+)
+_DQ11_TOTAL_SELECT = ",\n           ".join(
+    f"{e} AS {n}" for n, e in _DQ11_TOTAL_ROW.items()
+)
 
 
 @register(
@@ -1770,10 +1811,11 @@ _DQ11_CRIT = "3.841458820694124"  # chi-square 95th percentile, 1 dof
       FROM orders WHERE o_totalprice > 0
     ),
     agg AS (SELECT digit, count(*) AS n FROM digits GROUP BY digit),
-    tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM agg),
+    piv AS (SELECT {_DQ11_PIV} FROM agg),
+    pd AS (SELECT {_DQ11_PD} FROM piv),
     d AS (
-      SELECT digit, n, CAST(n AS DOUBLE) AS nd, CAST(total AS DOUBLE) AS td
-      FROM agg, tot
+      SELECT digit, n, CAST(n AS DOUBLE) AS nd, pd.td AS td
+      FROM agg, pd
     )
     SELECT digit,
            CAST(n AS BIGINT)             AS n_orders,
@@ -1782,6 +1824,9 @@ _DQ11_CRIT = "3.841458820694124"  # chi-square 95th percentile, 1 dof
            round({_DQ11_CHI2}, 6)        AS chi2_term,
            {_DQ11_CHI2} >= {_DQ11_CRIT}  AS digit_drift
     FROM d
+    UNION ALL
+    SELECT {_DQ11_TOTAL_SELECT}
+    FROM pd
     ORDER BY digit
     """,
     doc="DQ11: Benford's-law first-significant-digit audit on order "
@@ -1791,7 +1836,13 @@ _DQ11_CRIT = "3.841458820694124"  # chi-square 95th percentile, 1 dof
     "distribution long before volume or freshness gates notice. Per "
     "digit 1-9: observed count and share, the Benford expectation "
     "log10(1+1/d), the Pearson chi-square contribution, and a per-digit "
-    "drift flag at the 95% critical value. Exact-integer core (cents "
+    "drift flag at the 95% critical value; a digit-0 row carries the "
+    "aggregate 8-dof Pearson statistic against its own 95% critical "
+    "value (15.507...), catching mild drift spread thinly across all "
+    "nine digits that stays below every per-digit threshold. The total "
+    "is one fixed-order formula over the pivoted per-digit counts — "
+    "never a double sum() over rows, whose accumulation order is "
+    "engine-dependent. Exact-integer core (cents "
     "via the s19 canonicalization; digit from the bigint's string "
     "rendering, which is engine-stable), expected shares embedded as "
     "repr'd Python constants (libm log10 is not identically rounded "
@@ -1814,21 +1865,41 @@ def benford_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("digit")
     )
     agg = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
-    tot = agg.agg(F.sum("n").cast("bigint").alias("total"))
-    d = agg.crossJoin(F.broadcast(tot)).select(
+    piv = agg.agg(
+        *[
+            F.expr(
+                f"CAST(sum(CASE WHEN digit = {d} THEN n ELSE 0 END)"
+                f" AS BIGINT)"
+            ).alias(f"b{d}")
+            for d in range(1, 10)
+        ]
+    )
+    pd_row = piv.select(
+        F.expr(f"CAST({_DQ11_TOTAL_EXPR} AS BIGINT)").alias("total"),
+        *[
+            F.expr(f"CAST(b{d} AS DOUBLE)").alias(f"c{d}")
+            for d in range(1, 10)
+        ],
+        F.expr(f"CAST({_DQ11_TOTAL_EXPR} AS DOUBLE)").alias("td"),
+    )
+    d = agg.crossJoin(F.broadcast(pd_row.select("total", "td"))).select(
         "digit",
         "n",
         F.col("n").cast("double").alias("nd"),
-        F.col("total").cast("double").alias("td"),
+        "td",
     )
-    return d.select(
+    per_digit = d.select(
         "digit",
         F.col("n").cast("bigint").alias("n_orders"),
         F.round(F.col("nd") / F.col("td"), 6).alias("share"),
         F.expr(_DQ11_EXPECTED).alias("expected_share"),
         F.round(F.expr(_DQ11_CHI2), 6).alias("chi2_term"),
         F.expr(f"{_DQ11_CHI2} >= {_DQ11_CRIT}").alias("digit_drift"),
-    ).orderBy("digit")
+    )
+    overall = pd_row.select(
+        *[F.expr(e).alias(n) for n, e in _DQ11_TOTAL_ROW.items()]
+    )
+    return per_digit.unionByName(overall).orderBy("digit")
 
 
 # s19: anti-entropy checksum audit between two replicas of a table.

@@ -89,9 +89,20 @@ FUZZ_SETTINGS = settings(
     suppress_health_check=[HealthCheck.function_scoped_fixture],
     derandomize=True,
 )
+# Grammars 1-9 have been stable for 3+ rounds and each has a 300-case
+# fresh-seed sweep on record (/tmp/fuzz_sweep.py pattern) — the in-suite
+# derandomized cases are only a regression floor, so 10 keeps the floor
+# while pulling the suite wall back under the ~15 min budget (r7 verdict
+# task 7). New or recently-changed grammars keep the full 25.
+FUZZ_SETTINGS_STABLE = settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+    derandomize=True,
+)
 
 
-@FUZZ_SETTINGS
+@FUZZ_SETTINGS_STABLE
 @given(case=CASES)
 def test_random_agg_plans_agree(spark, duck, sf_dir, case):
     import pandas as pd
@@ -126,7 +137,7 @@ JOIN_CASES = st.fixed_dictionaries(
 )
 
 
-@FUZZ_SETTINGS
+@FUZZ_SETTINGS_STABLE
 @given(case=JOIN_CASES)
 def test_random_join_plans_agree(spark, duck, sf_dir, case):
     from mric_bak_etl_spark.tables import register_views
@@ -166,7 +177,7 @@ WINDOW_CASES = st.fixed_dictionaries(
 )
 
 
-@FUZZ_SETTINGS
+@FUZZ_SETTINGS_STABLE
 @given(case=WINDOW_CASES)
 def test_random_window_plans_agree(spark, duck, sf_dir, case):
     from mric_bak_etl_spark.tables import register_views
@@ -210,7 +221,7 @@ SETOP_CASES = st.fixed_dictionaries(
 )
 
 
-@FUZZ_SETTINGS
+@FUZZ_SETTINGS_STABLE
 @given(case=SETOP_CASES)
 def test_random_setop_plans_agree(spark, duck, sf_dir, case):
     from mric_bak_etl_spark.tables import register_views
@@ -254,7 +265,7 @@ SUBQ_CASES = st.fixed_dictionaries(
 )
 
 
-@FUZZ_SETTINGS
+@FUZZ_SETTINGS_STABLE
 @given(case=SUBQ_CASES)
 def test_random_subquery_plans_agree(spark, duck, sf_dir, case):
     from mric_bak_etl_spark.tables import register_views
@@ -315,7 +326,7 @@ GROUPING_CASES = st.fixed_dictionaries(
 )
 
 
-@FUZZ_SETTINGS
+@FUZZ_SETTINGS_STABLE
 @given(case=GROUPING_CASES)
 def test_random_grouping_set_plans_agree(spark, duck, sf_dir, case):
     from mric_bak_etl_spark.tables import register_views
@@ -385,7 +396,7 @@ RANGE_FRAME_CASES = st.fixed_dictionaries(
 )
 
 
-@FUZZ_SETTINGS
+@FUZZ_SETTINGS_STABLE
 @given(case=RANGE_FRAME_CASES)
 def test_random_range_frame_plans_agree(spark, duck, sf_dir, case):
     from mric_bak_etl_spark.tables import register_views
@@ -475,7 +486,7 @@ def _cls_duck(t: str | None) -> str:
     }.get(t, f"?duck:{t}")
 
 
-@FUZZ_SETTINGS
+@FUZZ_SETTINGS_STABLE
 @given(case=VARIANT_CASES)
 def test_random_variant_payload_typing_agrees(spark, duck, case):
     import json
@@ -530,7 +541,7 @@ ASOF_CASES = st.fixed_dictionaries(
 )
 
 
-@FUZZ_SETTINGS
+@FUZZ_SETTINGS_STABLE
 @given(case=ASOF_CASES)
 def test_random_asof_joins_agree(spark, duck, sf_dir, case):
     from pyspark.sql import Window

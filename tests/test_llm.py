@@ -517,3 +517,27 @@ def test_portable_simhash_planted_and_structural(spark, sf_dir):
     )
     recovered = sum(1 for a, b in pairs if b - a == 1_000_000)
     assert recovered >= 0.35 * n_planted, f"{recovered}/{n_planted}"
+
+
+def test_band_width_mismatch_fails_loudly(spark, sf_dir):
+    """A signature whose slot count does not divide evenly into the
+    requested band count must raise, not silently floor: 16 slots over
+    3 bands would index only mh_0..mh_14, quietly dropping a slot and
+    degrading LSH recall — the latent-composition class the
+    mh_*-derived width fix targeted (round-8 ADVICE)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from mric_bak_etl_spark.llm.dedup import band_hashes, portable_band_hashes
+
+    sig16 = spark.range(3).select(
+        F.col("id").alias("doc_id"),
+        *[F.lit(i).cast("long").alias(f"mh_{i}") for i in range(16)],
+    )
+    for fn in (band_hashes, portable_band_hashes):
+        with pytest.raises(ValueError, match="band evenly"):
+            fn(sig16, n_bands=3)
+        with pytest.raises(ValueError, match="no mh_"):
+            fn(sig16.select("doc_id"), n_bands=4)
+    # the valid shapes still band: 16/4 (default) and 16/8
+    assert band_hashes(sig16, n_bands=8).count() == 3 * 8

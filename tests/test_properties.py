@@ -652,31 +652,44 @@ def test_bucket_scoped_repair_recovers_exactly_the_planted_rows(
 
 
 def test_benford_audit_is_a_consistent_distribution_report(spark, sf_dir):
-    # dq11 structural invariants: digits are a subset of 1-9, observed
-    # counts reconcile with the filtered input, shares sum to ~1 (each
-    # share rounds to 6dp, so the sum may be off by <= 9 * 5e-7), and
-    # every chi-square contribution is non-negative. Detection
-    # property: TPC-H prices are ~uniform over a bounded range, NOT
-    # Benford — the leading-digit mass sits far from log10(2) on
-    # digit 1, so the audit must flag drift somewhere (deterministic
-    # fixture, not a statistical accident).
+    # dq11 structural invariants: digits are a subset of 1-9 plus the
+    # digit-0 aggregate row, observed counts reconcile with the filtered
+    # input, shares sum to ~1 (each share rounds to 6dp, so the sum may
+    # be off by <= 9 * 5e-7), and every chi-square contribution is
+    # non-negative. The aggregate row's statistic must equal the sum of
+    # the per-digit terms (it is the same Pearson sum, computed in fixed
+    # order), its count is the grand total, and it must flag at the
+    # 8-dof critical value whenever any per-digit term alone exceeds it.
+    # Detection property: TPC-H prices are ~uniform over a bounded
+    # range, NOT Benford — the leading-digit mass sits far from
+    # log10(2) on digit 1, so the audit must flag drift somewhere
+    # (deterministic fixture, not a statistical accident).
     from pyspark.sql import functions as F  # noqa: PLC0415
 
     from mric_bak_etl_spark.pipeline.lifecycle import benford_drift
 
     rows = benford_drift(spark, sf_dir).collect()
-    digits = [r["digit"] for r in rows]
+    overall = [r for r in rows if r["digit"] == 0]
+    per_digit = [r for r in rows if r["digit"] != 0]
+    assert len(overall) == 1
+    digits = [r["digit"] for r in per_digit]
     assert set(digits) <= set(range(1, 10))
-    assert digits == sorted(digits)
+    assert [r["digit"] for r in rows] == sorted(r["digit"] for r in rows)
     n_input = (
         spark.read.parquet(f"{sf_dir}/orders.parquet")
         .filter(F.col("o_totalprice") > 0)
         .count()
     )
-    assert sum(r["n_orders"] for r in rows) == n_input
-    assert abs(sum(r["share"] for r in rows) - 1.0) <= 9 * 5e-7
+    assert sum(r["n_orders"] for r in per_digit) == n_input
+    assert abs(sum(r["share"] for r in per_digit) - 1.0) <= 9 * 5e-7
     assert all(r["chi2_term"] >= 0 for r in rows)
-    assert any(r["digit_drift"] for r in rows)
+    assert any(r["digit_drift"] for r in per_digit)
+    agg = overall[0]
+    assert agg["n_orders"] == n_input
+    assert agg["share"] is None and agg["expected_share"] is None
+    chi2_total = sum(r["chi2_term"] for r in per_digit)
+    assert abs(agg["chi2_term"] - chi2_total) <= 9 * 5e-7 * 10
+    assert agg["digit_drift"] == (agg["chi2_term"] >= 15.507313055865453)
 
 
 def test_cuped_reference_recompute_and_contract(spark, sf_dir):
@@ -746,6 +759,27 @@ def test_cuped_reference_recompute_and_contract(spark, sf_dir):
     vadj_b = vyb - 2 * theta * cvb + theta * theta * vxb
     z_un = (ma - mb_) / math.sqrt(vya / na + vyb / nb)
     z_adj = (madj_a - madj_b) / math.sqrt(vadj_a / na + vadj_b / nb)
+
+    # The statistical claim the operator exists to make (Deng et al.
+    # 2013, Sec. 3.1): with theta the pooled OLS slope cov/var, the
+    # POOLED adjusted variance is vy * (1 - rho^2) <= vy, equality only
+    # when the pre-period carries no signal. The per-arm inequality
+    # vadj_arm <= vy_arm is NOT guaranteed (and is false on this
+    # fixture: arm b's 6 users have own slope -2.23 vs pooled +0.12, so
+    # its adjusted variance rises ~9%) — an arm whose own X-Y slope
+    # disagrees with the pooled one pays for the shared theta; what
+    # CUPED guarantees, and what the z-test consumes, is the pooled
+    # reduction plus the per-arm quadratic floor below.
+    vy_pool = (syya + syyb) / n - yb * yb
+    cov_pool = (sxya + sxyb) / n - xb * yb
+    vadj_pool = vy_pool - theta * cov_pool  # = vy_pool - cov^2/varx
+    assert vadj_pool <= vy_pool
+    if cov_pool != 0:
+        assert vadj_pool < vy_pool
+    # Per-arm floor: for ANY theta, vadj_arm >= vy_arm - cov_arm^2 /
+    # varx_arm (the arm's own-OLS minimum of the quadratic in theta).
+    assert vadj_a >= vya - cva * cva / vxa - 1e-6 * vya
+    assert vadj_b >= vyb - cvb * cvb / vxb - 1e-6 * vyb
 
     got = {r["metric"]: r for r in cuped_experiment(spark, sf_dir).collect()}
     assert set(got) == {"avg_user_value", "avg_user_value_cuped"}
