@@ -105,6 +105,8 @@ HEADLINE = [
     "w10_distributed_running_total",   # two-phase prefix running total (calendar cells + offset broadcast)
     "a26_moment_profile",   # exact decimal power sums → portable moments
     "s19_replica_checksum_audit",  # two-replica per-bucket count+xor audit
+    # round-8 additions
+    "a23b_portable_sketch_merge_rollup",  # day→week→total portable HLL register merge
 ]
 
 

@@ -99,52 +99,51 @@ def all_specs() -> dict[str, QuerySpec]:
 # ever — CORRECTNESS_r01-r06), leaving exactly 5 catalog entries never
 # sampled: the round-6 session-3 additions that were deliberately parked
 # below the 50-entry budget so the r6 attestation head stayed frozen.
-# Round-7 head (r6 verdict items 1-2): the flagship canary, then those
-# 5 rotation-debt queries (green CORRECTNESS_r07 rows close the catalog
-# at 281/281 driver-sampled), then g5_user_pagerank FIRST among the
-# re-confirmations (its Spark-side plan changes this round — perf work,
-# verdict item 3 — and a changed query needs a post-change driver row),
-# then the bench HEADLINE set and the heavy dedup/sketch flagships to
-# re-confirm the queries users actually run. 50 entries exactly fill
-# the driver's 50-query budget. Already-green queries follow in sorted
-# order; the local parity suite (tests/test_oracle_parity.py over all
-# oracle entries, value-matched before every commit) remains the
-# regression guard. A guard test asserts this list stays in sync with
-# the registry.
+# Round-8 head (r7 verdict items 1-2): the flagship canary; the 4
+# round-7 rotation-debt queries (green CORRECTNESS_r08 rows close the
+# catalog at 285/285 driver-sampled); the 3 round-8 additions (a23b
+# portable sketch-merge rollup, m2b portable feature-extract twin, m7
+# real-BMP decode); then every query whose code changed this round and
+# therefore needs a post-change driver row — e13 (Bessel guard), a3b
+# (shared-helper refactor), dq11 already in the debt block (8-dof
+# aggregate row), e14 already in the debt block (exact-cast rendering +
+# variance guards), and the band_hashes consumers l2f/l2/l40 (loud
+# width validation) — then the bench HEADLINE set and heavy flagships
+# to re-confirm the queries users actually run. 50 entries exactly
+# fill the driver's 50-query budget. Already-green queries follow in
+# sorted order; the local parity suite (tests/test_oracle_parity.py
+# over all oracle entries, value-matched before every commit) remains
+# the regression guard. A guard test asserts this list stays in sync
+# with the registry.
 _VERIFY_FIRST: tuple[str, ...] = (
     "a1_pricing_summary",
-    # Rotation debt — the only never-driver-sampled queries (r6 s3).
-    "a26_moment_profile", "e13_experiment_ztest",
-    "f29_outer_flatten", "s19_replica_checksum_audit",
-    "s20_bucket_scoped_repair",
-    # Changed this round (perf work) — needs a post-change driver row.
-    "g5_user_pagerank",
+    # Round-7 rotation debt — the only never-driver-sampled queries.
+    "dq11_benford_drift",
+    "l40b_portable_incremental_neardup",
+    "e14_cuped_experiment",
+    "l2g_portable_simhash",
+    # Round-8 additions.
+    "a23b_portable_sketch_merge_rollup",
+    "m2b_portable_feature_extract",
+    "m7_bmp_decode",
+    # Changed this round — post-change driver rows.
+    "e13_experiment_ztest", "a3b_portable_hll", "l2f_portable_minhash",
+    "l2_minhash_lsh", "l40_incremental_banded_neardup",
     # Re-confirmations: bench HEADLINE order, then heavy flagships.
     "a4_rollup", "j1_inner_equi", "j2_broadcast_dims", "j6_asof",
     "w1_ranking", "w3_frames", "o2_topk", "u2b_except_all", "f5_arrays",
     "h3_shipping_priority", "h5_local_supplier_volume",
     "h18_large_volume_customer", "sq2_scalar_correlated",
-    "j8_salted_skew_join", "t1_tumbling_window", "l2_minhash_lsh",
+    "j8_salted_skew_join", "t1_tumbling_window",
     "l3_cosine_topk", "l4_tokenize_tf", "l17_semdedup", "l18_unigram_lm",
     "e4_event_transitions", "m2_feature_extract", "e6_event_paths",
     "a18_bitmap_exact_distinct", "j12_interval_overlap_join",
     "l19_kmeans", "j15_bloom_prejoin", "g4_triangle_count",
     "l22_slice_divergence", "r21_incremental_agg",
     "l29_exact_substring_dedup", "e9_sequence_pattern",
-    "l38_incremental_exact_dedup", "l40_incremental_banded_neardup",
-    "w10_distributed_running_total",
-    "l2f_portable_minhash", "a3b_portable_hll", "l2e_dup_clusters",
-    "l39_incremental_jaccard_neardup", "x5_map_in_arrow",
-    "l2d_embedding_neardup", "l32_substring_dup_clusters",
-    "l33_logreg_train",
-    # Round-7 additions — appended BELOW the 50-entry driver budget on
-    # purpose: positions 1-50 are the catalog-closing attestation head
-    # and must not shift; these entries are round-8 rotation debt,
-    # locally value-verified by tests/test_oracle_parity.py meanwhile.
-    "dq11_benford_drift",
-    "l40b_portable_incremental_neardup",
-    "e14_cuped_experiment",
-    "l2g_portable_simhash",
+    "l38_incremental_exact_dedup", "w10_distributed_running_total",
+    "g5_user_pagerank", "a26_moment_profile",
+    "s19_replica_checksum_audit", "s20_bucket_scoped_repair",
 )
 
 

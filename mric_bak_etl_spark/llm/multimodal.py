@@ -82,17 +82,74 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def decode_media(content: bytes, media_type: str) -> object:
-    """Real codec hook — image/audio/video libraries are not available in
-    this environment. STUB: raises until a codec dependency is wired in.
-
-    The deterministic fake featurizer below stands in so the surrounding
-    Spark plumbing (schema, batching, fan-out) is fully exercised.
+def decode_media(content: bytes, media_type: str) -> dict:
+    """Codec hook. REAL for one container: uncompressed 24-bit BMP
+    (BITMAPFILEHEADER + BITMAPINFOHEADER) is parsed here in pure Python —
+    magic, declared sizes, dimensions, planes/compression sanity — and
+    the decoded header fields are returned as a dict. Every other
+    container still raises: audio/video (and non-BMP images) need
+    pillow/torchaudio/pyav, which do not ship in this environment; wire
+    them in here and the m2/m3/m7 plumbing needs no other change.
     """
+    if media_type == "image" and content[:2] == b"BM" and len(content) >= 54:
+        import struct
+
+        file_size, _, offset = struct.unpack_from("<III", content, 2)
+        (
+            hdr_size,
+            width,
+            height,
+            planes,
+            bpp,
+            compression,
+            image_size,
+        ) = struct.unpack_from("<IiiHHII", content, 14)
+        if hdr_size != 40 or planes != 1 or compression != 0:
+            raise NotImplementedError(
+                "only uncompressed BITMAPINFOHEADER BMPs are supported "
+                f"(hdr_size={hdr_size}, planes={planes}, "
+                f"compression={compression})"
+            )
+        if file_size != len(content) or offset + image_size != file_size:
+            raise ValueError(
+                f"corrupt BMP: declared file_size={file_size} "
+                f"offset={offset} image_size={image_size} "
+                f"actual={len(content)}"
+            )
+        return {
+            "width": width,
+            "height": abs(height),  # negative height = top-down rows
+            "bpp": bpp,
+            "image_size": image_size,
+            "file_size": file_size,
+        }
     raise NotImplementedError(
         f"no codec available for media_type={media_type!r}; "
         "install pillow/torchaudio/pyav and route decode_media to it"
     )
+
+
+def make_bmp(pixel_source: bytes, width: int, height: int) -> bytes:
+    """A real, spec-valid 24-bit uncompressed BMP: 14-byte file header,
+    40-byte BITMAPINFOHEADER, bottom-up rows padded to 4 bytes, pixel
+    bytes drawn from ``pixel_source`` (cycled/zero-padded). Pure Python
+    bytes math — deterministic across runs, engines, partitionings."""
+    import struct
+
+    row_stride = (width * 3 + 3) // 4 * 4
+    image_size = row_stride * height
+    need = width * height * 3
+    src = (pixel_source * (need // max(len(pixel_source), 1) + 1))[:need] \
+        if pixel_source else bytes(need)
+    rows = []
+    for y in range(height):
+        row = src[y * width * 3 : (y + 1) * width * 3]
+        rows.append(row + bytes(row_stride - len(row)))
+    file_size = 54 + image_size
+    header = struct.pack("<2sIII", b"BM", file_size, 0, 54) + struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, image_size, 2835, 2835, 0, 0
+    )
+    return header + b"".join(rows)
 
 
 _FEATURE_DIM = 8
@@ -148,14 +205,124 @@ def feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     # UDF is the canonical cluster idiom, and the single-row-group input
     # would otherwise featurize in one task (tables.spread).
     feats = spread(m).mapInPandas(_extract_batches, schema=FEATURE_SCHEMA)
+    # feature_sum rounds at the SAME 6dp scale as the addends: a sum of
+    # 6dp multiples re-rounded at a coarser scale lands exactly on
+    # .xxxx5 decimal boundaries, where Spark (shortest-repr HALF_UP)
+    # and DuckDB (binary-double) disagree — found by fuzz grammar 16
+    # on this very composition; equal scales make ties impossible.
     return feats.select(
         "media_id",
         "media_type",
         "n_bytes",
         "mean_byte",
-        F.round(F.aggregate("features", F.lit(0.0), lambda a, x: a + x), 4).alias(
+        F.round(F.aggregate("features", F.lit(0.0), lambda a, x: a + x), 6).alias(
             "feature_sum"
         ),
+    ).orderBy("media_id")
+
+
+# m2b: m2's byte math re-expressed as engine-neutral arithmetic so the
+# feature-extract semantics carry a FULL value oracle (r7 verdict item 5).
+# Precondition (asserted against every testdata SF, and what makes the
+# mirror tractable): the synthetic corpus is pure ASCII, so the utf-8
+# payload bytes ARE the characters and ascii(char) is the byte value.
+# Production non-ASCII media stays on the m2 binary path; the twin's job
+# is to pin the SLICE/MOMENT semantics cross-engine, not to re-implement
+# unicode. The slice grid mirrors _fake_features exactly: step =
+# max(len // 8, 1); slice i = bytes [i*step, (i+1)*step); an empty slice
+# contributes 0.0 (m2 substitutes b"\\x00"); trailing bytes past
+# 8*step are dropped by both. All sums are exact integers; each derived
+# double is one shared formula shape evaluated by both engines.
+_M2B_DIM = _FEATURE_DIM
+
+
+def _m2b_char_sum(s: str, engine: str) -> str:
+    """Exact integer sum of the byte values of string expression ``s`` —
+    the one construct the engines spell differently (HOF fold vs
+    list_sum); everything downstream is shared double arithmetic."""
+    if engine == "spark":
+        return (
+            f"aggregate(transform(split({s}, ''),"
+            " c -> CAST(ascii(c) AS BIGINT)),"
+            " CAST(0 AS BIGINT), (a, x) -> a + x)"
+        )
+    return (
+        f"CAST(list_sum(list_transform(string_split({s}, ''),"
+        " c -> ascii(c))) AS BIGINT)"
+    )
+
+
+def _m2b_feature(i: int, engine: str) -> str:
+    s = f"substring(text, {i} * step + 1, step)"
+    return (
+        f"(CASE WHEN length({s}) = 0 THEN CAST(0.0 AS DOUBLE)"
+        f" ELSE round(CAST({_m2b_char_sum(s, engine)} AS DOUBLE)"
+        f" / length({s}) / 255.0, 6) END)"
+    )
+
+
+def _m2b_select(engine: str) -> dict[str, str]:
+    feature_sum = " + ".join(
+        _m2b_feature(i, engine) for i in range(_M2B_DIM)
+    )
+    return {
+        "media_id": "doc_id",
+        "media_type": (
+            "CASE WHEN doc_id % 3 = 0 THEN 'image'"
+            " WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END"
+        ),
+        "n_bytes": "CAST(length(text) AS BIGINT)",
+        "mean_byte": (
+            f"round(CAST({_m2b_char_sum('text', engine)} AS DOUBLE)"
+            " / greatest(length(text), 1) / 255.0, 6)"
+        ),
+        # Final round at the addends' own 6dp scale — a coarser final
+        # round (the original 4) puts sums of 6dp multiples exactly on
+        # .xxxx5 boundaries where the engines' round() implementations
+        # split (Spark shortest-repr HALF_UP vs DuckDB binary-double);
+        # fuzz grammar 16 falsified that composition on its first run.
+        "feature_sum": f"round({feature_sum}, 6)",
+    }
+
+
+_M2B_ORACLE_SEL = ",\n           ".join(
+    f"{e} AS {n}" for n, e in _m2b_select("duck").items()
+)
+
+
+@register(
+    "m2b_portable_feature_extract",
+    oracle=f"""
+    WITH stepped AS (
+      SELECT doc_id, text,
+             greatest(length(text) // {_M2B_DIM}, 1) AS step
+      FROM documents
+    )
+    SELECT {_M2B_ORACLE_SEL}
+    FROM stepped
+    ORDER BY media_id
+    """,
+    doc="M2b: m2's deterministic byte-moment featurizer re-expressed as "
+    "engine-neutral integer/double arithmetic (ascii-sum folds over the "
+    "same slice grid, shared formula shapes both engines evaluate) — the "
+    "portable twin that gives the feature-extract semantics a full value "
+    "oracle; tests additionally assert m2b's output EQUALS m2's pandas "
+    "path row for row, so the mapInPandas stage is value-anchored "
+    "transitively. ASCII-corpus precondition documented in-module; the "
+    "JVM path here is also the 100 TB preference whenever the 'codec' "
+    "is pure byte math — whole-stage codegen, no Python workers, no "
+    "Arrow transfer.",
+    tags=("llm", "multimodal"),
+)
+def portable_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    stepped = d.select(
+        "doc_id",
+        "text",
+        F.expr(f"greatest(length(text) div {_M2B_DIM}, 1)").alias("step"),
+    )
+    return stepped.select(
+        *[F.expr(e).alias(n) for n, e in _m2b_select("spark").items()]
     ).orderBy("media_id")
 
 
@@ -200,6 +367,66 @@ def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         frames.groupBy("media_id")
         .agg(F.count(F.lit(1)).alias("n_sampled_frames"))
+        .orderBy("media_id")
+    )
+
+
+_M7_SCHEMA = (
+    "media_id long, width long, height long, bpp long, "
+    "image_size long, file_size long"
+)
+
+
+def _bmp_roundtrip_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    cols = ("media_id", "width", "height", "bpp", "image_size", "file_size")
+    for pdf in batches:
+        out = {k: [] for k in cols}
+        for mid, text in zip(pdf["doc_id"], pdf["text"]):
+            w = int(mid) % 16 + 1
+            h = int(mid) % 8 + 1
+            decoded = decode_media(make_bmp(text.encode(), w, h), "image")
+            out["media_id"].append(mid)
+            for k in cols[1:]:
+                out[k].append(decoded[k])
+        yield pd.DataFrame(out)
+
+
+@register(
+    "m7_bmp_decode",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(doc_id % 16 + 1 AS BIGINT) AS width,
+           CAST(doc_id % 8 + 1 AS BIGINT)  AS height,
+           CAST(24 AS BIGINT)              AS bpp,
+           CAST(((doc_id % 16 + 1) * 3 + 3) // 4 * 4 * (doc_id % 8 + 1)
+                AS BIGINT)                 AS image_size,
+           CAST(54 + ((doc_id % 16 + 1) * 3 + 3) // 4 * 4
+                     * (doc_id % 8 + 1)
+                AS BIGINT)                 AS file_size
+    FROM documents
+    ORDER BY media_id
+    """,
+    doc="M7: REAL container decode — each document's bytes become a "
+    "spec-valid uncompressed 24-bit BMP (14-byte file header, 40-byte "
+    "BITMAPINFOHEADER, 4-byte-padded bottom-up rows) and decode_media "
+    "parses the header back: magic, declared sizes cross-checked "
+    "against the actual byte count, dimensions, bpp. This replaces the "
+    "engine's former always-raising codec hook with a working parser "
+    "for one real format (the hook still raises for containers that "
+    "need external codec libs). The oracle is the closed-form BMP "
+    "geometry (row stride = (3w+3)//4*4), so the driver verifies that "
+    "the builder and parser agree with the SPEC, not just with each "
+    "other. Same 100 TB shape as m2/m3: Arrow-batched mapInPandas, "
+    "bytes never leave the executor, metadata-only output.",
+    tags=("llm", "multimodal", "udf"),
+)
+def bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return (
+        spread(d)
+        .mapInPandas(_bmp_roundtrip_batches, schema=_M7_SCHEMA)
         .orderBy("media_id")
     )
 

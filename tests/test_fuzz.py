@@ -1210,3 +1210,102 @@ def test_random_portable_sketch_plans_agree(spark, duck, sf_dir, case):
         f"psketch[k{case['k']}|h{case['n_hashes']}|b{case['n_bands']}"
         f"|t{case['thresh']}]",
     )
+
+
+# ---------------------------------------------------------------------------
+# Grammar 16: portable byte-moment recipe (m2b family). Random slice
+# grids over random string transforms of the corpus — step = max(len //
+# dim, 1), per-slice exact ascii-sum folds, one fixed-order feature-sum
+# formula — must produce bit-identical doubles on both engines. This is
+# the recipe m2b uses to value-anchor the pandas featurizer; the grammar
+# guards its composition the way grammar 15 guards the sketch family
+# (where writing the grammar found a real width-derivation bug).
+
+BYTEMOMENT_CASES = st.fixed_dictionaries(
+    {
+        "dim": st.sampled_from([2, 3, 5, 8, 12]),  # slice count
+        "xform": st.sampled_from(
+            # the last one is mostly-empty strings: every slice empty,
+            # the greatest(len,1) and CASE len=0 guards do all the work
+            ["text", "upper(text)", "substring(text, 3, 40)",
+             "substring(text, 2000, 10)"]
+        ),
+        "dp": st.sampled_from([4, 6]),              # feature round
+    }
+)
+
+
+def _bytemoment_sum(s: str, engine: str) -> str:
+    from mric_bak_etl_spark.llm.multimodal import _m2b_char_sum
+
+    return _m2b_char_sum(s, engine)
+
+
+def render_bytemoment_exprs(case: dict, engine: str) -> tuple[str, str]:
+    dim, dp = case["dim"], case["dp"]
+    feats = []
+    for i in range(dim):
+        s = f"substring(t, {i} * step + 1, step)"
+        feats.append(
+            f"(CASE WHEN length({s}) = 0 THEN CAST(0.0 AS DOUBLE)"
+            f" ELSE round(CAST({_bytemoment_sum(s, engine)} AS DOUBLE)"
+            f" / length({s}) / 255.0, {dp}) END)"
+        )
+    mean = (
+        f"round(CAST({_bytemoment_sum('t', engine)} AS DOUBLE)"
+        f" / greatest(length(t), 1) / 255.0, {dp})"
+    )
+    # Final round at the addends' scale, NEVER coarser: the first run of
+    # this grammar falsified round(sum-of-6dp, 4) — sums of 6dp
+    # multiples sit exactly on .xxxx5 boundaries where Spark
+    # (shortest-repr HALF_UP) and DuckDB (binary-double) round apart.
+    # m2/m2b were changed to the safe composition; this line guards it.
+    return mean, f"round({' + '.join(feats)}, {dp})"
+
+
+def render_bytemoment_sql(case: dict) -> str:
+    mean, fsum = render_bytemoment_exprs(case, "duck")
+    return f"""
+    WITH stepped AS (
+      SELECT doc_id, {case["xform"]} AS t,
+             greatest(length({case["xform"]}) // {case["dim"]}, 1) AS step
+      FROM documents
+    )
+    SELECT doc_id, {mean} AS mean_byte, {fsum} AS feature_sum
+    FROM stepped
+    ORDER BY doc_id
+    """
+
+
+def build_bytemoment_spark(spark, sf_dir: str, case: dict):
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from mric_bak_etl_spark.tables import load_table
+
+    mean, fsum = render_bytemoment_exprs(case, "spark")
+    stepped = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(case["xform"]).alias("t"),
+        F.expr(
+            f"greatest(length({case['xform']}) div {case['dim']}, 1)"
+        ).alias("step"),
+    )
+    return stepped.select(
+        "doc_id",
+        F.expr(mean).alias("mean_byte"),
+        F.expr(fsum).alias("feature_sum"),
+    ).orderBy("doc_id")
+
+
+@FUZZ_SETTINGS
+@given(case=BYTEMOMENT_CASES)
+def test_random_byte_moment_plans_agree(spark, duck, sf_dir, case):
+    from test_oracle_parity import assert_frames_match
+
+    got = build_bytemoment_spark(spark, sf_dir, case).toPandas()
+    want = duck.execute(render_bytemoment_sql(case)).df()
+    assert_frames_match(
+        got,
+        want,
+        f"bytemoment[d{case['dim']}|{case['xform']}|dp{case['dp']}]",
+    )

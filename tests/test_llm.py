@@ -100,9 +100,31 @@ def test_ann_bucket_subset_of_brute_force_scores(spark, sf_dir):
     assert len(set(ann) & set(brute)) >= 3
 
 
-def test_media_decode_is_stubbed(spark, sf_dir):
+def test_media_decode_bmp_real_and_others_stubbed(spark, sf_dir):
+    # Non-BMP payloads and non-image types still raise (the codec-lib
+    # hook), but a real uncompressed 24-bit BMP round-trips: build ->
+    # parse -> fields match the spec geometry, including the 4-byte row
+    # padding and a non-multiple-of-4 width.
+    from mric_bak_etl_spark.llm.multimodal import make_bmp
+
     with pytest.raises(NotImplementedError):
         decode_media(b"bytes", "image")
+    with pytest.raises(NotImplementedError):
+        decode_media(b"RIFF....WAVE", "audio")
+    bmp = make_bmp(b"pixel data source", width=5, height=3)
+    got = decode_media(bmp, "image")
+    stride = (5 * 3 + 3) // 4 * 4  # 15 -> 16
+    assert got == {
+        "width": 5,
+        "height": 3,
+        "bpp": 24,
+        "image_size": stride * 3,
+        "file_size": 54 + stride * 3,
+    }
+    assert len(bmp) == got["file_size"]
+    # Truncated/corrupt declared sizes must be rejected, not decoded.
+    with pytest.raises(ValueError):
+        decode_media(bmp + b"\x00", "image")
 
 
 def test_feature_extract_contract(spark, sf_dir):
@@ -116,6 +138,33 @@ def test_feature_extract_contract(spark, sf_dir):
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
     r0 = next(r for r in rows if r["media_id"] == 0)
     assert 0.0 <= r0["mean_byte"] <= 1.0
+
+
+def test_portable_feature_extract_equals_pandas_path(spark, sf_dir):
+    """m2b's value-anchoring claim: the engine-neutral JVM arithmetic
+    reproduces the mapInPandas byte math ROW FOR ROW, so the oracle-less
+    m2 is verified transitively through the value-oracled m2b. Also pins
+    the ASCII precondition the mirror depends on (payload bytes == text
+    characters on the synthetic corpus)."""
+    from pyspark.sql import functions as F
+
+    from mric_bak_etl_spark.llm.multimodal import portable_feature_extract
+
+    n_non_ascii = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(
+            F.octet_length(F.encode("text", "UTF-8")) != F.length("text")
+        )
+        .count()
+    )
+    assert n_non_ascii == 0
+    pandas_rows = sorted(
+        map(tuple, feature_extract(spark, sf_dir).collect())
+    )
+    jvm_rows = sorted(
+        map(tuple, portable_feature_extract(spark, sf_dir).collect())
+    )
+    assert pandas_rows == jvm_rows
 
 
 def test_ivf_scores_consistent_with_brute_force(spark, sf_dir):

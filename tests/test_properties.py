@@ -340,6 +340,51 @@ def test_portable_hll_matches_pure_python_reference(spark, sf_dir):
         assert abs(est - exact[y]) / exact[y] < 0.6, (y, est, exact[y])
 
 
+def test_portable_sketch_merge_is_lossless(spark, sf_dir):
+    # a23b's claim is that max-rank merge loses nothing: week registers
+    # merged to a corpus total must equal registers built DIRECTLY over
+    # the whole corpus in one pass — so a sketch persisted at one grain
+    # and rolled up later estimates exactly what a fresh full-scan
+    # sketch would. Also pins the readout contract: the total row's
+    # n_merged counts the week sketches and n_exact is the true corpus
+    # distinct-user count.
+    from mric_bak_etl_spark.operators.aggregates import (
+        _hll_max_rank,
+        portable_sketch_merge_rollup,
+    )
+    from mric_bak_etl_spark.tables import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    hashed = e.select(F.md5(F.col("user_id").cast("string")).alias("h"))
+    direct = {
+        r["bucket"]: r["r"] for r in _hll_max_rank(hashed, []).collect()
+    }
+    week_col = F.date_format(
+        F.date_trunc("week", F.col("ts")), "yyyy-MM-dd"
+    ).alias("week")
+    weekly = _hll_max_rank(
+        e.select(
+            week_col, F.md5(F.col("user_id").cast("string")).alias("h")
+        ),
+        ["week"],
+    )
+    merged = {
+        r["bucket"]: r["r"]
+        for r in weekly.groupBy("bucket").agg(F.max("r").alias("r")).collect()
+    }
+    assert merged == direct
+    rows = {
+        r["grain"]: r
+        for r in portable_sketch_merge_rollup(spark, sf_dir).collect()
+        if r["grain"] == "total"
+    }
+    total = rows["total"]
+    n_weeks = weekly.select("week").distinct().count()
+    n_users = e.select("user_id").distinct().count()
+    assert total["n_merged"] == n_weeks
+    assert total["n_exact"] == n_users
+
+
 def test_moment_profile_matches_pure_python_reference(spark, sf_dir):
     # a26's claim is exactness: the power sums are exact integers, so a
     # pure-Python recompute (arbitrary-precision ints, then the same

@@ -73,6 +73,12 @@ REPRESENTATIVES = [
     "l40b_portable_incremental_neardup",
     "l2g_portable_simhash",
     "e14_cuped_experiment",
+    # round-8: a23b's register-spine left joins and 1-row total fold are
+    # broadcast-shaped (no_broadcast/shuffle_hash re-plan them); m2b's
+    # ascii-sum HOF folds are the interpreted path's worst case
+    # (no_codegen) and its % 3 CASE must agree under ansi_off.
+    "a23b_portable_sketch_merge_rollup",
+    "m2b_portable_feature_extract",
 ]
 
 SCENARIOS = {
