@@ -1346,3 +1346,105 @@ def cuped_experiment(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.expr(e).alias(n) for n, e in _E14_ROW_ADJ.items()]
     )
     return un.unionByName(adj).orderBy("metric")
+
+
+# e15: sample-ratio mismatch (SRM) — the randomization-health gate every
+# experimentation platform runs BEFORE reading e13/e14's results: if the
+# achieved arm split deviates from the designed 50/50 beyond chance, the
+# assignment itself is broken (biased bucketing, logging loss, bot
+# filtering applied to one arm) and the readouts are invalid. Chi-square
+# on user counts per arm, overall and per activity segment — a
+# segment-level SRM with a clean overall is the classic signature of
+# segment-correlated assignment bugs. Portability is the dq11 recipe:
+# counts are exact integers, the statistic is one shared formula string
+# of bare * - / over the double-cast counts, and the 1-dof 95% critical
+# value is the same repr'd constant dq11 embeds.
+_E15_CHI2 = (
+    "((na - (na + nb) / 2) * (na - (na + nb) / 2)) / ((na + nb) / 2)"
+    " + ((nb - (na + nb) / 2) * (nb - (na + nb) / 2)) / ((na + nb) / 2)"
+)
+_E15_CRIT = "3.841458820694124"  # chi-square 95th percentile, 1 dof
+_E15_ROW = {
+    "segment": "segment",
+    "n_users": "CAST(na + nb AS BIGINT)",
+    "n_a": "CAST(na AS BIGINT)",
+    "n_b": "CAST(nb AS BIGINT)",
+    "share_a": "round(CAST(na AS DOUBLE) / (na + nb), 6)",
+    "chi2": f"round({_E15_CHI2}, 6)",
+    "srm_flag": f"({_E15_CHI2}) >= {_E15_CRIT}",
+}
+_E15_SEL = ",\n           ".join(f"{e} AS {n}" for n, e in _E15_ROW.items())
+
+
+def _e15_oracle() -> str:
+    return f"""
+    WITH seg_users AS (
+      SELECT DISTINCT event_type AS segment, user_id FROM events
+    ),
+    all_users AS (SELECT DISTINCT user_id FROM events),
+    counts AS (
+      SELECT segment,
+             CAST(sum(CASE WHEN {_E13_ARM} THEN 1 ELSE 0 END) AS DOUBLE)
+               AS na,
+             CAST(sum(CASE WHEN {_E13_ARM} THEN 0 ELSE 1 END) AS DOUBLE)
+               AS nb
+      FROM seg_users GROUP BY segment
+      UNION ALL
+      SELECT 'ALL' AS segment,
+             CAST(sum(CASE WHEN {_E13_ARM} THEN 1 ELSE 0 END) AS DOUBLE)
+               AS na,
+             CAST(sum(CASE WHEN {_E13_ARM} THEN 0 ELSE 1 END) AS DOUBLE)
+               AS nb
+      FROM all_users
+    )
+    SELECT {_E15_SEL}
+    FROM counts
+    ORDER BY segment
+    """
+
+
+@register(
+    "e15_srm_check",
+    oracle=_e15_oracle(),
+    doc="E15: sample-ratio-mismatch gate — chi-square on the achieved "
+    "arm split vs the designed 50/50, overall and per activity segment "
+    "(users who emitted each event type): the validity check run "
+    "BEFORE e13/e14's readouts are believed, since a broken assignment "
+    "invalidates any downstream statistic, and a per-segment SRM with "
+    "a clean overall is the signature of segment-correlated bugs "
+    "(one-arm bot filtering, logging loss in one exposure path). "
+    "Exact-integer counts, one shared bare-arithmetic formula string, "
+    "the dq11 repr'd 1-dof critical value — full value oracle. At "
+    "100 TB: one distinct over (event_type, user_id) — the exchange a "
+    "segment readout needs anyway — then segment-cardinality "
+    "conditional sums; the overall row is a map-side fold over the "
+    "distinct-user set. The experiment family: e15 validates the "
+    "split, e13 decides, e14 decides with less data.",
+    tags=("events",),
+)
+def srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    arm_sums = [
+        F.expr(
+            f"CAST(sum(CASE WHEN {_E13_ARM} THEN 1 ELSE 0 END) AS DOUBLE)"
+        ).alias("na"),
+        F.expr(
+            f"CAST(sum(CASE WHEN {_E13_ARM} THEN 0 ELSE 1 END) AS DOUBLE)"
+        ).alias("nb"),
+    ]
+    seg = (
+        ev.select(F.col("event_type").alias("segment"), "user_id")
+        .distinct()
+        .groupBy("segment")
+        .agg(*arm_sums)
+    )
+    overall = (
+        ev.select("user_id")
+        .distinct()
+        .agg(*arm_sums)
+        .select(F.lit("ALL").alias("segment"), "na", "nb")
+    )
+    counts = seg.unionByName(overall)
+    return counts.select(
+        *[F.expr(e).alias(n) for n, e in _E15_ROW.items()]
+    ).orderBy("segment")

@@ -836,3 +836,36 @@ def test_cuped_reference_recompute_and_contract(spark, sf_dir):
     assert abs(adj["mean_a"] - madj_a / 100) <= 5.1e-5
     assert un["significant"] == (abs(z_un) >= 1.96)
     assert adj["significant"] == (abs(z_adj) >= 1.96)
+
+
+def test_srm_check_matches_pure_python_chi_square(spark, sf_dir):
+    # e15 recompute: per-segment and overall arm counts from the same
+    # deterministic hash, the same fixed-order chi-square formula — and
+    # the structural contract that srm_flag is exactly chi2 >= the
+    # 1-dof 95% critical value evaluated on the UNROUNDED statistic.
+    from mric_bak_etl_spark.operators.events import srm_check
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_type", "user_id")
+        .distinct()
+        .collect()
+    )
+    in_a = lambda u: ((u * 2654435761) % 2147483648) < 1073741824  # noqa: E731
+    segs: dict[str, set[int]] = {}
+    for r in rows:
+        segs.setdefault(r["event_type"], set()).add(r["user_id"])
+    segs["ALL"] = set().union(*segs.values())
+
+    got = {r["segment"]: r for r in srm_check(spark, sf_dir).collect()}
+    assert set(got) == set(segs)
+    for seg, users in segs.items():
+        na = float(sum(1 for u in users if in_a(u)))
+        nb = float(len(users)) - na
+        h = (na + nb) / 2
+        chi2 = (na - h) * (na - h) / h + (nb - h) * (nb - h) / h
+        r = got[seg]
+        assert (r["n_a"], r["n_b"]) == (int(na), int(nb))
+        assert r["n_users"] == len(users)
+        assert abs(r["chi2"] - chi2) <= 5.1e-7
+        assert r["srm_flag"] == (chi2 >= 3.841458820694124)
