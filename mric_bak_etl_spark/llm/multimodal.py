@@ -193,8 +193,12 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     # tractable SQL mirror — structurally verified in tests/test_llm.py
     doc="Multimodal feature extraction: mapInPandas over (payload, "
     "metadata) → fixed-dim feature vectors; Arrow-batched, executor-"
-    "local, schema-contracted. Real codec stubbed (decode_media), "
-    "deterministic byte-moment featurizer exercises the plumbing.",
+    "local, schema-contracted. Deterministic byte-moment featurizer "
+    "exercises the plumbing (decode_media handles real BMPs, see m7; "
+    "other codecs stay stubbed). Rows-only here by nature (pandas "
+    "byte math has no direct SQL mirror), but value-anchored "
+    "transitively: the m2b portable twin carries a full value oracle "
+    "and a test asserts m2b == m2 row for row.",
     tags=("llm", "multimodal", "udf"),
 )
 def feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
