@@ -144,11 +144,12 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "l38_incremental_exact_dedup", "w10_distributed_running_total",
     "g5_user_pagerank", "a26_moment_profile",
     "s19_replica_checksum_audit", "s20_bucket_scoped_repair",
-    # Round-8 late addition — appended BELOW the 50-entry driver budget
+    # Round-8 late additions — appended BELOW the 50-entry driver budget
     # on purpose: positions 1-50 are the catalog-closing attestation
-    # head and must not shift; this entry is round-9 rotation debt,
+    # head and must not shift; these entries are round-9 rotation debt,
     # locally value-verified by tests/test_oracle_parity.py meanwhile.
     "e15_srm_check",
+    "t13_streaming_sketch_registers",
 )
 
 

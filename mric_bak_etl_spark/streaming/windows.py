@@ -484,3 +484,92 @@ def sink_log_handoff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+
+@register(
+    "t13_streaming_sketch_registers",
+    oracle="""
+    WITH ev AS (
+      SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
+             strftime(ts, '%Y-%m-%d') AS day,
+             md5(CAST(user_id AS VARCHAR)) AS h
+      FROM events
+    ),
+    parts AS (
+      SELECT week, day,
+             instr('0123456789abcdef', substring(h, 1, 1)) - 1 AS bucket,
+             substring(h, 2, 13) AS rest
+      FROM ev
+    ),
+    rho AS (
+      SELECT week, day, bucket,
+             CASE WHEN length(regexp_extract(rest, '^0*')) = 13 THEN 53
+                  ELSE length(regexp_extract(rest, '^0*')) * 4
+                       + CASE WHEN instr('0123456789abcdef', substring(rest,
+                                length(regexp_extract(rest, '^0*')) + 1, 1))
+                                - 1 >= 8 THEN 0
+                              WHEN instr('0123456789abcdef', substring(rest,
+                                length(regexp_extract(rest, '^0*')) + 1, 1))
+                                - 1 >= 4 THEN 1
+                              WHEN instr('0123456789abcdef', substring(rest,
+                                length(regexp_extract(rest, '^0*')) + 1, 1))
+                                - 1 >= 2 THEN 2
+                              ELSE 3 END + 1 END AS r
+      FROM parts
+    )
+    SELECT week, day, CAST(bucket AS INT) AS bucket, CAST(max(r) AS INT) AS r
+    FROM rho
+    GROUP BY week, day, bucket
+    ORDER BY week, day, bucket
+    """,
+    doc="T13: the STREAMING face of the a23b sketch workflow — the "
+    "day-grain portable HLL registers maintained by Structured "
+    "Streaming as events arrive: readStream over the events parquet, "
+    "md5 bucket/rank projection, a streaming max() aggregation per "
+    "(week, day, bucket) in complete mode (register state is bounded "
+    "by days x 16, the textbook always-fits streaming aggregate), "
+    "AvailableNow trigger. The emitted table IS a23b's persisted "
+    "sketch state — so this carries a FULL value oracle (DuckDB "
+    "rebuilds the identical registers from the same parquet), unusual "
+    "for a streaming query: the state itself is engine-neutral. At "
+    "scale this is the production ingestion path the a23b rollup "
+    "assumes: the stream keeps day registers current incrementally "
+    "(new events only max-fold into today's registers), and any "
+    "engine merges/estimates from the stored state without ever "
+    "rescanning the event history. Stream-equals-batch register "
+    "equality is additionally pinned in tests/test_streaming.py.",
+    tags=("streaming", "sketch", "scale"),
+)
+def streaming_sketch_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from mric_bak_etl_spark.operators.aggregates import _hll_max_rank
+
+    stream = stream_events(spark, sf_dir).select(
+        F.date_format(
+            F.date_trunc("week", F.col("ts")), "yyyy-MM-dd"
+        ).alias("week"),
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.md5(F.col("user_id").cast("string")).alias("h"),
+    )
+    daily = _hll_max_rank(stream, ["week", "day"])
+    view = f"t13_registers_{uuid.uuid4().hex[:8]}"
+    q = (
+        daily.writeStream.format("memory")
+        .queryName(view)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(view)
+        .select(
+            "week",
+            "day",
+            F.col("bucket").cast("int").alias("bucket"),
+            F.col("r").cast("int").alias("r"),
+        )
+        .orderBy("week", "day", "bucket")
+    )

@@ -887,3 +887,25 @@ def test_bucket_scoped_repair_plan_shape(catalog_plan):
     assert n_scans == 2, f"orders scanned {n_scans}x in the repair plan"
     assert plan.count("BroadcastHashJoin") >= 2
     assert "LeftSemi" in plan
+
+
+def test_sketch_rollup_single_scan_and_byte_math_stays_jvm(
+    spark, sf_dir, catalog_plan
+):
+    # a23b's restructure claim (round 8): ONE events scan feeds the
+    # register build and both exact-count readouts — the distinct
+    # user-day base is pinned, so the FINAL plan contains NO events
+    # parquet scan at all (every consumer reads the checkpointed base;
+    # the single scan ran when the base materialized). Regressing to a
+    # per-consumer scan silently multiplies the 100 TB fact-scan cost.
+    plan = catalog_plan("a23b_portable_sketch_merge_rollup")
+    assert "events.parquet" not in plan, plan[:400]
+    # m2b sells the JVM path: ascii-sum HOF folds with ZERO shuffles
+    # before the final presentation sort — no hashpartitioning
+    # exchange may appear (rangepartitioning for the ORDER BY is the
+    # one permitted exchange), and nothing may fall into a Python
+    # stage (the Python-stage sweep also enforces this; the explicit
+    # assert makes the single-scan-no-shuffle contract readable here).
+    plan = catalog_plan("m2b_portable_feature_extract")
+    assert "hashpartitioning" not in plan, plan[:400]
+    assert "EvalPython" not in plan and "MapInPandas" not in plan

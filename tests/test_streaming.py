@@ -616,3 +616,37 @@ def test_file_sink_metadata_log_feeds_selective_stream(spark, sf_dir, tmp_path):
     # F.round is half-away — a .xxxx5 tie boundary plus cross-batch
     # accumulation order could flip a 4dp equality (r5 ADVICE).
     assert abs(seen["tv"] - expected["tv_raw"]) < 1e-6
+
+
+def test_streaming_registers_equal_batch_registers(spark, sf_dir):
+    """t13's claim: the register table maintained by the streaming
+    aggregation is IDENTICAL to the batch-built one — same (week, day,
+    bucket) keys, same max ranks — so the a23b rollup can consume
+    stream-maintained state interchangeably with batch-built state."""
+    from pyspark.sql import functions as F
+
+    from mric_bak_etl_spark.operators.aggregates import _hll_max_rank
+    from mric_bak_etl_spark.streaming.windows import (
+        streaming_sketch_registers,
+    )
+    from mric_bak_etl_spark.tables import load_table
+
+    streamed = {
+        (r["week"], r["day"], r["bucket"]): r["r"]
+        for r in streaming_sketch_registers(spark, sf_dir).collect()
+    }
+    e = load_table(spark, sf_dir, "events")
+    batch = _hll_max_rank(
+        e.select(
+            F.date_format(
+                F.date_trunc("week", F.col("ts")), "yyyy-MM-dd"
+            ).alias("week"),
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            F.md5(F.col("user_id").cast("string")).alias("h"),
+        ),
+        ["week", "day"],
+    )
+    batched = {
+        (r["week"], r["day"], r["bucket"]): r["r"] for r in batch.collect()
+    }
+    assert streamed == batched
