@@ -211,18 +211,32 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     silently land in 1970; tests/test_streaming.py pins batch↔stream
     row-for-row equality against exactly that regression.)
     """
+    import os
+
     from mric_bak_etl_spark.session import ensure_runtime_confs
 
     ensure_runtime_confs(spark)
-    # File-source streams need a directory; glob down to the events file.
-    raw = (
-        spark.readStream.schema(
-            "event_id long, ts timestamp_ntz, user_id long, event_type string, "
-            "value double, props string"
-        )
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
+    # Two on-disk layouts exist for the same logical table: the driver's
+    # fixtures store events as a single FLAT FILE beside the other
+    # tables (stream the parent dir, glob down to that one file — the
+    # glob is what keeps the other tables out of the stream), while any
+    # Spark/production writer produces a DIRECTORY of part files
+    # (stream the directory itself — a file-name glob would match
+    # nothing and the stream would silently be EMPTY, found by the t13
+    # 100x probe against a Spark-written synth corpus).
+    schema = (
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string"
     )
+    table_path = os.path.join(sf_dir, "events.parquet")
+    if os.path.isdir(table_path):
+        raw = spark.readStream.schema(schema).parquet(table_path)
+    else:
+        raw = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
     # Watermarks demand TIMESTAMP (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE on
     # NTZ); the session is pinned UTC, so the cast is wall-clock-identical
     # to the batch loader's TIMESTAMP_NTZ.

@@ -650,3 +650,29 @@ def test_streaming_registers_equal_batch_registers(spark, sf_dir):
         (r["week"], r["day"], r["bucket"]): r["r"] for r in batch.collect()
     }
     assert streamed == batched
+
+
+def test_stream_events_reads_directory_layout(spark, sf_dir, tmp_path):
+    """Production parquet tables are DIRECTORIES of part files, not the
+    fixtures' single flat file. stream_events must stream both layouts
+    — with the flat-file glob alone, a directory-layout events table
+    matches nothing and the stream is silently EMPTY (found by the t13
+    100x probe against a Spark-written synth corpus)."""
+    from mric_bak_etl_spark.streaming.windows import stream_events
+    from mric_bak_etl_spark.tables import load_table
+
+    src = load_table(spark, sf_dir, "events")
+    d = str(tmp_path / "dirlayout")
+    src.limit(200).write.parquet(f"{d}/events.parquet")
+
+    out = (
+        stream_events(spark, d)
+        .writeStream.format("memory")
+        .queryName("t_dirlayout")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    out.awaitTermination()
+    n = spark.table("t_dirlayout").count()
+    assert n == 200
