@@ -104,23 +104,42 @@ def decode_media(content: bytes, media_type: str) -> dict:
             compression,
             image_size,
         ) = struct.unpack_from("<IiiHHII", content, 14)
-        if hdr_size != 40 or planes != 1 or compression != 0:
+        if (
+            hdr_size != 40
+            or planes != 1
+            or compression != 0
+            or bpp != 24
+        ):
             raise NotImplementedError(
-                "only uncompressed BITMAPINFOHEADER BMPs are supported "
-                f"(hdr_size={hdr_size}, planes={planes}, "
-                f"compression={compression})"
+                "only uncompressed 24-bit BITMAPINFOHEADER BMPs are "
+                f"supported (hdr_size={hdr_size}, planes={planes}, "
+                f"compression={compression}, bpp={bpp})"
             )
-        if file_size != len(content) or offset + image_size != file_size:
+        # biSizeImage = 0 is spec-legal for BI_RGB (common encoders emit
+        # it): derive the pixel-array size from the 4-byte-padded row
+        # stride. A pixel offset > 54 is also legal (color-profile or
+        # palette blocks between header and pixels) — validate that the
+        # declared geometry accounts for every byte, not that the layout
+        # is exactly the minimal one make_bmp writes.
+        row_stride = (width * 3 + 3) // 4 * 4
+        isize = image_size or row_stride * abs(height)
+        if (
+            isize != row_stride * abs(height)
+            or offset < 54
+            or offset + isize != file_size
+            or file_size != len(content)
+        ):
             raise ValueError(
                 f"corrupt BMP: declared file_size={file_size} "
                 f"offset={offset} image_size={image_size} "
+                f"(geometry expects {row_stride * abs(height)}) "
                 f"actual={len(content)}"
             )
         return {
             "width": width,
             "height": abs(height),  # negative height = top-down rows
             "bpp": bpp,
-            "image_size": image_size,
+            "image_size": isize,
             "file_size": file_size,
         }
     raise NotImplementedError(
@@ -162,13 +181,19 @@ FEATURE_SCHEMA = (
 def _fake_features(payload: bytes) -> list[float]:
     """Deterministic stand-in for a decoded-media embedding: byte-histogram
     moments over _FEATURE_DIM equal slices. Pure bytes math — stable across
-    runs, engines, and partitionings."""
+    runs, engines, and partitionings. RAW doubles by design: quantization
+    happens in m2's Spark projection via F.round (HALF_UP, matching the
+    oracle engines). A Python round() here is banker's rounding on the
+    binary value — e.g. a 128-byte slice summing 12699 has mean exactly
+    0.3890625, which Python rounds to .389062 and SQL to .389063 — which
+    would break the m2 == m2b value anchor on any corpus that hits a tie
+    (the repo-wide F.round convention, r5)."""
     n = max(len(payload), 1)
     step = max(n // _FEATURE_DIM, 1)
     out = []
     for i in range(_FEATURE_DIM):
         chunk = payload[i * step : (i + 1) * step] or b"\x00"
-        out.append(round(sum(chunk) / len(chunk) / 255.0, 6))
+        out.append(sum(chunk) / len(chunk) / 255.0)
     return out
 
 
@@ -180,8 +205,10 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             rows["media_id"].append(mid)
             rows["media_type"].append(mtype)
             rows["n_bytes"].append(len(payload))
+            # Raw double; F.round quantizes in the projection (see
+            # _fake_features on why Python round() must not run here).
             rows["mean_byte"].append(
-                round(sum(payload) / max(len(payload), 1) / 255.0, 6)
+                sum(payload) / max(len(payload), 1) / 255.0
             )
             rows["features"].append(_fake_features(payload))
         yield pd.DataFrame(rows)
@@ -218,10 +245,15 @@ def feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id",
         "media_type",
         "n_bytes",
-        "mean_byte",
-        F.round(F.aggregate("features", F.lit(0.0), lambda a, x: a + x), 6).alias(
-            "feature_sum"
-        ),
+        F.round("mean_byte", 6).alias("mean_byte"),
+        F.round(
+            F.aggregate(
+                F.transform("features", lambda x: F.round(x, 6)),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ),
+            6,
+        ).alias("feature_sum"),
     ).orderBy("media_id")
 
 

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mric_bak_etl_spark.catalog import register
+from mric_bak_etl_spark.operators.aggregates import _HLL_RHO_ORACLE
 from mric_bak_etl_spark.tables import load_table
 
 
@@ -503,7 +504,7 @@ def sink_log_handoff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "t13_streaming_sketch_registers",
-    oracle="""
+    oracle=f"""
     WITH ev AS (
       SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
              strftime(ts, '%Y-%m-%d') AS day,
@@ -516,22 +517,7 @@ def sink_log_handoff(spark: SparkSession, sf_dir: str) -> DataFrame:
              substring(h, 2, 13) AS rest
       FROM ev
     ),
-    rho AS (
-      SELECT week, day, bucket,
-             CASE WHEN length(regexp_extract(rest, '^0*')) = 13 THEN 53
-                  ELSE length(regexp_extract(rest, '^0*')) * 4
-                       + CASE WHEN instr('0123456789abcdef', substring(rest,
-                                length(regexp_extract(rest, '^0*')) + 1, 1))
-                                - 1 >= 8 THEN 0
-                              WHEN instr('0123456789abcdef', substring(rest,
-                                length(regexp_extract(rest, '^0*')) + 1, 1))
-                                - 1 >= 4 THEN 1
-                              WHEN instr('0123456789abcdef', substring(rest,
-                                length(regexp_extract(rest, '^0*')) + 1, 1))
-                                - 1 >= 2 THEN 2
-                              ELSE 3 END + 1 END AS r
-      FROM parts
-    )
+    rho AS (SELECT week, day, bucket, {_HLL_RHO_ORACLE} AS r FROM parts)
     SELECT week, day, CAST(bucket AS INT) AS bucket, CAST(max(r) AS INT) AS r
     FROM rho
     GROUP BY week, day, bucket

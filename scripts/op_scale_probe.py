@@ -49,9 +49,9 @@ def main() -> None:
                     "noop"
                 ).save()
                 walls.append(round(time.time() - t0, 2))
+            warm = min(walls[1:]) if len(walls) > 1 else walls[0]
             print(
-                f"{name} {label}: walls={walls} "
-                f"min_warm={min(walls[1:])}",
+                f"{name} {label}: walls={walls} min_warm={warm}",
                 flush=True,
             )
 

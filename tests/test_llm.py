@@ -125,6 +125,16 @@ def test_media_decode_bmp_real_and_others_stubbed(spark, sf_dir):
     # Truncated/corrupt declared sizes must be rejected, not decoded.
     with pytest.raises(ValueError):
         decode_media(bmp + b"\x00", "image")
+    # biSizeImage = 0 is spec-legal for BI_RGB — must decode, with the
+    # size derived from the padded row stride.
+    zeroed = bmp[:34] + b"\x00\x00\x00\x00" + bmp[38:]
+    assert decode_media(zeroed, "image") == got
+    # Unsupported depth is a missing codec (NotImplementedError), not
+    # corruption: flip bpp to 32 (sizes made consistent are irrelevant —
+    # the depth check fires first).
+    bpp32 = bmp[:28] + b"\x20\x00" + bmp[30:]
+    with pytest.raises(NotImplementedError):
+        decode_media(bpp32, "image")
 
 
 def test_feature_extract_contract(spark, sf_dir):
