@@ -107,7 +107,28 @@ HEADLINE = [
     "s19_replica_checksum_audit",  # two-replica per-bucket count+xor audit
     # round-8 additions
     "a23b_portable_sketch_merge_rollup",  # day→week→total portable HLL register merge
+    "m2b_portable_feature_extract",  # JVM-path featurizer twin (permanent A/B vs m2's pandas path)
+    "m7_bmp_decode",        # real 24-bit BMP header decode via mapInPandas
+    "e15_srm_check",        # chi-square sample-ratio-mismatch gate
 ]
+
+
+# The 23 queries present in every round's headline since r1 — the only
+# spark-wall total comparable across rounds (the set grew r2-r9). The
+# compact line carries its total for BOTH engines so each round's host
+# weather is readable from the driver record alone: the duck wall moves
+# with co-tenant load too (same box), so a per-round ratio INHERITS
+# weather from whichever engine's runs hit the noisy minutes — it is
+# steal-noise-REDUCED (same-session, same-parquet), not invariant.
+COMMON23 = (
+    "a1_pricing_summary", "a4_rollup", "j1_inner_equi", "j2_broadcast_dims",
+    "j6_asof", "w1_ranking", "w3_frames", "o2_topk", "u2b_except_all",
+    "f5_arrays", "h3_shipping_priority", "h5_local_supplier_volume",
+    "h18_large_volume_customer", "sq2_scalar_correlated",
+    "j8_salted_skew_join", "t1_tumbling_window", "l2_minhash_lsh",
+    "l3_cosine_topk", "l4_tokenize_tf", "l17_semdedup", "l18_unigram_lm",
+    "e4_event_transitions", "m2_feature_extract",
+)
 
 
 def materialize(df) -> None:
@@ -236,6 +257,13 @@ def main() -> None:
             "queries": timings,
             "sf": sf,
             "spark_over_duck_heavy": heavy_ratios,
+            "duck_total": round(sum(duck_timings.values()), 3),
+            "duck_common23": round(
+                sum(duck_timings.get(n, 0.0) for n in COMMON23), 3
+            ),
+            "spark_common23": round(
+                sum(timings.get(n, 0.0) for n in COMMON23), 3
+            ),
         },
         separators=(",", ":"),
     )
@@ -247,6 +275,14 @@ def main() -> None:
                 "unit": "sec",
                 "queries": {n: round(t, 2) for n, t in timings.items()},
                 "sf": sf,
+                "spark_over_duck_heavy": heavy_ratios,
+                "duck_total": round(sum(duck_timings.values()), 2),
+                "duck_common23": round(
+                    sum(duck_timings.get(n, 0.0) for n in COMMON23), 2
+                ),
+                "spark_common23": round(
+                    sum(timings.get(n, 0.0) for n in COMMON23), 2
+                ),
             },
             separators=(",", ":"),
         )

@@ -93,70 +93,62 @@ def all_specs() -> dict[str, QuerySpec]:
     return dict(_REGISTRY)
 
 
-# Verification order — round 7 rotation. The driver's correctness run is
-# time-budgeted (~50 entries/round); rounds 1-6 drove 276 distinct
-# queries (267 full value-hash green, 9 rows-only by design, 0 failures
-# ever — CORRECTNESS_r01-r06), leaving exactly 5 catalog entries never
-# sampled: the round-6 session-3 additions that were deliberately parked
-# below the 50-entry budget so the r6 attestation head stayed frozen.
-# Round-8 head (r7 verdict items 1-2): the flagship canary; the 4
-# round-7 rotation-debt queries (green CORRECTNESS_r08 rows close the
-# catalog at 285/285 driver-sampled); the 3 round-8 additions (a23b
-# portable sketch-merge rollup, m2b portable feature-extract twin, m7
-# real-BMP decode); then every query whose code changed this round and
-# therefore needs a post-change driver row — e13 (Bessel guard), a3b
-# (shared-helper refactor), dq11 already in the debt block (8-dof
-# aggregate row), e14 already in the debt block (exact-cast rendering +
-# variance guards), and the band_hashes consumers l2f/l2/l40 (loud
-# width validation) — then the bench HEADLINE set and heavy flagships
-# to re-confirm the queries users actually run. 50 entries exactly
-# fill the driver's 50-query budget. Already-green queries follow in
-# sorted order; the local parity suite (tests/test_oracle_parity.py
-# over all oracle entries, value-matched before every commit) remains
-# the regression guard. A guard test asserts this list stays in sync
-# with the registry.
+# Verification order — round 9 rotation. The driver's correctness run is
+# time-budgeted (~50 entries/round); rounds 1-8 drove 288 distinct
+# queries (279 full value-hash green, 9 rows-only by design, 0 failures
+# ever — CORRECTNESS_r01-r08), leaving exactly 2 never sampled: the
+# round-8 late additions parked below the budget so the r8 attestation
+# head stayed frozen. Round-9 head (r8 verdict task 1): the flagship
+# canary; e15 + t13 first rows (closing the catalog at 290/290
+# driver-sampled); post-change rows for EVERY registered consumer of
+# code changed this round — stream_events gained Hadoop-FS layout
+# detection (ADVICE r8), so all six of its consumers re-enter (t6, t10,
+# t11, t12, t13, AND s16, the transitive consumer the r8 hand-rotation
+# missed), and decode_media gained degenerate-geometry rejection, so m7
+# re-enters. The changed-consumer set is no longer hand-maintained:
+# `python -m mric_bak_etl_spark.introspect` sweeps the registry
+# builders' transitive references against the round-base git diff, and
+# tests/test_plans.py::test_verify_first_queues_every_changed_code_consumer
+# fails if any consumer of changed code is absent from this list (it
+# would have caught the s16 miss). Then the bench HEADLINE set and
+# heavy flagships re-confirm the queries users actually run — 50
+# entries exactly fill the driver's budget. Already-green queries
+# follow in sorted order; the local parity suite
+# (tests/test_oracle_parity.py, value-matched before every commit)
+# remains the regression guard.
 _VERIFY_FIRST: tuple[str, ...] = (
     "a1_pricing_summary",
-    # Round-7 rotation debt — the only never-driver-sampled queries.
-    "dq11_benford_drift",
-    "l40b_portable_incremental_neardup",
-    "e14_cuped_experiment",
-    "l2g_portable_simhash",
-    # Round-8 additions.
-    "a23b_portable_sketch_merge_rollup",
-    "m2b_portable_feature_extract",
+    # Round-8 rotation debt — the only never-driver-sampled queries;
+    # green rows close the catalog at 290/290.
+    "e15_srm_check",
+    "t13_streaming_sketch_registers",
+    # Changed this round (introspect sweep): stream_events consumers +
+    # decode_media consumer.
+    "t6_stateful_custom",
+    "t10_foreach_batch_upsert",
+    "t11_dedup_within_watermark",
+    "t12_sink_log_handoff",
+    "s16_streaming_file_sink",
     "m7_bmp_decode",
-    # Changed this round — post-change driver rows.
-    "e13_experiment_ztest", "a3b_portable_hll", "l2f_portable_minhash",
-    "l2_minhash_lsh", "l40_incremental_banded_neardup",
+    # Round-9 additions — first driver rows (inside the budget, so the
+    # catalog stays fully sampled with zero rotation debt).
+    "t13b_streaming_register_maintenance",
     # Re-confirmations: bench HEADLINE order, then heavy flagships.
     "a4_rollup", "j1_inner_equi", "j2_broadcast_dims", "j6_asof",
     "w1_ranking", "w3_frames", "o2_topk", "u2b_except_all", "f5_arrays",
     "h3_shipping_priority", "h5_local_supplier_volume",
     "h18_large_volume_customer", "sq2_scalar_correlated",
     "j8_salted_skew_join", "t1_tumbling_window",
-    "l3_cosine_topk", "l4_tokenize_tf", "l17_semdedup", "l18_unigram_lm",
-    "e4_event_transitions", "m2_feature_extract", "e6_event_paths",
-    "a18_bitmap_exact_distinct", "j12_interval_overlap_join",
-    "l19_kmeans", "j15_bloom_prejoin", "g4_triangle_count",
-    "l22_slice_divergence", "r21_incremental_agg",
-    "l29_exact_substring_dedup", "e9_sequence_pattern",
-    "l38_incremental_exact_dedup", "w10_distributed_running_total",
-    "g5_user_pagerank", "a26_moment_profile",
-    "s19_replica_checksum_audit", "s20_bucket_scoped_repair",
-    # Round-8 late additions — appended BELOW the 50-entry driver budget
-    # on purpose: positions 1-50 are the catalog-closing attestation
-    # head and must not shift; these entries are round-9 rotation debt,
-    # locally value-verified by tests/test_oracle_parity.py meanwhile.
-    "e15_srm_check",
-    "t13_streaming_sketch_registers",
-    # stream_events gained the directory-layout branch late in round 8
-    # (flat-file fixtures unchanged, but the shared helper's code
-    # changed) — its catalog consumers re-enter for post-change rows.
-    "t6_stateful_custom",
-    "t10_foreach_batch_upsert",
-    "t11_dedup_within_watermark",
-    "t12_sink_log_handoff",
+    "l2_minhash_lsh", "l3_cosine_topk", "l4_tokenize_tf", "l17_semdedup",
+    "l18_unigram_lm", "e4_event_transitions", "m2_feature_extract",
+    "e6_event_paths", "a18_bitmap_exact_distinct",
+    "j12_interval_overlap_join", "l19_kmeans", "j15_bloom_prejoin",
+    "g4_triangle_count", "l22_slice_divergence", "r21_incremental_agg",
+    "g5_user_pagerank", "l29_exact_substring_dedup",
+    "e9_sequence_pattern", "l38_incremental_exact_dedup",
+    "l40_incremental_banded_neardup", "w10_distributed_running_total",
+    "a26_moment_profile", "s19_replica_checksum_audit",
+    "a23b_portable_sketch_merge_rollup", "m2b_portable_feature_extract",
 )
 
 

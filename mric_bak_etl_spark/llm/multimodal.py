@@ -121,6 +121,15 @@ def decode_media(content: bytes, media_type: str) -> dict:
         # palette blocks between header and pixels) — validate that the
         # declared geometry accounts for every byte, not that the layout
         # is exactly the minimal one make_bmp writes.
+        # Degenerate geometry (width <= 0, height == 0) would make
+        # row_stride/image_size 0 and sail through the size cross-checks
+        # below — reject it as corrupt, not "decoded". (Negative height
+        # is spec-legal top-down; negative/zero WIDTH is not.)
+        if width <= 0 or height == 0:
+            raise ValueError(
+                f"corrupt BMP: degenerate geometry width={width} "
+                f"height={height}"
+            )
         row_stride = (width * 3 + 3) // 4 * 4
         isize = image_size or row_stride * abs(height)
         if (

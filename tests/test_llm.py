@@ -135,6 +135,22 @@ def test_media_decode_bmp_real_and_others_stubbed(spark, sf_dir):
     bpp32 = bmp[:28] + b"\x20\x00" + bmp[30:]
     with pytest.raises(NotImplementedError):
         decode_media(bpp32, "image")
+    # Degenerate geometry: width <= 0 or height == 0 makes every size
+    # cross-check vacuously consistent (stride 0, image_size 0) — these
+    # SELF-CONSISTENT 54-byte files must still be rejected as corrupt.
+    import struct
+
+    def _degenerate(width: int, height: int) -> bytes:
+        return (
+            b"BM"
+            + struct.pack("<III", 54, 0, 54)
+            + struct.pack("<IiiHHII", 40, width, height, 1, 24, 0, 0)
+            + struct.pack("<iiII", 0, 0, 0, 0)
+        )
+
+    for w, h in ((0, 3), (-5, 3), (5, 0), (0, 0)):
+        with pytest.raises(ValueError, match="degenerate"):
+            decode_media(_degenerate(w, h), "image")
 
 
 def test_feature_extract_contract(spark, sf_dir):

@@ -701,6 +701,38 @@ def test_verify_first_covers_all_never_verified_queries():
     )
 
 
+def test_verify_first_queues_every_changed_code_consumer():
+    # Round-8 post-mortem (r8 verdict task 2): the shared stream_events
+    # helper changed and the hand-maintained re-confirmation block missed
+    # one of its six registered consumers (s16, a transitive consumer two
+    # modules away). This sweep is the mechanical replacement: diff the
+    # working tree against the driver's round-base commit, walk every
+    # registered builder's transitive global references (function-local
+    # imports included), and demand a _VERIFY_FIRST slot for every query
+    # whose code — builder, helper, or oracle-fragment constant — changed
+    # this round, so the driver collects a post-change row for each.
+    import pytest
+
+    from mric_bak_etl_spark.catalog import _VERIFY_FIRST
+    from mric_bak_etl_spark.introspect import (
+        consumers_of_changed,
+        round_base_commit,
+    )
+
+    if round_base_commit() is None:
+        pytest.skip("no round-base commit (fresh clone without history)")
+    hits = consumers_of_changed()
+    missing = sorted(set(hits) - set(_VERIFY_FIRST))
+    assert not missing, (
+        "queries running changed code this round but not queued for a "
+        "post-change driver row: "
+        + "; ".join(
+            f"{q} (via {', '.join(f'{m}.{n}' for m, n in sorted(hits[q]))})"
+            for q in missing
+        )
+    )
+
+
 def test_time_to_conversion_single_event_pass(spark, sf_dir, catalog_plan):
     # e10: the life-table inputs come from ONE user-grain aggregate that
     # localCheckpoints; the final plan must contain ZERO events scans —

@@ -652,6 +652,94 @@ def test_streaming_registers_equal_batch_registers(spark, sf_dir):
     assert streamed == batched
 
 
+def test_register_maintenance_two_batches_equal_one(spark, sf_dir, tmp_path):
+    """t13b's claim: UPDATE-mode register maintenance through the
+    foreachBatch max-fold sink reaches the SAME persisted register table
+    whether the events arrive as one micro-batch or split across two
+    (max is the merge operator — state is arrival-order-neutral), and a
+    replayed stale batch_id is an idempotent no-op."""
+    import os
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from mric_bak_etl_spark.operators.aggregates import _hll_max_rank
+    from mric_bak_etl_spark.streaming.windows import (
+        make_register_merge_sink,
+    )
+
+    schema = "ts timestamp, user_id long"
+    rows_a = [(datetime(2024, 3, 4, 10, 0, 0), u) for u in range(40)]
+    rows_b = [(datetime(2024, 3, 5, 9, 0, 0), u) for u in range(20, 70)]
+    d = str(tmp_path / "t13b_in")
+    os.makedirs(d)
+    spark.createDataFrame(rows_a, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(d)
+    spark.createDataFrame(rows_b, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(d)
+
+    def project(df):
+        return df.select(
+            F.date_format(
+                F.date_trunc("week", F.col("ts")), "yyyy-MM-dd"
+            ).alias("week"),
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            F.md5(F.col("user_id").cast("string")).alias("h"),
+        )
+
+    base = str(tmp_path / "t13b_tgt")
+    state = {"version": 0}
+    sink = make_register_merge_sink(base, state)
+    q = (
+        _hll_max_rank(
+            project(
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(d)
+            ),
+            ["week", "day"],
+        )
+        .writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "t13b_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert state["version"] == 2  # two files -> two merged micro-batches
+
+    streamed = {
+        (r["week"], r["day"], r["bucket"]): r["r"]
+        for r in spark.read.parquet(
+            os.path.join(base, f"v{state['version']}")
+        ).collect()
+    }
+    one_batch = {
+        (r["week"], r["day"], r["bucket"]): r["r"]
+        for r in _hll_max_rank(
+            project(spark.read.parquet(d)), ["week", "day"]
+        ).collect()
+    }
+    assert streamed == one_batch
+
+    # Replay of an already-merged batch id: idempotent skip.
+    replay = spark.createDataFrame(
+        [("2024-03-04", "2024-03-04", 0, 53)],
+        "week string, day string, bucket int, r int",
+    )
+    sink(replay, 0)
+    assert state["version"] == 2
+    again = {
+        (r["week"], r["day"], r["bucket"]): r["r"]
+        for r in spark.read.parquet(
+            os.path.join(base, f"v{state['version']}")
+        ).collect()
+    }
+    assert again == one_batch
+
+
 def test_stream_events_reads_directory_layout(spark, sf_dir, tmp_path):
     """Production parquet tables are DIRECTORIES of part files, not the
     fixtures' single flat file. stream_events must stream both layouts
