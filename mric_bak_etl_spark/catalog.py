@@ -133,12 +133,13 @@ _VERIFY_FIRST: tuple[str, ...] = (
     # Round-9 additions — first driver rows (inside the budget, so the
     # catalog stays fully sampled with zero rotation debt).
     "t13b_streaming_register_maintenance",
+    "m8_bmp_channel_stats",
     # Re-confirmations: bench HEADLINE order, then heavy flagships.
     "a4_rollup", "j1_inner_equi", "j2_broadcast_dims", "j6_asof",
     "w1_ranking", "w3_frames", "o2_topk", "u2b_except_all", "f5_arrays",
     "h3_shipping_priority", "h5_local_supplier_volume",
     "h18_large_volume_customer", "sq2_scalar_correlated",
-    "j8_salted_skew_join", "t1_tumbling_window",
+    "j8_salted_skew_join",
     "l2_minhash_lsh", "l3_cosine_topk", "l4_tokenize_tf", "l17_semdedup",
     "l18_unigram_lm", "e4_event_transitions", "m2_feature_extract",
     "e6_event_paths", "a18_bitmap_exact_distinct",

@@ -476,6 +476,85 @@ def bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_M8_SCHEMA = (
+    "media_id long, n_pixels long, b_sum long, g_sum long, r_sum long"
+)
+
+
+def _bmp_channel_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    cols = ("media_id", "n_pixels", "b_sum", "g_sum", "r_sum")
+    for pdf in batches:
+        out: dict[str, list] = {k: [] for k in cols}
+        for mid, text in zip(pdf["doc_id"], pdf["text"]):
+            w = int(mid) % 16 + 1
+            h = int(mid) % 8 + 1
+            blob = make_bmp(text.encode(), w, h)
+            decode_media(blob, "image")  # container must validate first
+            stride = (w * 3 + 3) // 4 * 4
+            px = blob[54:]
+            # Strip the 4-byte row padding: stored row j carries source
+            # row j (make_bmp writes source rows in storage order).
+            src = b"".join(
+                px[j * stride : j * stride + w * 3] for j in range(h)
+            )
+            out["media_id"].append(mid)
+            out["n_pixels"].append(w * h)
+            out["b_sum"].append(sum(src[0::3]))
+            out["g_sum"].append(sum(src[1::3]))
+            out["r_sum"].append(sum(src[2::3]))
+        yield pd.DataFrame(out)
+
+
+def _m8_chan_oracle(c: int) -> str:
+    """DuckDB channel-c pixel sum, closed-form from the document text:
+    make_bmp cycles the text bytes into a w*h*3 pixel array, so channel
+    c's bytes sit at source positions c, c+3, ... — recomputed here
+    directly from the text (padding bytes never counted), which is what
+    makes the sum an exact-integer anchor for the DECODED pixel array."""
+    return f"""CAST(CASE WHEN length(text) = 0 THEN 0 ELSE
+           list_sum(list_transform(
+             generate_series({c}, 3 * (doc_id % 16 + 1) * (doc_id % 8 + 1) - 1, 3),
+             i -> ascii(substring(text, (i % length(text)) + 1, 1))))
+           END AS BIGINT)"""
+
+
+@register(
+    "m8_bmp_channel_stats",
+    oracle=f"""
+    SELECT doc_id AS media_id,
+           CAST((doc_id % 16 + 1) * (doc_id % 8 + 1) AS BIGINT) AS n_pixels,
+           {_m8_chan_oracle(0)} AS b_sum,
+           {_m8_chan_oracle(1)} AS g_sum,
+           {_m8_chan_oracle(2)} AS r_sum
+    FROM documents
+    ORDER BY media_id
+    """,
+    doc="M8: decoded PIXEL-ARRAY anchor — m7 verifies the header fields; "
+    "this verifies the payload. Each document becomes a 24-bit BMP "
+    "(m7's geometry), the decoder validates the container, and the "
+    "pixel array is sliced back out — per-row 4-byte padding stripped "
+    "— into exact per-channel (B,G,R) byte sums. The oracle recomputes "
+    "the same sums closed-form from the text (channel c = source "
+    "positions c, c+3, ... of the cycled bytes), so a stride, padding, "
+    "or row-slicing bug in the builder/decoder pair diverges from the "
+    "oracle even when the headers still agree. All-integer output: no "
+    "float rounding anywhere (the grammar-16 tie class can't occur). "
+    "Same 100 TB shape as m2/m7: Arrow-batched mapInPandas after a "
+    "spread() repartition, bytes never leave the executor, "
+    "metadata-sized output.",
+    tags=("llm", "multimodal", "udf"),
+)
+def bmp_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return (
+        spread(d)
+        .mapInPandas(_bmp_channel_batches, schema=_M8_SCHEMA)
+        .orderBy("media_id")
+    )
+
+
 @register(
     "x2_grouped_pandas_agg",
     oracle="""

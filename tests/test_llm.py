@@ -153,6 +153,40 @@ def test_media_decode_bmp_real_and_others_stubbed(spark, sf_dir):
             decode_media(_degenerate(w, h), "image")
 
 
+def test_bmp_channel_sums_match_source_bytes(spark):
+    """m8's planted cases: the per-channel sums recovered from the DECODED
+    pixel array (padding stripped) equal the closed-form sums over the
+    cycled source bytes — including text shorter than the pixel array
+    (cycling), text longer (truncation), empty text (zero pixels), and a
+    width whose row stride carries real padding bytes that must NOT be
+    counted."""
+    import pandas as pd
+
+    from mric_bak_etl_spark.llm.multimodal import _bmp_channel_batches
+
+    # doc_id picks geometry: w = id%16+1, h = id%8+1.
+    cases = [
+        (5, "abc"),          # w=6,h=6: need=108 ≫ 3 chars -> cycles
+        (17, "x" * 500),     # w=2,h=2: need=12 ≪ 500 -> truncates
+        (33, ""),            # w=2,h=2: empty -> zero-filled pixels
+        (0, "hello world"),  # w=1,h=1: stride 4 carries 1 padding byte
+    ]
+    pdf = pd.DataFrame(
+        {"doc_id": [c[0] for c in cases], "text": [c[1] for c in cases]}
+    )
+    out = next(_bmp_channel_batches(iter([pdf])))
+    for mid, text in cases:
+        w, h = mid % 16 + 1, mid % 8 + 1
+        need = 3 * w * h
+        raw = text.encode()
+        src = (raw * (need // max(len(raw), 1) + 1))[:need] if raw else bytes(need)
+        row = out[out["media_id"] == mid].iloc[0]
+        assert row["n_pixels"] == w * h
+        assert (row["b_sum"], row["g_sum"], row["r_sum"]) == (
+            sum(src[0::3]), sum(src[1::3]), sum(src[2::3])
+        ), (mid, text[:10])
+
+
 def test_feature_extract_contract(spark, sf_dir):
     m = media_table(spark, sf_dir)
     assert dict(m.dtypes)["content"] == "binary"

@@ -869,3 +869,81 @@ def test_srm_check_matches_pure_python_chi_square(spark, sf_dir):
         assert r["n_users"] == len(users)
         assert abs(r["chi2"] - chi2) <= 5.1e-7
         assert r["srm_flag"] == (chi2 >= 3.841458820694124)
+
+
+# --- BMP container property (m7's codec core) -------------------------------
+# The fixed m7 fixtures pin one spec-valid layout; this property sweeps the
+# container space the decoder claims to accept — arbitrary pixel sources,
+# widths crossing every 4-byte-padding residue, top-down (negative height)
+# rows, spec-legal biSizeImage=0, and color-profile gaps between header and
+# pixels (offset > 54) — and then asserts every single-field corruption of
+# the same file is rejected LOUDLY (ValueError for lying geometry,
+# NotImplementedError for unsupported depth), never decoded into wrong
+# metadata. Pure Python bytes math: no Spark action per example, so this
+# grammar is budget-free.
+
+BMP_CASES = st.fixed_dictionaries(
+    {
+        "width": st.integers(min_value=1, max_value=41),
+        "height": st.integers(min_value=1, max_value=17),
+        "src": st.binary(min_size=0, max_size=64),
+        "gap": st.integers(min_value=0, max_value=13),
+        "topdown": st.booleans(),
+        "zero_size": st.booleans(),
+    }
+)
+
+
+@settings(max_examples=25, deadline=None)
+@given(case=BMP_CASES)
+def test_bmp_decode_accepts_spec_space_rejects_corruption(case):
+    import struct
+
+    import pytest
+
+    from mric_bak_etl_spark.llm.multimodal import decode_media, make_bmp
+
+    width, height, gap = case["width"], case["height"], case["gap"]
+    stride = (width * 3 + 3) // 4 * 4
+    isize = stride * height
+    bmp = bytearray(make_bmp(case["src"], width, height))
+    if gap:
+        # color-profile/palette block between header and pixel array:
+        # spec-legal as long as offset and file_size account for it.
+        bmp = bytearray(bytes(bmp[:54]) + b"\x7f" * gap + bytes(bmp[54:]))
+        struct.pack_into("<I", bmp, 2, 54 + gap + isize)  # bfSize
+        struct.pack_into("<I", bmp, 10, 54 + gap)  # bfOffBits
+    if case["topdown"]:
+        struct.pack_into("<i", bmp, 22, -height)  # top-down row order
+    if case["zero_size"]:
+        struct.pack_into("<I", bmp, 34, 0)  # biSizeImage=0, legal for BI_RGB
+
+    good = bytes(bmp)
+    assert decode_media(good, "image") == {
+        "width": width,
+        "height": height,
+        "bpp": 24,
+        "image_size": isize,
+        "file_size": 54 + gap + isize,
+    }
+
+    def corrupt(offset: int, fmt: str, value) -> bytes:
+        b = bytearray(good)
+        struct.pack_into(fmt, b, offset, value)
+        return bytes(b)
+
+    mutations = [
+        good[:-1],  # truncated pixel array
+        good + b"\x00",  # trailing junk beyond declared size
+        corrupt(2, "<I", 54 + gap + isize + 1),  # bfSize lies by one
+        corrupt(10, "<I", 53),  # pixel offset inside the headers
+        corrupt(18, "<i", 0),  # degenerate width
+        corrupt(18, "<i", -width),  # negative width
+        corrupt(22, "<i", 0),  # degenerate height
+        corrupt(34, "<I", isize + stride),  # biSizeImage ≠ geometry
+        corrupt(28, "<H", 16),  # unsupported depth → missing codec
+        corrupt(30, "<I", 1),  # RLE compression → missing codec
+    ]
+    for blob in mutations:
+        with pytest.raises((ValueError, NotImplementedError)):
+            decode_media(blob, "image")
