@@ -894,7 +894,7 @@ BMP_CASES = st.fixed_dictionaries(
 )
 
 
-@settings(max_examples=25, deadline=None)
+@settings(max_examples=25, deadline=None, derandomize=True)
 @given(case=BMP_CASES)
 def test_bmp_decode_accepts_spec_space_rejects_corruption(case):
     import struct
