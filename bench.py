@@ -258,9 +258,14 @@ def main() -> None:
             "sf": sf,
             "spark_over_duck_heavy": heavy_ratios,
             "duck_total": round(sum(duck_timings.values()), 3),
+            # duck_common23 is structurally a 21-of-23 sum (l2/m2 carry
+            # no oracle); duck_c23_n makes any FURTHER shortfall — a
+            # transient per-query DuckDB failure silently zero-filled by
+            # .get() — visible instead of skewing the c23 ratio.
             "duck_common23": round(
                 sum(duck_timings.get(n, 0.0) for n in COMMON23), 3
             ),
+            "duck_c23_n": sum(1 for n in COMMON23 if n in duck_timings),
             "spark_common23": round(
                 sum(timings.get(n, 0.0) for n in COMMON23), 3
             ),
@@ -280,6 +285,7 @@ def main() -> None:
                 "duck_common23": round(
                     sum(duck_timings.get(n, 0.0) for n in COMMON23), 2
                 ),
+                "duck_c23_n": sum(1 for n in COMMON23 if n in duck_timings),
                 "spark_common23": round(
                     sum(timings.get(n, 0.0) for n in COMMON23), 2
                 ),

@@ -64,16 +64,27 @@ def round_base_commit() -> str | None:
 
 
 def _top_level_symbols(source: str) -> dict[str, str]:
-    """name -> source segment for every top-level def/class/assignment."""
+    """name -> source segment for every top-level def/class/assignment.
+
+    Decorators are part of the segment: most verification contracts in
+    this repo (oracle SQL, docs) live inside ``@register(...)`` calls,
+    and ``ast.get_source_segment`` on the bare node EXCLUDES the
+    decorator list — an oracle-only edit would otherwise be invisible
+    to the sweep (found by round-9 review, reproduced on t10)."""
     try:
         tree = ast.parse(source)
     except SyntaxError:
         return {}
+    lines = source.splitlines(keepends=True)
     out: dict[str, str] = {}
     for node in tree.body:
         seg = ast.get_source_segment(source, node) or ""
         if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef,
                              ast.ClassDef)):
+            first = min(
+                [node.lineno] + [d.lineno for d in node.decorator_list]
+            )
+            seg = "".join(lines[first - 1 : node.end_lineno])
             out[node.name] = seg
         elif isinstance(node, ast.Assign):
             for tgt in node.targets:
@@ -106,6 +117,11 @@ def changed_symbols(base: str | None = None) -> set[tuple[str, str]]:
         if not rel.endswith(".py"):
             continue
         module = rel[:-3].replace("/", ".")
+        # Symbols defined in a package __init__ carry the PACKAGE as
+        # their __module__ — key them the same way transitive_refs
+        # records them, or the intersection is empty by construction.
+        if module.endswith(".__init__"):
+            module = module[: -len(".__init__")]
         try:
             old_src = subprocess.run(
                 ["git", "show", f"{base}:{rel}"],

@@ -236,13 +236,14 @@ def transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def make_merge_sink(base: str, state: dict[str, int]):
-    """Build the t10 foreachBatch handler: merge each micro-batch's
-    per-user aggregate into the current target version, commit as the
-    next immutable version dir keyed by batch_id (idempotent on replay).
-    Factored out so tests can drive it across multiple batches/restarts.
+def make_versioned_merge_sink(base: str, state: dict[str, int], merge):
+    """The versioned-commit foreachBatch scaffold shared by t10 and t13b:
+    crash-safe version recovery, batch_id-keyed idempotent skip, and the
+    next-immutable-version commit. ``merge(batch_df, cur)`` supplies only
+    the MERGE arithmetic — ``cur`` is the current committed target (None
+    on the first commit) — so the subtle exactly-once invariants live in
+    exactly one place.
     """
-    from pyspark.sql import functions as F
 
     def recover_version() -> int:
         # The version pointer must survive a query RESTART: the
@@ -273,29 +274,44 @@ def make_merge_sink(base: str, state: dict[str, int]):
             state["version"] = recover_version()
         if state["version"] > batch_id:
             return  # replayed batch already merged: idempotent skip
-        sess = batch_df.sparkSession
-        agg = batch_df.groupBy("user_id").agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_events"),
-            F.sum("value").alias("total_value"),
-        )
+        cur = None
         if state["version"] > 0:
-            cur = sess.read.parquet(os.path.join(base, f"v{state['version']}"))
-            merged = (
-                cur.unionByName(agg)
-                .groupBy("user_id")
-                .agg(
-                    F.sum("n_events").cast("bigint").alias("n_events"),
-                    F.sum("total_value").alias("total_value"),
-                )
+            cur = batch_df.sparkSession.read.parquet(
+                os.path.join(base, f"v{state['version']}")
             )
-        else:
-            merged = agg
-        merged.write.mode("overwrite").parquet(
+        merge(batch_df, cur).write.mode("overwrite").parquet(
             os.path.join(base, f"v{batch_id + 1}")
         )
         state["version"] = batch_id + 1
 
     return merge_batch
+
+
+def make_merge_sink(base: str, state: dict[str, int]):
+    """Build the t10 foreachBatch handler: merge each micro-batch's
+    per-user aggregate into the current target version, commit as the
+    next immutable version dir keyed by batch_id (idempotent on replay).
+    Factored out so tests can drive it across multiple batches/restarts.
+    """
+    from pyspark.sql import functions as F
+
+    def merge(batch_df: DataFrame, cur: DataFrame | None) -> DataFrame:
+        agg = batch_df.groupBy("user_id").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        if cur is None:
+            return agg
+        return (
+            cur.unionByName(agg)
+            .groupBy("user_id")
+            .agg(
+                F.sum("n_events").cast("bigint").alias("n_events"),
+                F.sum("total_value").alias("total_value"),
+            )
+        )
+
+    return make_versioned_merge_sink(base, state, merge)
 
 
 @register(

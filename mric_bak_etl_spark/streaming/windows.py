@@ -235,17 +235,24 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # production-writer case above), where os.path.isdir is always False
     # and the flat-file glob branch would silently stream nothing.
     # os.path is only the fallback for JVM-less runtimes (Spark Connect).
+    # Only JVM ABSENCE (Spark Connect exposes no _jvm/_jsc) may fall back
+    # to os.path; a transient FS error (NameNode RPC timeout, credential
+    # hiccup) must PROPAGATE — swallowing it would reclassify a remote
+    # directory layout as flat-file and silently stream zero rows, the
+    # exact failure mode this probe exists to eliminate.
     try:
-        jpath = spark._jvm.org.apache.hadoop.fs.Path(table_path)
-        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        jvm, jsc = spark._jvm, spark._jsc
+    except AttributeError:  # pragma: no cover - Connect/JVM-less runtime
+        jvm = jsc = None
+    if jvm is not None and jsc is not None:
+        jpath = jvm.org.apache.hadoop.fs.Path(table_path)
+        fs = jpath.getFileSystem(jsc.hadoopConfiguration())
         if not fs.exists(jpath):
             raise FileNotFoundError(
                 f"stream_events: no events table at {table_path}"
             )
         is_dir = fs.getFileStatus(jpath).isDirectory()
-    except FileNotFoundError:
-        raise
-    except Exception:  # pragma: no cover - Connect/JVM-less fallback
+    else:  # pragma: no cover - Connect/JVM-less runtime
         is_dir = os.path.isdir(table_path)
     if is_dir:
         raw = spark.readStream.schema(schema).parquet(table_path)
@@ -595,48 +602,23 @@ def streaming_sketch_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def make_register_merge_sink(base: str, state: dict[str, int]):
     """Build the t13b foreachBatch handler: max-fold each micro-batch's
     updated (week, day, bucket, r) register rows into the persisted
-    register table, committing as the next immutable version dir keyed by
-    batch_id (t10's versioned-commit shape — idempotent on replay, and a
-    crash mid-write leaves a dir without _SUCCESS that the replayed batch
-    overwrites). Factored out so tests can drive it across multiple
-    micro-batches and a restart."""
-    import os
+    register table. The crash-recovery / idempotent-replay / versioned-
+    commit scaffold is t10's, shared via make_versioned_merge_sink so
+    the exactly-once invariants live in one place; only the max-fold
+    merge arithmetic is t13b's."""
+    # Local import: stateful imports stream_events from this module at
+    # module level, so the reverse import must stay function-local.
+    from mric_bak_etl_spark.streaming.stateful import (
+        make_versioned_merge_sink,
+    )
 
-    def recover_version() -> int:
-        try:
-            versions = [
-                int(d[1:])
-                for d in os.listdir(base)
-                if d.startswith("v")
-                and d[1:].isdigit()
-                and os.path.exists(os.path.join(base, d, "_SUCCESS"))
-            ]
-            return max(versions, default=0)
-        except OSError:
-            return 0
-
-    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if state["version"] == 0:
-            state["version"] = recover_version()
-        if state["version"] > batch_id:
-            return  # replayed batch already merged: idempotent skip
-        sess = batch_df.sparkSession
-        merged = batch_df
-        if state["version"] > 0:
-            cur = sess.read.parquet(
-                os.path.join(base, f"v{state['version']}")
-            )
-            merged = cur.unionByName(batch_df)
-        merged = (
-            merged.groupBy("week", "day", "bucket")
-            .agg(F.max("r").alias("r"))
+    def merge(batch_df: DataFrame, cur: DataFrame | None) -> DataFrame:
+        merged = batch_df if cur is None else cur.unionByName(batch_df)
+        return merged.groupBy("week", "day", "bucket").agg(
+            F.max("r").alias("r")
         )
-        merged.write.mode("overwrite").parquet(
-            os.path.join(base, f"v{batch_id + 1}")
-        )
-        state["version"] = batch_id + 1
 
-    return merge_batch
+    return make_versioned_merge_sink(base, state, merge)
 
 
 @register(

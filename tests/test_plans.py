@@ -720,6 +720,17 @@ def test_verify_first_queues_every_changed_code_consumer():
         round_base_commit,
     )
 
+    # Decorator-only edits must be visible: most verification contracts
+    # (oracle SQL, docs) live inside @register(...) decorators, which
+    # ast.get_source_segment EXCLUDES from the bare node — an oracle fix
+    # was invisible to the sweep until the segment was widened (round-9
+    # review finding, reproduced on t10).
+    from mric_bak_etl_spark.introspect import _top_level_symbols
+
+    a = "@register('q', oracle='SELECT 1')\ndef f():\n    return 1\n"
+    b = "@register('q', oracle='SELECT 2')\ndef f():\n    return 1\n"
+    assert _top_level_symbols(a)["f"] != _top_level_symbols(b)["f"]
+
     if round_base_commit() is None:
         pytest.skip("no round-base commit (fresh clone without history)")
     hits = consumers_of_changed()
