@@ -110,6 +110,77 @@ def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "l41_duplication_profile",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 7 = 0
+      UNION ALL
+      SELECT doc_id + 3000000, text FROM documents WHERE doc_id % 21 = 0
+    ),
+    clusters AS (
+      SELECT md5(text) AS h, count(*) AS k
+      FROM corpus GROUP BY md5(text)
+    )
+    SELECT CAST(k AS BIGINT)                          AS cluster_size,
+           CAST(count(*) AS BIGINT)                   AS n_clusters,
+           CAST(k * count(*) AS BIGINT)               AS n_docs,
+           CAST(k * (k - 1) // 2 * count(*) AS BIGINT) AS pair_volume
+    FROM clusters
+    GROUP BY k
+    ORDER BY cluster_size
+    """,
+    doc="L41: duplication profile — the measurement run BEFORE choosing a "
+    "dedup form: exact clone-cluster size histogram (clusters of size k, "
+    "docs they hold, and the Θ(k²) pair volume a pair-enumerating dedup "
+    "would emit at each k). SCALE.md's 100×-duplication decade showed a "
+    "13× wall gap between forms on the same corpus (capped probe 33 s vs "
+    "all-pairs 445 s, output-bound); pair_volume is exactly the term "
+    "that predicts it — small tail → l29/l2 pair evidence is cheap; "
+    "heavy tail → cluster representatives (l32/l2e) or the capped "
+    "incremental probe (l40). All-integer output, no float surface. At "
+    "100 TB: one exchange of (md5, 1) pairs — text never shuffles — "
+    "then a histogram-sized exchange on k; output is bounded by the "
+    "distinct cluster sizes, a few dozen rows at any corpus size.",
+    tags=("llm", "dedup", "scale"),
+)
+def duplication_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Planted EXACT copy-sets (the near-dup corpus plants VARIANTS, which
+    # exact hashing rightly keeps apart): every 7th doc gains one clone,
+    # every 21st a second — so the histogram exercises k = 1, 2, 3.
+    base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = base.unionByName(
+        base.filter(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+        )
+    ).unionByName(
+        base.filter(F.col("doc_id") % 21 == 0).select(
+            (F.col("doc_id") + 3000000).alias("doc_id"), "text"
+        )
+    )
+    clusters = corpus.groupBy(F.md5("text").alias("h")).agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    return (
+        clusters.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .select(
+            F.col("k").cast("bigint").alias("cluster_size"),
+            F.col("n_clusters").cast("bigint").alias("n_clusters"),
+            (F.col("k") * F.col("n_clusters")).cast("bigint").alias("n_docs"),
+            # Integer division (DIV) keeps the whole expression in the
+            # exact BIGINT domain — k(k-1) is always even, and a double
+            # roundtrip would lose exactness for extreme k² * n values.
+            F.expr(
+                "CAST(k * (k - 1) DIV 2 * n_clusters AS BIGINT)"
+            ).alias("pair_volume"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
 def shingles(text_col: str = "text", k: int = SHINGLE_K) -> Column:
     """Token k-shingles as an array column (distinct)."""
     toks = tokens(text_col)
