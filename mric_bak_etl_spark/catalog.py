@@ -112,11 +112,12 @@ def all_specs() -> dict[str, QuerySpec]:
 # fails if any consumer of changed code is absent from this list (it
 # would have caught the s16 miss). Then the bench HEADLINE set and
 # heavy flagships re-confirm the queries users actually run — 50
-# entries exactly fill the driver's budget. Three deliberate budget
-# cuts this round (the head cannot hold 12 required slots + all 46
-# HEADLINE entries): t1_tumbling_window (green r1/r3/r8; unchanged),
-# o2_topk (green r3/r8; unchanged) and s20_bucket_scoped_repair (green
-# r8; unchanged) sit out, re-entering in the next rotation. Already-green queries
+# entries exactly fill the driver's budget. Four deliberate budget
+# cuts this round (the head cannot hold 14 required slots + all 46
+# HEADLINE entries): t1_tumbling_window (green r1/r3/r8),
+# o2_topk (green r3/r8), u2b_except_all (green r8) and
+# s20_bucket_scoped_repair (green r8) — all unchanged this round —
+# sit out, re-entering in the next rotation. Already-green queries
 # follow in sorted order; the local parity suite
 # (tests/test_oracle_parity.py, value-matched before every commit)
 # remains the regression guard.
@@ -139,9 +140,10 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "t13b_streaming_register_maintenance",
     "m8_bmp_channel_stats",
     "l41_duplication_profile",
+    "s21_schema_evolution_read",
     # Re-confirmations: bench HEADLINE order, then heavy flagships.
     "a4_rollup", "j1_inner_equi", "j2_broadcast_dims", "j6_asof",
-    "w1_ranking", "w3_frames", "u2b_except_all", "f5_arrays",
+    "w1_ranking", "w3_frames", "f5_arrays",
     "h3_shipping_priority", "h5_local_supplier_volume",
     "h18_large_volume_customer", "sq2_scalar_correlated",
     "j8_salted_skew_join",

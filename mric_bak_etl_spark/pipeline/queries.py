@@ -560,3 +560,63 @@ def selective_file_ingestion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("order_year")
     )
+
+
+@register(
+    "s21_schema_evolution_read",
+    oracle="""
+    SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'UNKNOWN'
+                ELSE o_orderpriority END  AS priority,
+           CAST(count(*) AS BIGINT)       AS n_orders,
+           round(sum(o_totalprice), 4)    AS total_price
+    FROM orders
+    GROUP BY priority
+    ORDER BY priority
+    """,
+    doc="S21: schema-evolution read — a landing zone whose producer ADDED "
+    "a column between snapshot generations: generation 1 files carry "
+    "(o_orderkey, o_totalprice), generation 2 adds o_orderpriority. "
+    "spark.read.option('mergeSchema', 'true') reconciles the parquet "
+    "footers into the union schema, null-filling the missing column in "
+    "old files; the silver normalization coalesces the null era to a "
+    "sentinel and aggregates. The oracle recomputes from the source "
+    "table with the same generation rule, so the driver verifies the "
+    "merged read end-to-end, not just that it parses. At 100 TB: "
+    "mergeSchema is an O(files) footer-reconciliation cost at PLANNING "
+    "time — on large zones, resolve the schema once from the table "
+    "catalog (or newest files) and pass it explicitly; evolution must "
+    "stay additive-nullable (parquet resolves columns BY NAME here, so "
+    "a rename is a drop+add that silently nulls the old era — dq6 is "
+    "the gate that catches it).",
+    tags=("pipeline", "source", "schema"),
+)
+def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    base = tempfile.mkdtemp(prefix="s21_zone_")
+    (
+        o.filter(F.col("o_orderkey") % 2 == 0)
+        .select("o_orderkey", "o_totalprice")
+        .write.mode("overwrite")
+        .parquet(os.path.join(base, "gen=1"))
+    )
+    (
+        o.filter(F.col("o_orderkey") % 2 == 1)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .write.mode("overwrite")
+        .parquet(os.path.join(base, "gen=2"))
+    )
+    merged = (
+        spark.read.option("mergeSchema", "true")
+        .option("recursiveFileLookup", "true")
+        .parquet(base)
+    )
+    return (
+        merged.groupBy(
+            F.coalesce("o_orderpriority", F.lit("UNKNOWN")).alias("priority")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+        )
+        .orderBy("priority")
+    )
