@@ -79,6 +79,12 @@ REPRESENTATIVES = [
     # (no_codegen) and its % 3 CASE must agree under ansi_off.
     "a23b_portable_sketch_merge_rollup",
     "m2b_portable_feature_extract",
+    # round-9: l41's two-level hash histogram is pure exchange shape
+    # (partial counts must agree under every join/codegen posture);
+    # s21's merged read coalesces a null ERA — ansi_off must not flip
+    # its grouping, and no_codegen walks the interpreted coalesce path.
+    "l41_duplication_profile",
+    "s21_schema_evolution_read",
 ]
 
 SCENARIOS = {
@@ -117,6 +123,10 @@ DTYPE_REPRESENTATIVES = [
     "f19_malformed_json",         # NULL-heavy strings
     "w8_interpolation",           # float/NULL interleave
     "e7_interarrival",            # timestamp deltas
+    "m8_bmp_channel_stats",       # mapInPandas output through the
+                                  # row-based collector (the pandas
+                                  # UDF still runs on Arrow internally;
+                                  # what flips is the result path)
 ]
 
 
