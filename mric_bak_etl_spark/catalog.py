@@ -112,12 +112,14 @@ def all_specs() -> dict[str, QuerySpec]:
 # fails if any consumer of changed code is absent from this list (it
 # would have caught the s16 miss). Then the bench HEADLINE set and
 # heavy flagships re-confirm the queries users actually run — 50
-# entries exactly fill the driver's budget. Four deliberate budget
-# cuts this round (the head cannot hold 14 required slots + all 46
-# HEADLINE entries): t1_tumbling_window (green r1/r3/r8),
-# o2_topk (green r3/r8), u2b_except_all (green r8) and
-# s20_bucket_scoped_repair (green r8) — all unchanged this round —
-# sit out, re-entering in the next rotation. Already-green queries
+# entries exactly fill the driver's budget. The reconciliation: 13
+# required slots (canary + e15/t13 first rows + 6 stream_events
+# consumers incl. m7's decode sibling + the 4 round-9 additions) + 37
+# re-confirmations = 50, which means 4 deliberate cuts from the
+# 43-entry HEADLINE ∪ heavy-flagship re-confirm pool:
+# t1_tumbling_window (green r1/r3/r8), o2_topk (green r3/r8),
+# u2b_except_all (green r8) and s20_bucket_scoped_repair (green r8) —
+# all unchanged this round — sit out, re-entering next rotation. Already-green queries
 # follow in sorted order; the local parity suite
 # (tests/test_oracle_parity.py, value-matched before every commit)
 # remains the regression guard.
