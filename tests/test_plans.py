@@ -745,6 +745,23 @@ def test_verify_first_queues_every_changed_code_consumer():
     )
 
 
+def test_duplication_profile_shuffles_hashes_not_text(catalog_plan):
+    # l41's 100 TB claim: text never shuffles — the md5 projection and
+    # map-side partial count happen BEFORE the exchange, so every
+    # Exchange input is (hash, count)-shaped. A regression that let the
+    # raw text column reach an exchange would move corpus bytes across
+    # the cluster for a histogram.
+    plan = catalog_plan("l41_duplication_profile")
+    lines = plan.splitlines()
+    exchanges = 0
+    for i, line in enumerate(lines):
+        if line.strip().endswith("Exchange") and line.strip().startswith("("):
+            exchanges += 1
+            block = "\n".join(lines[i : i + 4])
+            assert "text#" not in block, f"text shuffled:\n{block}"
+    assert exchanges >= 2  # hash-grain + histogram-grain aggregations
+
+
 def test_time_to_conversion_single_event_pass(spark, sf_dir, catalog_plan):
     # e10: the life-table inputs come from ONE user-grain aggregate that
     # localCheckpoints; the final plan must contain ZERO events scans —
