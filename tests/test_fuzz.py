@@ -924,7 +924,7 @@ def render_xstat_sql(case: dict, exact_type: str) -> str:
     return sql
 
 
-@FUZZ_SETTINGS
+@FUZZ_SETTINGS_STABLE  # stable r6-r9; fresh-swept at sf0.01 AND sf0.1 (r9)
 @given(case=XSTAT_CASES)
 def test_random_exact_stat_plans_agree(spark, duck, sf_dir, case):
     from mric_bak_etl_spark.tables import register_views
@@ -1042,7 +1042,7 @@ def render_audit_sql(case: dict, exact_type: str) -> str:
     )
 
 
-@FUZZ_SETTINGS
+@FUZZ_SETTINGS_STABLE  # stable r7-r9; fresh-swept at sf0.01 AND sf0.1 (r9)
 @given(case=AUDIT_CASES)
 def test_random_checksum_audits_agree_and_locate_planted_damage(
     spark, duck, sf_dir, case
