@@ -110,6 +110,11 @@ HEADLINE = [
     "m2b_portable_feature_extract",  # JVM-path featurizer twin (permanent A/B vs m2's pandas path)
     "m7_bmp_decode",        # real 24-bit BMP header decode via mapInPandas
     "e15_srm_check",        # chi-square sample-ratio-mismatch gate
+    # round-9 additions
+    "t13b_streaming_register_maintenance",  # update-mode register sink (versioned merge)
+    "m8_bmp_channel_stats", # decoded pixel-array exact channel sums
+    "l41_duplication_profile",  # clone-cluster histogram (dedup form picker)
+    "s21_schema_evolution_read",  # two-generation mergeSchema landing-zone read
 ]
 
 

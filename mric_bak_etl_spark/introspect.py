@@ -54,7 +54,7 @@ def round_base_commit() -> str | None:
     """The driver's last ``round N: ...`` bookkeeping commit, if any."""
     try:
         out = subprocess.run(
-            ["git", "log", "--grep", "^round [0-9]*:", "-n", "1",
+            ["git", "log", "--grep", "^round [0-9][0-9]*:", "-n", "1",
              "--format=%H"],
             cwd=_REPO, capture_output=True, text=True, check=True,
         ).stdout.strip()
@@ -109,7 +109,7 @@ def changed_symbols(base: str | None = None) -> set[tuple[str, str]]:
         files = subprocess.run(
             ["git", "diff", "--name-only", base, "--", f"{_PKG}/"],
             cwd=_REPO, capture_output=True, text=True, check=True,
-        ).stdout.split()
+        ).stdout.splitlines()
     except (subprocess.CalledProcessError, FileNotFoundError):
         return set()
     changed: set[tuple[str, str]] = set()

@@ -395,7 +395,12 @@ def exact_jaccard(corpus: DataFrame, pairs: DataFrame) -> DataFrame:
     # recall vs exact Jaccard is asserted in tests/test_llm.py
     doc="L2: MinHash+LSH near-dup — shingle → 16 minhashes (one explode, one "
     "agg) → 4 bands → bucket join → exact-Jaccard verify ≥ 0.5. The "
-    "banding join is the 100 TB path: only colliding pairs are scored.",
+    "banding join is the 100 TB path: only colliding pairs are scored. "
+    "Form selection: run l41 first — l2 ENUMERATES pairs, so its output "
+    "is the profile's pair_volume; when pair_volume ≈ n_docs (thin clone "
+    "tail) that's cheap, when pair_volume ≫ n_docs (SCALE.md's k=100 "
+    "decade: 445 s all-pairs vs 33 s capped) switch to cluster "
+    "representatives (l2e/l32) or the capped probe (l40).",
     tags=("llm", "dedup"),
 )
 def minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -872,7 +877,12 @@ def connected_components(edges: DataFrame, max_iterations: int = MAX_LP_ITERATIO
     "cluster = one duplicate group, cluster_id = the keeper (min doc_id). "
     "Convergence via monotone label-sum check; lineage truncated per "
     "round with localCheckpoint. Oracle: DuckDB recursive-CTE transitive "
-    "closure over the same edges.",
+    "closure over the same edges. Form selection: l2e is the form l41's "
+    "profile picks when pair_volume ≫ n_docs — its output is one row per "
+    "CLUSTER (k members collapse to a representative), so a k-clone "
+    "blow-up costs Θ(k) here vs the Θ(k²) a pair-enumerating form "
+    "(l2/l2b/l29) pays; below that threshold the pair forms are cheaper "
+    "because they skip the iterative label propagation.",
     tags=("llm", "dedup", "iterative"),
 )
 def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1248,7 +1258,12 @@ L29_STOP_CAP = 50
     "(localCheckpoint; a persisted table on a cluster) so the "
     "band-filter and both pair-join sides don't re-run the corpus "
     "lineage (the g4 working-set lesson). Output: pair + shared-window "
-    "count, the evidence a span-level trimmer consumes.",
+    "count, the evidence a span-level trimmer consumes. Form selection: "
+    "pair output means l29 inherits l41's pair_volume — profile first; "
+    "a heavy clone tail (pair_volume ≫ n_docs) calls for cluster "
+    "representatives (l2e/l32) or the capped probe (l40) instead, and "
+    "the stop-cap here bounds only per-WINDOW fan-out, not corpus-wide "
+    "clone blow-up.",
     tags=("llm", "dedup"),
 )
 def exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1696,7 +1711,12 @@ _L40_BOILER_TEXT = (
     "zero candidates with it (drop-as-boilerplate, l29_STOP_CAP "
     "semantics). At 100 TB: the index is the persisted artifact, the "
     "per-crawl cost is O(|new| + capped probe) — l38's incremental "
-    "shape applied to the LSH path end-to-end.",
+    "shape applied to the LSH path end-to-end. Form selection: l40 is "
+    "what l41's profile picks at a heavy clone tail — the posting cap "
+    "bounds per-bucket fan-out, so a k-clone cluster costs O(cap), not "
+    "l41's Θ(k²) pair_volume (measured: 33 s vs 445 s on the k=100 "
+    "decade, SCALE.md); on a thin tail the batch pair forms (l2/l29) "
+    "skip the index build and are cheaper.",
     tags=("llm", "dedup"),
 )
 def incremental_banded_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:

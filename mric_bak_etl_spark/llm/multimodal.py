@@ -83,14 +83,18 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def decode_media(content: bytes, media_type: str) -> dict:
-    """Codec hook. REAL for one container: uncompressed 24-bit BMP
-    (BITMAPFILEHEADER + BITMAPINFOHEADER) is parsed here in pure Python —
-    magic, declared sizes, dimensions, planes/compression sanity — and
-    the decoded header fields are returned as a dict. Every other
-    container still raises: audio/video (and non-BMP images) need
-    pillow/torchaudio/pyav, which do not ship in this environment; wire
-    them in here and the m2/m3/m7 plumbing needs no other change.
+    """Codec hook. REAL for two containers: uncompressed 24-bit BMP
+    (BITMAPFILEHEADER + BITMAPINFOHEADER) and 16-bit PCM RIFF/WAVE are
+    parsed here in pure Python — magic, declared sizes, geometry,
+    format/compression sanity — and the decoded header fields are
+    returned as a dict (including the payload offset/stride layout, so
+    consumers slice where the DECODER says the samples are). Every other
+    container still raises: video (and non-BMP images, non-PCM audio)
+    need pillow/torchaudio/pyav, which do not ship in this environment;
+    wire them in here and the m2/m3/m7/m9 plumbing needs no other change.
     """
+    if media_type == "audio" and content[:4] == b"RIFF":
+        return _decode_wav(content)
     if media_type == "image" and content[:2] == b"BM" and len(content) >= 54:
         import struct
 
@@ -150,6 +154,13 @@ def decode_media(content: bytes, media_type: str) -> dict:
             "bpp": bpp,
             "image_size": isize,
             "file_size": file_size,
+            # Pixel-array layout, so consumers slice where the DECODER
+            # says the pixels are (offset > 54 is spec-legal: color
+            # profiles / palette gaps) instead of re-deriving make_bmp's
+            # minimal layout — m8 consumes these (round-9 verdict).
+            "offset": offset,
+            "row_stride": row_stride,
+            "top_down": height < 0,
         }
     raise NotImplementedError(
         f"no codec available for media_type={media_type!r}; "
@@ -178,6 +189,129 @@ def make_bmp(pixel_source: bytes, width: int, height: int) -> bytes:
         "<IiiHHIIiiII", 40, width, height, 1, 24, 0, image_size, 2835, 2835, 0, 0
     )
     return header + b"".join(rows)
+
+
+def _decode_wav(content: bytes) -> dict:
+    """RIFF/WAVE parser for 16-bit integer PCM (the m9 codec).
+
+    Spec space accepted: any chunk order / unknown chunks (skipped with
+    the RIFF odd-size pad byte), fmt extension bytes (cbSize tail), zero
+    sample frames. Lying sizes and inconsistent fmt geometry raise
+    ValueError (corrupt); non-PCM codecs (IEEE float, ADPCM, mp3) and
+    non-16-bit widths raise NotImplementedError (missing codec, not
+    corruption) — the same split the BMP branch draws."""
+    import struct
+
+    if len(content) < 12 or content[8:12] != b"WAVE":
+        raise ValueError("corrupt WAV: not a RIFF/WAVE container")
+    (riff_size,) = struct.unpack_from("<I", content, 4)
+    if riff_size != len(content) - 8:
+        raise ValueError(
+            f"corrupt WAV: declared RIFF size {riff_size} != "
+            f"actual {len(content) - 8}"
+        )
+    fmt = None
+    data_offset = data_size = None
+    pos = 12
+    while pos < len(content):
+        if pos + 8 > len(content):
+            raise ValueError("corrupt WAV: truncated chunk header")
+        cid, csize = struct.unpack_from("<4sI", content, pos)
+        body = pos + 8
+        if body + csize > len(content):
+            raise ValueError(
+                f"corrupt WAV: chunk {cid!r} declares {csize} bytes "
+                "beyond end of file"
+            )
+        if cid == b"fmt ":
+            if csize < 16:
+                raise ValueError(f"corrupt WAV: fmt chunk too short ({csize})")
+            fmt = struct.unpack_from("<HHIIHH", content, body)
+        elif cid == b"data":
+            data_offset, data_size = body, csize
+        # unknown chunks (LIST, JUNK, fact, ...) are spec-legal: skip,
+        # honoring the RIFF word-alignment pad byte after odd sizes.
+        pos = body + csize + (csize & 1)
+    if fmt is None or data_offset is None:
+        raise ValueError("corrupt WAV: missing fmt or data chunk")
+    audio_format, n_channels, sample_rate, byte_rate, block_align, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise NotImplementedError(
+            "only 16-bit integer PCM WAV is supported "
+            f"(audio_format={audio_format}, bits={bits})"
+        )
+    if n_channels < 1 or sample_rate < 1:
+        raise ValueError(
+            f"corrupt WAV: degenerate geometry n_channels={n_channels} "
+            f"sample_rate={sample_rate}"
+        )
+    if block_align != n_channels * 2 or byte_rate != sample_rate * block_align:
+        raise ValueError(
+            f"corrupt WAV: inconsistent fmt geometry block_align="
+            f"{block_align} byte_rate={byte_rate} for n_channels="
+            f"{n_channels} rate={sample_rate}"
+        )
+    if data_size % block_align != 0:
+        raise ValueError(
+            f"corrupt WAV: data size {data_size} is not a whole number "
+            f"of {block_align}-byte frames"
+        )
+    return {
+        "n_channels": n_channels,
+        "sample_rate": sample_rate,
+        "bits_per_sample": bits,
+        "n_frames": data_size // block_align,
+        "block_align": block_align,
+        "byte_rate": byte_rate,
+        "data_offset": data_offset,
+        "data_size": data_size,
+    }
+
+
+def make_wav(
+    pcm_source: bytes, n_channels: int, n_frames: int, sample_rate: int
+) -> bytes:
+    """A real, spec-valid 16-bit PCM RIFF/WAVE file: canonical 44-byte
+    layout (RIFF header, 16-byte fmt chunk, data chunk), interleaved
+    little-endian frames whose bytes are drawn from ``pcm_source``
+    (cycled/zero-padded) — the make_bmp discipline for audio: pure
+    Python bytes math, deterministic across runs, engines, partitions."""
+    import struct
+
+    need = n_frames * n_channels * 2
+    data = (
+        (pcm_source * (need // max(len(pcm_source), 1) + 1))[:need]
+        if pcm_source
+        else bytes(need)
+    )
+    block = n_channels * 2
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVEfmt "
+        + struct.pack(
+            "<IHHIIHH", 16, 1, n_channels, sample_rate,
+            sample_rate * block, block, 16,
+        )
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def wav_channel_sums(blob: bytes) -> list[int]:
+    """Exact per-channel sums of the decoded signed 16-bit samples.
+
+    Slices the sample data where the DECODER says it is (data_offset /
+    block_align from the validated header — the m8 coupling lesson), so
+    extra RIFF chunks before `data` never misalign the sums."""
+    import struct
+
+    dec = decode_media(blob, "audio")
+    nch, nfr = dec["n_channels"], dec["n_frames"]
+    data = blob[dec["data_offset"] : dec["data_offset"] + dec["data_size"]]
+    vals = struct.unpack_from(f"<{nfr * nch}h", data)
+    return [sum(vals[c::nch]) for c in range(nch)]
 
 
 _FEATURE_DIM = 8
@@ -481,6 +615,31 @@ _M8_SCHEMA = (
 )
 
 
+def bmp_channel_sums(blob: bytes) -> tuple[int, int, int, int]:
+    """(n_pixels, b_sum, g_sum, r_sum) of a decoded BMP's pixel array.
+
+    Slices the pixel bytes where the DECODER says they are — offset and
+    row stride come from the validated header, so a spec-legal
+    offset > 54 blob (color-profile gap between header and pixels) stays
+    aligned, and m8 anchors decode_media's own layout math instead of
+    re-deriving make_bmp's minimal 54-byte layout (round-9 verdict)."""
+    dec = decode_media(blob, "image")
+    stride, off = dec["row_stride"], dec["offset"]
+    px = blob[off : off + dec["image_size"]]
+    # Strip the 4-byte row padding (channel sums are row-order-invariant,
+    # so bottom-up vs top-down storage needs no special-casing).
+    src = b"".join(
+        px[j * stride : j * stride + dec["width"] * 3]
+        for j in range(dec["height"])
+    )
+    return (
+        dec["width"] * dec["height"],
+        sum(src[0::3]),
+        sum(src[1::3]),
+        sum(src[2::3]),
+    )
+
+
 def _bmp_channel_batches(
     batches: Iterator[pd.DataFrame],
 ) -> Iterator[pd.DataFrame]:
@@ -488,22 +647,21 @@ def _bmp_channel_batches(
     for pdf in batches:
         out: dict[str, list] = {k: [] for k in cols}
         for mid, text in zip(pdf["doc_id"], pdf["text"]):
+            # The oracle counts code points (ascii/substring); the builder
+            # cycles encode() BYTES. They agree only on ASCII corpora —
+            # assert it so a future non-ASCII corpus fails loudly here,
+            # not as a confusing driver value-hash divergence (ADVICE r9).
+            assert text.isascii(), (
+                f"m8 oracle assumes ASCII text; doc {mid} is not"
+            )
             w = int(mid) % 16 + 1
             h = int(mid) % 8 + 1
-            blob = make_bmp(text.encode(), w, h)
-            decode_media(blob, "image")  # container must validate first
-            stride = (w * 3 + 3) // 4 * 4
-            px = blob[54:]
-            # Strip the 4-byte row padding: stored row j carries source
-            # row j (make_bmp writes source rows in storage order).
-            src = b"".join(
-                px[j * stride : j * stride + w * 3] for j in range(h)
-            )
+            n_px, b, g, r = bmp_channel_sums(make_bmp(text.encode(), w, h))
             out["media_id"].append(mid)
-            out["n_pixels"].append(w * h)
-            out["b_sum"].append(sum(src[0::3]))
-            out["g_sum"].append(sum(src[1::3]))
-            out["r_sum"].append(sum(src[2::3]))
+            out["n_pixels"].append(n_px)
+            out["b_sum"].append(b)
+            out["g_sum"].append(g)
+            out["r_sum"].append(r)
         yield pd.DataFrame(out)
 
 
@@ -541,6 +699,10 @@ def _m8_chan_oracle(c: int) -> str:
     "or row-slicing bug in the builder/decoder pair diverges from the "
     "oracle even when the headers still agree. All-integer output: no "
     "float rounding anywhere (the grammar-16 tie class can't occur). "
+    "Corpus contract: the oracle counts CODE POINTS (ascii/substring) "
+    "while the builder cycles encode() bytes — identical only on ASCII "
+    "text, which the builder asserts per document (fails loudly if a "
+    "future corpus goes multi-byte). "
     "Same 100 TB shape as m2/m7: Arrow-batched mapInPandas after a "
     "spread() repartition, bytes never leave the executor, "
     "metadata-sized output.",
@@ -552,6 +714,97 @@ def bmp_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         spread(d)
         .mapInPandas(_bmp_channel_batches, schema=_M8_SCHEMA)
         .orderBy("media_id")
+    )
+
+
+_M9_SCHEMA = (
+    "media_id long, channel long, sample_rate long, n_frames long, "
+    "sample_sum long"
+)
+
+
+def _wav_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    cols = ("media_id", "channel", "sample_rate", "n_frames", "sample_sum")
+    for pdf in batches:
+        out: dict[str, list] = {k: [] for k in cols}
+        for mid, text in zip(pdf["doc_id"], pdf["text"]):
+            # Same corpus contract as m8: the oracle counts code points,
+            # the builder cycles encode() bytes — ASCII-only, asserted.
+            assert text.isascii(), (
+                f"m9 oracle assumes ASCII text; doc {mid} is not"
+            )
+            nch = int(mid) % 2 + 1
+            nfr = int(mid) % 12 + 1
+            rate = 8000 + int(mid) % 3 * 4000
+            blob = make_wav(text.encode(), nch, nfr, rate)
+            dec = decode_media(blob, "audio")
+            for ch, s in enumerate(wav_channel_sums(blob)):
+                out["media_id"].append(mid)
+                out["channel"].append(ch)
+                out["sample_rate"].append(dec["sample_rate"])
+                out["n_frames"].append(dec["n_frames"])
+                out["sample_sum"].append(s)
+        yield pd.DataFrame(out)
+
+
+def _m9_byte_oracle(p: str) -> str:
+    """DuckDB byte at cycled position ``p`` of the document text (the m8
+    cycling idiom: make_wav draws data bytes from text.encode() cycled,
+    and on the asserted-ASCII corpus ascii(char) == byte)."""
+    return f"ascii(substring(text, (({p}) % length(text)) + 1, 1))"
+
+
+@register(
+    "m9_wav_decode",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id, text,
+             doc_id % 2 + 1            AS nch,
+             doc_id % 12 + 1           AS nfr,
+             8000 + doc_id % 3 * 4000  AS rate
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, text, nch, nfr, rate, unnest(range(0, nch)) AS ch
+      FROM g
+    )
+    SELECT doc_id              AS media_id,
+           CAST(ch AS BIGINT)  AS channel,
+           CAST(rate AS BIGINT) AS sample_rate,
+           CAST(nfr AS BIGINT) AS n_frames,
+           CAST(CASE WHEN length(text) = 0 THEN 0 ELSE
+             list_sum(list_transform(generate_series(0, nfr - 1), f ->
+               ({_m9_byte_oracle("2 * (f * nch + ch)")}
+                + 256 * {_m9_byte_oracle("2 * (f * nch + ch) + 1")}
+                + 32768) % 65536 - 32768))
+           END AS BIGINT)      AS sample_sum
+    FROM c
+    ORDER BY media_id, channel
+    """,
+    doc="M9: second REAL container — 16-bit PCM RIFF/WAVE (the audio "
+    "face of the m7/m8 discipline). Each document's bytes become a "
+    "spec-valid canonical WAV (RIFF + fmt + data, mono or stereo, "
+    "varied sample rates); decode_media walks the chunk list — "
+    "skipping spec-legal unknown chunks with the RIFF pad byte, "
+    "cross-checking every declared size, splitting corrupt (ValueError) "
+    "from missing-codec (NotImplementedError) — and the samples are "
+    "sliced at the DECODER's data_offset/block_align into exact "
+    "per-channel signed-16-bit sums. The oracle recomputes the sums "
+    "closed-form from the text (channel ch of frame f = bytes "
+    "2(f·nch+ch), +1 of the cycled bytes; sign via the branchless "
+    "(b0+256·b1+32768) % 65536 − 32768, exact in BIGINT — no float "
+    "surface, the grammar-16 tie class can't occur). Corpus contract: "
+    "ASCII-only, asserted in the builder (the m8 lesson). Same 100 TB "
+    "shape as m7/m8: Arrow-batched mapInPandas after spread(), bytes "
+    "never leave the executor, metadata-sized output (≤2 rows/doc).",
+    tags=("llm", "multimodal", "udf"),
+)
+def wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return (
+        spread(d)
+        .mapInPandas(_wav_batches, schema=_M9_SCHEMA)
+        .orderBy("media_id", "channel")
     )
 
 

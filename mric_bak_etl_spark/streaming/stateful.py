@@ -359,6 +359,14 @@ def foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    if state["version"] == 0:
+        # No micro-batch ever fired: v0 was never written — fail with a
+        # clear message, not a path-not-found AnalysisException (ADVICE
+        # r9; same guard as t13b's in streaming/windows.py).
+        raise RuntimeError(
+            "t10: stream produced no micro-batches; no target version "
+            "was committed"
+        )
     final = spark.read.parquet(os.path.join(base, f"v{state['version']}"))
     return final.select(
         "user_id", "n_events", F.round("total_value", 4).alias("total_value")

@@ -109,7 +109,12 @@ def test_media_decode_bmp_real_and_others_stubbed(spark, sf_dir):
 
     with pytest.raises(NotImplementedError):
         decode_media(b"bytes", "image")
+    # audio: non-RIFF payloads are a missing codec (mp3 etc.); a RIFF
+    # blob that fails validation is corruption, not a missing codec
+    # (the WAV branch is real since m9 — see test_wav_decode_* below).
     with pytest.raises(NotImplementedError):
+        decode_media(b"ID3\x03mp3 frames...", "audio")
+    with pytest.raises(ValueError):
         decode_media(b"RIFF....WAVE", "audio")
     bmp = make_bmp(b"pixel data source", width=5, height=3)
     got = decode_media(bmp, "image")
@@ -120,6 +125,9 @@ def test_media_decode_bmp_real_and_others_stubbed(spark, sf_dir):
         "bpp": 24,
         "image_size": stride * 3,
         "file_size": 54 + stride * 3,
+        "offset": 54,
+        "row_stride": stride,
+        "top_down": False,
     }
     assert len(bmp) == got["file_size"]
     # Truncated/corrupt declared sizes must be rejected, not decoded.
@@ -185,6 +193,102 @@ def test_bmp_channel_sums_match_source_bytes(spark):
         assert (row["b_sum"], row["g_sum"], row["r_sum"]) == (
             sum(src[0::3]), sum(src[1::3]), sum(src[2::3])
         ), (mid, text[:10])
+
+
+def test_wav_decode_roundtrip_and_rejections():
+    """m9's codec core: build → parse → fields match the spec geometry;
+    corrupt containers are rejected loudly; non-PCM/non-16-bit are a
+    missing codec. Pure Python — no Spark action."""
+    import struct
+
+    from mric_bak_etl_spark.llm.multimodal import (
+        decode_media,
+        make_wav,
+        wav_channel_sums,
+    )
+
+    wav = make_wav(b"pcm source bytes!", n_channels=2, n_frames=5,
+                   sample_rate=8000)
+    got = decode_media(wav, "audio")
+    assert got == {
+        "n_channels": 2,
+        "sample_rate": 8000,
+        "bits_per_sample": 16,
+        "n_frames": 5,
+        "block_align": 4,
+        "byte_rate": 32000,
+        "data_offset": 44,
+        "data_size": 20,
+    }
+    assert len(wav) == 44 + 20
+
+    # Channel sums: signed LE int16, interleaved — recompute by hand.
+    need = 5 * 2 * 2
+    src = (b"pcm source bytes!" * 3)[:need]
+    vals = struct.unpack(f"<{10}h", src)
+    assert wav_channel_sums(wav) == [sum(vals[0::2]), sum(vals[1::2])]
+
+    # Negative samples: high byte >= 0x80.
+    neg = make_wav(b"\x00\xff\x00\x80", 1, 2, 8000)
+    assert wav_channel_sums(neg) == [-256 + -32768]
+
+    # Zero frames: spec-legal, zero sums.
+    empty = make_wav(b"", 2, 0, 8000)
+    assert decode_media(empty, "audio")["n_frames"] == 0
+    assert wav_channel_sums(empty) == [0, 0]
+
+    def corrupt(offset: int, fmt: str, value) -> bytes:
+        b = bytearray(wav)
+        struct.pack_into(fmt, b, offset, value)
+        return bytes(b)
+
+    with pytest.raises(ValueError):  # truncated data
+        decode_media(wav[:-1], "audio")
+    with pytest.raises(ValueError):  # trailing junk beyond RIFF size
+        decode_media(wav + b"\x00", "audio")
+    with pytest.raises(ValueError):  # RIFF size lies by one
+        decode_media(corrupt(4, "<I", len(wav) - 7), "audio")
+    with pytest.raises(ValueError):  # block_align inconsistent with nch
+        decode_media(corrupt(32, "<H", 2), "audio")
+    with pytest.raises(ValueError):  # byte_rate inconsistent with rate
+        decode_media(corrupt(28, "<I", 8000), "audio")
+    with pytest.raises(ValueError):  # data not a whole number of frames
+        # mono 16-bit (block=2) with a 7-byte data chunk, every declared
+        # size consistent (odd chunk gets its RIFF pad byte).
+        odd = (
+            b"RIFF" + struct.pack("<I", 36 + 8) + b"WAVEfmt "
+            + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+            + b"data" + struct.pack("<I", 7) + b"\x01" * 7 + b"\x00"
+        )
+        decode_media(odd, "audio")
+    with pytest.raises(ValueError):  # degenerate channels
+        decode_media(corrupt(22, "<H", 0), "audio")
+    with pytest.raises(NotImplementedError):  # IEEE float = missing codec
+        decode_media(corrupt(20, "<H", 3), "audio")
+    with pytest.raises(NotImplementedError):  # 8-bit = missing codec
+        decode_media(corrupt(34, "<H", 8), "audio")
+
+
+def test_wav_channel_sums_survive_extra_chunks():
+    """The m8 coupling lesson applied to m9 from day one: a spec-legal
+    JUNK chunk (odd size + RIFF pad byte) before `data` moves the data
+    offset; sums must come from the DECODER's offset, unchanged."""
+    import struct
+
+    from mric_bak_etl_spark.llm.multimodal import (
+        decode_media,
+        make_wav,
+        wav_channel_sums,
+    )
+
+    wav = make_wav(b"some pcm payload", 2, 6, 12000)
+    base_sums = wav_channel_sums(wav)
+    junk = b"JUNK" + struct.pack("<I", 5) + b"\x7f" * 5 + b"\x00"  # pad
+    moved = bytearray(wav[:12] + junk + wav[12:])
+    struct.pack_into("<I", moved, 4, len(moved) - 8)
+    dec = decode_media(bytes(moved), "audio")
+    assert dec["data_offset"] == 44 + len(junk)
+    assert wav_channel_sums(bytes(moved)) == base_sums
 
 
 def test_feature_extract_contract(spark, sf_dir):

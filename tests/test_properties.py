@@ -901,7 +901,11 @@ def test_bmp_decode_accepts_spec_space_rejects_corruption(case):
 
     import pytest
 
-    from mric_bak_etl_spark.llm.multimodal import decode_media, make_bmp
+    from mric_bak_etl_spark.llm.multimodal import (
+        bmp_channel_sums,
+        decode_media,
+        make_bmp,
+    )
 
     width, height, gap = case["width"], case["height"], case["gap"]
     stride = (width * 3 + 3) // 4 * 4
@@ -925,7 +929,23 @@ def test_bmp_decode_accepts_spec_space_rejects_corruption(case):
         "bpp": 24,
         "image_size": isize,
         "file_size": 54 + gap + isize,
+        "offset": 54 + gap,
+        "row_stride": stride,
+        "top_down": case["topdown"],
     }
+    # The m8 channel-sum consumer slices at the DECODER's offset/stride,
+    # so a color-profile gap or top-down row order must not move the
+    # sums: they always equal the closed-form sums over the source bytes
+    # cycled into the w*h*3 pixel array (round-9 verdict coupling fix).
+    need = width * height * 3
+    src = case["src"]
+    flat = (src * (need // max(len(src), 1) + 1))[:need] if src else bytes(need)
+    assert bmp_channel_sums(good) == (
+        width * height,
+        sum(flat[0::3]),
+        sum(flat[1::3]),
+        sum(flat[2::3]),
+    )
 
     def corrupt(offset: int, fmt: str, value) -> bytes:
         b = bytearray(good)
@@ -947,3 +967,102 @@ def test_bmp_decode_accepts_spec_space_rejects_corruption(case):
     for blob in mutations:
         with pytest.raises((ValueError, NotImplementedError)):
             decode_media(blob, "image")
+
+
+# --- WAV container property (m9's codec core) -------------------------------
+# The BMP grammar's discipline for the audio codec: sweep the container
+# space the decoder claims to accept — mono/stereo/3-channel, zero-frame
+# data, fmt-extension tails (cbSize), JUNK chunks between fmt and data
+# (odd sizes exercising the RIFF pad byte) — assert the decoded layout AND
+# that the channel sums always equal the closed-form sums over the cycled
+# source bytes (the decoder-owned offset/stride contract), then assert
+# every single-field corruption is rejected LOUDLY (ValueError for lying
+# sizes/geometry, NotImplementedError for non-PCM/non-16-bit). Pure Python
+# bytes math: budget-free.
+
+WAV_CASES = st.fixed_dictionaries(
+    {
+        "nch": st.integers(min_value=1, max_value=3),
+        "nfr": st.integers(min_value=0, max_value=17),
+        "src": st.binary(min_size=0, max_size=64),
+        "rate": st.sampled_from([8000, 11025, 44100]),
+        "gap": st.integers(min_value=0, max_value=13),
+        "fmt_ext": st.booleans(),
+    }
+)
+
+
+@settings(max_examples=25, deadline=None, derandomize=True)
+@given(case=WAV_CASES)
+def test_wav_decode_accepts_spec_space_rejects_corruption(case):
+    import struct
+
+    import pytest
+
+    from mric_bak_etl_spark.llm.multimodal import (
+        decode_media,
+        make_wav,
+        wav_channel_sums,
+    )
+
+    nch, nfr, rate, gap = case["nch"], case["nfr"], case["rate"], case["gap"]
+    block = nch * 2
+    dsize = nfr * block
+    wav = bytearray(make_wav(case["src"], nch, nfr, rate))
+    data_off = 44
+    if case["fmt_ext"]:
+        # WAVEFORMATEX cbSize=0 tail: fmt chunk of 18 bytes, spec-common.
+        wav = bytearray(bytes(wav[:36]) + b"\x00\x00" + bytes(wav[36:]))
+        struct.pack_into("<I", wav, 16, 18)
+        data_off += 2
+    if gap:
+        # JUNK chunk between fmt and data; odd sizes take a pad byte.
+        pad = gap & 1
+        junk = b"JUNK" + struct.pack("<I", gap) + b"\x7f" * gap + b"\x00" * pad
+        wav = bytearray(
+            bytes(wav[: data_off - 8]) + junk + bytes(wav[data_off - 8 :])
+        )
+        data_off += len(junk)
+    struct.pack_into("<I", wav, 4, len(wav) - 8)  # re-seal RIFF size
+
+    good = bytes(wav)
+    assert decode_media(good, "audio") == {
+        "n_channels": nch,
+        "sample_rate": rate,
+        "bits_per_sample": 16,
+        "n_frames": nfr,
+        "block_align": block,
+        "byte_rate": rate * block,
+        "data_offset": data_off,
+        "data_size": dsize,
+    }
+    # Channel sums from the decoder's layout == closed-form over the
+    # cycled source bytes, chunk gaps and fmt tails notwithstanding.
+    src = case["src"]
+    flat = (
+        (src * (dsize // max(len(src), 1) + 1))[:dsize] if src else bytes(dsize)
+    )
+    vals = struct.unpack(f"<{nfr * nch}h", flat)
+    assert wav_channel_sums(good) == [sum(vals[c::nch]) for c in range(nch)]
+
+    def corrupt(offset: int, fmt: str, value) -> bytes:
+        b = bytearray(good)
+        struct.pack_into(fmt, b, offset, value)
+        return bytes(b)
+
+    fmt_body = 20  # fmt chunk body starts at 20 in every layout above
+    mutations = [
+        good[:-1],  # truncated (RIFF size or a chunk size now lies)
+        good + b"\x00",  # trailing junk beyond RIFF size
+        corrupt(4, "<I", len(good) - 7),  # RIFF size lies by one
+        corrupt(fmt_body + 2, "<H", 0),  # degenerate channel count
+        corrupt(fmt_body + 12, "<H", block + 1),  # block_align lies
+        corrupt(fmt_body + 8, "<I", rate * block + 2),  # byte_rate lies
+        corrupt(16, "<I", 15),  # fmt chunk too short
+        corrupt(fmt_body, "<H", 3),  # IEEE float → missing codec
+        corrupt(fmt_body + 14, "<H", 8),  # 8-bit → missing codec
+        good[:12],  # no chunks at all (missing fmt/data)
+    ]
+    for blob in mutations:
+        with pytest.raises((ValueError, NotImplementedError)):
+            decode_media(blob, "audio")
