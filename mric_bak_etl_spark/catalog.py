@@ -93,72 +93,69 @@ def all_specs() -> dict[str, QuerySpec]:
     return dict(_REGISTRY)
 
 
-# Verification order — round 9 rotation. The driver's correctness run is
-# time-budgeted (~50 entries/round); rounds 1-8 drove 288 distinct
-# queries (279 full value-hash green, 9 rows-only by design, 0 failures
-# ever — CORRECTNESS_r01-r08), leaving exactly 2 never sampled: the
-# round-8 late additions parked below the budget so the r8 attestation
-# head stayed frozen. Round-9 head (r8 verdict task 1): the flagship
-# canary; e15 + t13 first rows (closing the catalog at 290/290
-# driver-sampled); post-change rows for EVERY registered consumer of
-# code changed this round — stream_events gained Hadoop-FS layout
-# detection (ADVICE r8), so all six of its consumers re-enter (t6, t10,
-# t11, t12, t13, AND s16, the transitive consumer the r8 hand-rotation
-# missed), and decode_media gained degenerate-geometry rejection, so m7
-# re-enters. The changed-consumer set is no longer hand-maintained:
-# `python -m mric_bak_etl_spark.introspect` sweeps the registry
-# builders' transitive references against the round-base git diff, and
-# tests/test_plans.py::test_verify_first_queues_every_changed_code_consumer
-# fails if any consumer of changed code is absent from this list (it
-# would have caught the s16 miss). Then the bench HEADLINE set and
-# heavy flagships re-confirm the queries users actually run — 50
-# entries exactly fill the driver's budget. The reconciliation: 13
-# required slots (canary + e15/t13 first rows + 6 stream_events
-# consumers incl. m7's decode sibling + the 4 round-9 additions) + 37
-# re-confirmations = 50, which means 4 deliberate cuts from the
-# 43-entry HEADLINE ∪ heavy-flagship re-confirm pool:
-# t1_tumbling_window (green r1/r3/r8), o2_topk (green r3/r8),
-# u2b_except_all (green r8) and s20_bucket_scoped_repair (green r8) —
-# all unchanged this round — sit out, re-entering next rotation. Already-green queries
-# follow in sorted order; the local parity suite
-# (tests/test_oracle_parity.py, value-matched before every commit)
-# remains the regression guard.
+# Verification order — round 10 rotation. The driver's correctness run
+# is time-budgeted (~50 entries/round); rounds 1-9 drove all 294
+# then-registered queries (285 full value-hash green, 9 rows-only by
+# design, 0 failures ever — CORRECTNESS_r01-r09), closing the catalog
+# fully attested with zero rotation debt. Round-10 head (r9 verdict
+# task 1): the flagship canary; the four documented r9 cuts re-admitted
+# (t1/o2/u2b/s20 — all with prior green rows, unchanged, cut only for
+# budget); the full `python -m mric_bak_etl_spark.introspect` queue for
+# this round's changes — the WAV codec touched decode_media, so every
+# decode consumer re-enters (m7, m8, and new m9's first row), the
+# merge-fold refactor re-enters l26 + new l26b, the l41
+# form-selection doc paragraphs are decorator-level changes to
+# l2/l29/l40/l2e (doc-only, but the sweep is deliberately
+# conservative), and the zero-batch guards re-enter t10/t13b. Then,
+# with no HEADLINE query changed and rotation debt at zero, the entire
+# remaining budget goes OLDEST-GREEN-FIRST (r9 verdict task 1's second
+# half): all 27 queries whose newest green row is still round 1 —
+# pre-ANSI, pre-AQE-posture, pre-Spark-pin vintage — plus the 7 oldest
+# round-2 rows, so after this round no green row predates round 2 and
+# the stalest attestations move to ~r2/r3 vintage for round 11 to
+# finish. 1 + 4 + 11 + 27 + 7 = 50, exactly the driver budget; the
+# local parity suite (tests/test_oracle_parity.py, value-matched
+# before every commit) remains the regression guard for everything
+# sitting out.
 _VERIFY_FIRST: tuple[str, ...] = (
     "a1_pricing_summary",
-    # Round-8 rotation debt — the only never-driver-sampled queries;
-    # green rows close the catalog at 290/290.
-    "e15_srm_check",
-    "t13_streaming_sketch_registers",
-    # Changed this round (introspect sweep): stream_events consumers +
-    # decode_media consumer.
-    "t6_stateful_custom",
-    "t10_foreach_batch_upsert",
-    "t11_dedup_within_watermark",
-    "t12_sink_log_handoff",
-    "s16_streaming_file_sink",
+    # The four documented round-9 budget cuts, re-admitted first.
+    "t1_tumbling_window",
+    "o2_topk",
+    "u2b_except_all",
+    "s20_bucket_scoped_repair",
+    # Round-10 changed-code consumers (introspect queue): the WAV codec
+    # + decoded-layout coupling (m7/m8/m9), the BPE fold refactor
+    # (l26/l26b), the l41 form-selection doc decorators (l2/l29/l40/
+    # l2e), and the zero-batch sink guards (t10/t13b). m9 and l26b are
+    # first driver rows.
+    "m9_wav_decode",
+    "l26b_bpe_encode",
     "m7_bmp_decode",
-    # Round-9 additions — first driver rows (inside the budget, so the
-    # catalog stays fully sampled with zero rotation debt).
-    "t13b_streaming_register_maintenance",
     "m8_bmp_channel_stats",
-    "l41_duplication_profile",
-    "s21_schema_evolution_read",
-    # Re-confirmations: bench HEADLINE order, then heavy flagships.
-    "a4_rollup", "j1_inner_equi", "j2_broadcast_dims", "j6_asof",
-    "w1_ranking", "w3_frames", "f5_arrays",
-    "h3_shipping_priority", "h5_local_supplier_volume",
-    "h18_large_volume_customer", "sq2_scalar_correlated",
-    "j8_salted_skew_join",
-    "l2_minhash_lsh", "l3_cosine_topk", "l4_tokenize_tf", "l17_semdedup",
-    "l18_unigram_lm", "e4_event_transitions", "m2_feature_extract",
-    "e6_event_paths", "a18_bitmap_exact_distinct",
-    "j12_interval_overlap_join", "l19_kmeans", "j15_bloom_prejoin",
-    "g4_triangle_count", "l22_slice_divergence", "r21_incremental_agg",
-    "g5_user_pagerank", "l29_exact_substring_dedup",
-    "e9_sequence_pattern", "l38_incremental_exact_dedup",
-    "l40_incremental_banded_neardup", "w10_distributed_running_total",
-    "a26_moment_profile", "s19_replica_checksum_audit",
-    "a23b_portable_sketch_merge_rollup", "m2b_portable_feature_extract",
+    "l26_bpe_merges",
+    "l2_minhash_lsh",
+    "l29_exact_substring_dedup",
+    "l40_incremental_banded_neardup",
+    "l2e_dup_clusters",
+    "t10_foreach_batch_upsert",
+    "t13b_streaming_register_maintenance",
+    # Oldest-green-first re-confirms: every remaining round-1-vintage
+    # green row (27)...
+    "a15_median_mode", "a17_histogram", "a2_distinct_count_distinct",
+    "a4b_cube", "a4c_pivot", "a4d_grouping_sets", "a5_global_agg_guard",
+    "a6_max_as_latest", "a8_stats_corr_covar", "h10_returned_items",
+    "h14_promo_effect", "h7_nation_volume", "h8_market_share",
+    "j10_broadcast_nested_loop", "j11_bucketed_range_join",
+    "j14_shuffle_hash_join", "j3_left_outer", "j3b_full_outer",
+    "j4_left_semi", "j5_range_theta", "j7_cross",
+    "j9_bucketed_colocated_join", "p3_null_handling",
+    "sq3_not_exists_uncorrelated_scalar", "sq4_in_subquery",
+    "sq6_not_in_null_aware", "sq7_any_all",
+    # ...and the seven oldest round-2 rows.
+    "a10_min_by_max_by", "a12_filtered_aggregates", "a13_unpivot",
+    "a16_decimal_exact", "a7_percentiles", "dq1_quality_gate",
+    "dq5_referential_integrity",
 )
 
 

@@ -1245,7 +1245,26 @@ _MERGE_FOLD_DUCK = (
 )
 
 
-def _bpe_oracle() -> str:
+def _merge_fold_spark(a: str, b: str) -> str:
+    """The same leftmost non-overlapping fold as a Spark expression over
+    a symbol-array column ``s`` — shared by training (l26) and apply
+    (l26b) so both faces execute identical merge semantics. Safe to
+    embed ``a``/``b`` as literals: symbols are [a-z]+ by the vocabulary
+    filter, regex-inert."""
+    ab = a + b
+    return (
+        "aggregate(slice(s, 2, size(s) - 1), s[0], (acc, x) -> "
+        f"CASE WHEN regexp_extract(acc, '([^ ]+)$', 1) = '{a}' AND x = '{b}' "
+        f"THEN regexp_replace(acc, '([^ ]+)$', '{ab}') "
+        "ELSE concat(acc, ' ', x) END)"
+    )
+
+
+def _bpe_train_ctes() -> str:
+    """The shared unrolled training CTE chain (freqs, w0, p/b/w 1..N):
+    b{r} is round r's learned merge pair, w{r} the word table after it.
+    l26's oracle selects the merges; l26b's reuses the same chain and
+    APPLIES them to the full corpus vocabulary."""
     rounds = []
     for r in range(1, BPE_ROUNDS + 1):
         prev = f"w{r - 1}"
@@ -1261,12 +1280,7 @@ def _bpe_oracle() -> str:
     ),
     b{r} AS (SELECT a, b, c FROM p{r} ORDER BY c DESC, a, b LIMIT 1),
     w{r} AS (SELECT word, freq, {fold} AS syms FROM {prev}, b{r})""")
-    finals = " UNION ALL ".join(
-        f"SELECT {r} AS rank, a, b, CAST(c AS BIGINT) AS pair_freq FROM b{r}"
-        for r in range(1, BPE_ROUNDS + 1)
-    )
-    return f"""
-    WITH freqs AS (
+    return f"""freqs AS (
       SELECT term AS word, count(*) AS freq
       FROM (SELECT unnest(string_split_regex(text, '\\s+')) AS term
             FROM documents)
@@ -1278,9 +1292,60 @@ def _bpe_oracle() -> str:
       SELECT word, freq,
              array_to_string(string_split(word, ''), ' ') AS syms
       FROM freqs
-    ),{",".join(rounds)}
+    ),{",".join(rounds)}"""
+
+
+def _bpe_oracle() -> str:
+    finals = " UNION ALL ".join(
+        f"SELECT {r} AS rank, a, b, CAST(c AS BIGINT) AS pair_freq FROM b{r}"
+        for r in range(1, BPE_ROUNDS + 1)
+    )
+    return f"""
+    WITH {_bpe_train_ctes()}
     SELECT CAST(rank AS INT) AS rank, a, b, pair_freq
     FROM ({finals}) ORDER BY rank
+    """
+
+
+def _bpe_apply_oracle() -> str:
+    """l26b: re-learn the merges via the shared training chain, then
+    apply each round's merge — the identical leftmost fold — to the FULL
+    distinct clean-word vocabulary (not just the training top-150), and
+    roll per-word token counts up to document grain."""
+    applies = []
+    for r in range(1, BPE_ROUNDS + 1):
+        fold = _MERGE_FOLD_DUCK.format(
+            A=f"b{r}.a", B=f"b{r}.b", AB=f"b{r}.a || b{r}.b"
+        )
+        applies.append(
+            f"""
+    v{r} AS (SELECT word, {fold} AS syms FROM v{r - 1}, b{r})"""
+        )
+    return f"""
+    WITH {_bpe_train_ctes()},
+    docwords AS (
+      SELECT doc_id, term AS word
+      FROM (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS term
+            FROM documents)
+      WHERE regexp_matches(term, '^[a-z]+$')
+    ),
+    v0 AS (
+      SELECT word, array_to_string(string_split(word, ''), ' ') AS syms
+      FROM (SELECT DISTINCT word FROM docwords)
+    ),{",".join(applies)},
+    enc AS (
+      SELECT word,
+             len(string_split(syms, ' ')) AS n_tokens,
+             replace(syms, ' ', '') = word AS ok
+      FROM v{BPE_ROUNDS}
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT)      AS n_words,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           bool_and(ok)                  AS round_trip
+    FROM docwords JOIN enc USING (word)
+    GROUP BY doc_id
+    ORDER BY doc_id
     """
 
 
@@ -1358,13 +1423,7 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("c").cast("bigint").alias("pair_freq"),
             )
         )
-        a, b, ab = best["a"], best["b"], best["a"] + best["b"]
-        fold = (
-            "aggregate(slice(s, 2, size(s) - 1), s[0], (acc, x) -> "
-            f"CASE WHEN regexp_extract(acc, '([^ ]+)$', 1) = '{a}' AND x = '{b}' "
-            f"THEN regexp_replace(acc, '([^ ]+)$', '{ab}') "
-            "ELSE concat(acc, ' ', x) END)"
-        )
+        fold = _merge_fold_spark(best["a"], best["b"])
         words = materialize(
             words.select(F.split("syms", " ").alias("s"), "word", "freq")
             .select("word", "freq", F.expr(fold).alias("syms"))
@@ -1374,6 +1433,68 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     for b_df in best_rows[1:]:
         out = out.unionByName(b_df)
     return out.orderBy("rank")
+
+
+@register(
+    "l26b_bpe_encode",
+    oracle=_bpe_apply_oracle(),
+    doc="L26b: the APPLY face of the tokenizer — encode the corpus with "
+    "l26's trained merge table and verify the engine-neutral "
+    "invariants: detokenize round-trip identity (concatenating each "
+    "word's merged symbols reproduces the word, bool_and-ed per doc) "
+    "and exact per-document token counts. The merge table is the "
+    "shipped artifact: BPE_ROUNDS rows, collected once and re-applied "
+    "as a chain of pure fold expressions (the IDENTICAL leftmost "
+    "non-overlapping fold training used — shared via "
+    "_merge_fold_spark, so train and apply can't drift). Encoding "
+    "runs over the DISTINCT clean-word vocabulary — the full corpus "
+    "vocabulary, not just the training top words; out-of-vocabulary "
+    "words simply merge less — then broadcast-joins back onto the "
+    "corpus words, so the corpus itself never shuffles for the "
+    "encode; the only exchange is the final doc-grain rollup "
+    "(map-side combinable). Oracle: the shared unrolled training CTE "
+    "re-learns the merges and applies the same fold per round to the "
+    "same vocabulary. At 100 TB: merge tables are KB-sized and "
+    "broadcast; vocabulary encode is |vocab|-sized, corpus cost is "
+    "one tokenize + one broadcast join per crawl.",
+    tags=("llm", "text", "iterative"),
+)
+def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The merge table is the tokenizer artifact — tiny (BPE_ROUNDS rows),
+    # collected in rank order; applying it is driver-side expression
+    # construction, not data movement.
+    merges = [
+        (r["a"], r["b"])
+        for r in bpe_merges(spark, sf_dir).orderBy("rank").collect()
+    ]
+    d = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    words = d.select("doc_id", F.explode(tokens()).alias("word")).filter(
+        F.col("word").rlike("^[a-z]+$")
+    )
+    vocab = (
+        words.select("word")
+        .distinct()
+        .select("word", F.array_join(F.split("word", ""), " ").alias("syms"))
+    )
+    for a, b in merges:
+        vocab = vocab.select(F.split("syms", " ").alias("s"), "word").select(
+            "word", F.expr(_merge_fold_spark(a, b)).alias("syms")
+        )
+    enc = vocab.select(
+        "word",
+        F.size(F.split("syms", " ")).cast("bigint").alias("n_tokens"),
+        (F.translate("syms", " ", "") == F.col("word")).alias("ok"),
+    )
+    return (
+        words.join(F.broadcast(enc), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.bool_and("ok").alias("round_trip"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 @register(

@@ -1310,3 +1310,117 @@ def test_random_byte_moment_plans_agree(spark, duck, sf_dir, case):
         want,
         f"bytemoment[d{case['dim']}|{case['xform']}|dp{case['dp']}]",
     )
+
+
+# --- grammar 17: WAV codec recipe (m9's end-to-end composition) -------------
+# Random geometry recipes through the REAL RIFF/WAVE codec: the builder
+# makes a spec-valid WAV per document (optionally with a JUNK chunk
+# between fmt and data — layout the ORACLE never models, so the sums must
+# be gap-invariant purely via the decoder's own data_offset), decodes it,
+# and emits exact per-channel signed-sample sums; DuckDB recomputes them
+# closed-form from the cycled text bytes. Searches the space m9's fixed
+# fixture pins one point of: channel counts x frame counts (including
+# ZERO-frame files) x byte sources x chunk layouts. All-integer output —
+# no float surface anywhere in the grammar.
+
+WAVSUM_CASES = st.fixed_dictionaries(
+    {
+        "nch_mod": st.sampled_from([1, 2, 3]),
+        "nfr_mod": st.sampled_from([1, 5, 12, 16]),
+        "nfr_off": st.sampled_from([0, 1]),  # 0 admits zero-frame files
+        "xform": st.sampled_from(
+            ["text", "upper(text)", "substring(text, 5, 60)",
+             "substring(text, 2000, 10)"]
+        ),
+        "gap": st.integers(min_value=0, max_value=9),
+    }
+)
+
+
+def build_wavsum_spark(spark, sf_dir: str, case: dict):
+    import struct
+
+    import pandas as pd
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from mric_bak_etl_spark.llm.multimodal import (
+        decode_media,
+        make_wav,
+        wav_channel_sums,
+    )
+    from mric_bak_etl_spark.tables import load_table
+
+    nch_mod, nfr_mod, off, gap = (
+        case["nch_mod"], case["nfr_mod"], case["nfr_off"], case["gap"]
+    )
+
+    def batches(it):
+        for pdf in it:
+            out = {"doc_id": [], "channel": [], "sample_sum": []}
+            for did, t in zip(pdf["doc_id"], pdf["t"]):
+                assert t.isascii()  # the m8/m9 corpus contract
+                nch = int(did) % nch_mod + 1
+                nfr = int(did) % nfr_mod + off
+                wav = make_wav(t.encode(), nch, nfr, 8000)
+                if gap:
+                    junk = (
+                        b"JUNK" + struct.pack("<I", gap)
+                        + b"\x7f" * gap + b"\x00" * (gap & 1)
+                    )
+                    moved = bytearray(wav[:12] + junk + wav[12:])
+                    struct.pack_into("<I", moved, 4, len(moved) - 8)
+                    wav = bytes(moved)
+                for ch, s in enumerate(wav_channel_sums(wav)):
+                    out["doc_id"].append(did)
+                    out["channel"].append(ch)
+                    out["sample_sum"].append(s)
+            yield pd.DataFrame(out)
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(case["xform"]).alias("t")
+    )
+    return d.mapInPandas(
+        batches, schema="doc_id long, channel long, sample_sum long"
+    ).orderBy("doc_id", "channel")
+
+
+def render_wavsum_sql(case: dict) -> str:
+    nch_mod, nfr_mod, off = case["nch_mod"], case["nfr_mod"], case["nfr_off"]
+
+    def byte(p: str) -> str:
+        return f"ascii(substring(t, (({p}) % length(t)) + 1, 1))"
+
+    return f"""
+    WITH g AS (
+      SELECT doc_id, {case["xform"]} AS t,
+             doc_id % {nch_mod} + 1 AS nch,
+             doc_id % {nfr_mod} + {off} AS nfr
+      FROM documents
+    ),
+    c AS (SELECT doc_id, t, nch, nfr, unnest(range(0, nch)) AS ch FROM g)
+    SELECT doc_id,
+           CAST(ch AS BIGINT) AS channel,
+           CAST(CASE WHEN nfr = 0 OR length(t) = 0 THEN 0 ELSE
+             list_sum(list_transform(generate_series(0, nfr - 1), f ->
+               ({byte("2 * (f * nch + ch)")}
+                + 256 * {byte("2 * (f * nch + ch) + 1")}
+                + 32768) % 65536 - 32768))
+           END AS BIGINT) AS sample_sum
+    FROM c
+    ORDER BY doc_id, channel
+    """
+
+
+@FUZZ_SETTINGS
+@given(case=WAVSUM_CASES)
+def test_random_wav_codec_recipes_agree(spark, duck, sf_dir, case):
+    from test_oracle_parity import assert_frames_match
+
+    got = build_wavsum_spark(spark, sf_dir, case).toPandas()
+    want = duck.execute(render_wavsum_sql(case)).df()
+    assert_frames_match(
+        got,
+        want,
+        f"wavsum[c{case['nch_mod']}|f{case['nfr_mod']}+{case['nfr_off']}|"
+        f"{case['xform']}|g{case['gap']}]",
+    )

@@ -754,3 +754,41 @@ def test_band_width_mismatch_fails_loudly(spark, sf_dir):
             fn(sig16.select("doc_id"), n_bands=4)
     # the valid shapes still band: 16/4 (default) and 16/8
     assert band_hashes(sig16, n_bands=8).count() == 3 * 8
+
+
+def test_bpe_apply_fold_and_encode_invariants(spark, sf_dir):
+    """l26b's planted semantics: (a) the shared fold is the LEFTMOST
+    non-overlapping merge — 'a a a a' with merge (a,a) becomes two 'aa'
+    tokens, never three overlapping ones, and 'a a a' becomes ['aa','a'];
+    (b) the full encode round-trips every document and never inflates
+    the token count past the character count."""
+    from pyspark.sql import Row
+
+    from mric_bak_etl_spark.llm.text import _merge_fold_spark, bpe_encode
+
+    folded = (
+        spark.createDataFrame(
+            [Row(syms="a a a a"), Row(syms="a a a"), Row(syms="b a a b")]
+        )
+        .select(F.split("syms", " ").alias("s"))
+        .select(F.expr(_merge_fold_spark("a", "a")).alias("syms"))
+        .collect()
+    )
+    assert [r["syms"] for r in folded] == ["aa aa", "aa a", "b aa b"]
+
+    out = bpe_encode(spark, sf_dir).collect()
+    assert len(out) > 0
+    assert all(r["round_trip"] for r in out)
+    # merges only ever shrink: n_words <= n_tokens <= clean-word chars,
+    # and across the corpus the trained merges actually fire.
+    assert all(r["n_words"] <= r["n_tokens"] for r in out)
+    chars = dict(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", F.explode(F.split("text", r"\s+")).alias("w"))
+        .filter(F.col("w").rlike("^[a-z]+$"))
+        .groupBy("doc_id")
+        .agg(F.sum(F.length("w")).alias("c"))
+        .collect()
+    )
+    assert all(r["n_tokens"] <= chars[r["doc_id"]] for r in out)
+    assert sum(r["n_tokens"] for r in out) < sum(chars.values())

@@ -85,6 +85,14 @@ REPRESENTATIVES = [
     # its grouping, and no_codegen walks the interpreted coalesce path.
     "l41_duplication_profile",
     "s21_schema_evolution_read",
+    # round-10: l26b's vocabulary encode is a broadcast join by design
+    # (no_broadcast/shuffle_hash force it through an exchange) and its
+    # merge folds are regex-heavy HOF aggregates — the interpreted
+    # (no_codegen) path's worst case; m9's WAV chunk walk runs in
+    # Python but its doc-grain fan-out rides the same exchange/collect
+    # postures as m8.
+    "l26b_bpe_encode",
+    "m9_wav_decode",
 ]
 
 SCENARIOS = {
