@@ -168,6 +168,16 @@ def decode_media(content: bytes, media_type: str) -> dict:
     )
 
 
+def _cycle_bytes(source: bytes, need: int) -> bytes:
+    """``need`` bytes drawn from ``source`` cycled (zero-filled when
+    empty) — the shared payload-synthesis idiom of make_bmp/make_wav,
+    and the exact contract the m8/m9 closed-form oracles model with
+    `(p % length(text)) + 1` cycled-position arithmetic."""
+    if not source:
+        return bytes(need)
+    return (source * (need // len(source) + 1))[:need]
+
+
 def make_bmp(pixel_source: bytes, width: int, height: int) -> bytes:
     """A real, spec-valid 24-bit uncompressed BMP: 14-byte file header,
     40-byte BITMAPINFOHEADER, bottom-up rows padded to 4 bytes, pixel
@@ -178,8 +188,7 @@ def make_bmp(pixel_source: bytes, width: int, height: int) -> bytes:
     row_stride = (width * 3 + 3) // 4 * 4
     image_size = row_stride * height
     need = width * height * 3
-    src = (pixel_source * (need // max(len(pixel_source), 1) + 1))[:need] \
-        if pixel_source else bytes(need)
+    src = _cycle_bytes(pixel_source, need)
     rows = []
     for y in range(height):
         row = src[y * width * 3 : (y + 1) * width * 3]
@@ -279,11 +288,7 @@ def make_wav(
     import struct
 
     need = n_frames * n_channels * 2
-    data = (
-        (pcm_source * (need // max(len(pcm_source), 1) + 1))[:need]
-        if pcm_source
-        else bytes(need)
-    )
+    data = _cycle_bytes(pcm_source, need)
     block = n_channels * 2
     return (
         b"RIFF"
@@ -299,15 +304,18 @@ def make_wav(
     )
 
 
-def wav_channel_sums(blob: bytes) -> list[int]:
+def wav_channel_sums(blob: bytes, dec: dict | None = None) -> list[int]:
     """Exact per-channel sums of the decoded signed 16-bit samples.
 
     Slices the sample data where the DECODER says it is (data_offset /
     block_align from the validated header — the m8 coupling lesson), so
-    extra RIFF chunks before `data` never misalign the sums."""
+    extra RIFF chunks before `data` never misalign the sums. Pass the
+    already-decoded header dict via ``dec`` to skip a second chunk walk
+    (the m9 hot path decodes once per blob)."""
     import struct
 
-    dec = decode_media(blob, "audio")
+    if dec is None:
+        dec = decode_media(blob, "audio")
     nch, nfr = dec["n_channels"], dec["n_frames"]
     data = blob[dec["data_offset"] : dec["data_offset"] + dec["data_size"]]
     vals = struct.unpack_from(f"<{nfr * nch}h", data)
@@ -738,7 +746,7 @@ def _wav_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             rate = 8000 + int(mid) % 3 * 4000
             blob = make_wav(text.encode(), nch, nfr, rate)
             dec = decode_media(blob, "audio")
-            for ch, s in enumerate(wav_channel_sums(blob)):
+            for ch, s in enumerate(wav_channel_sums(blob, dec)):
                 out["media_id"].append(mid)
                 out["channel"].append(ch)
                 out["sample_rate"].append(dec["sample_rate"])

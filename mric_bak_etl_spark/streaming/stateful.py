@@ -287,6 +287,21 @@ def make_versioned_merge_sink(base: str, state: dict[str, int], merge):
     return merge_batch
 
 
+def read_committed_version(spark, base: str, state: dict[str, int], label: str):
+    """Read the final committed v{N} target after awaitTermination — the
+    consumer-side half of the versioned-commit scaffold, shared by t10
+    and t13b so the zero-batch guard lives beside the invariant it
+    protects: if the stream fired no micro-batches (empty/missing
+    source), v0 was never written, and the caller gets a clear error
+    instead of an opaque path-not-found AnalysisException (ADVICE r9)."""
+    if state["version"] == 0:
+        raise RuntimeError(
+            f"{label}: stream produced no micro-batches; no version "
+            "was committed"
+        )
+    return spark.read.parquet(os.path.join(base, f"v{state['version']}"))
+
+
 def make_merge_sink(base: str, state: dict[str, int]):
     """Build the t10 foreachBatch handler: merge each micro-batch's
     per-user aggregate into the current target version, commit as the
@@ -359,15 +374,7 @@ def foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    if state["version"] == 0:
-        # No micro-batch ever fired: v0 was never written — fail with a
-        # clear message, not a path-not-found AnalysisException (ADVICE
-        # r9; same guard as t13b's in streaming/windows.py).
-        raise RuntimeError(
-            "t10: stream produced no micro-batches; no target version "
-            "was committed"
-        )
-    final = spark.read.parquet(os.path.join(base, f"v{state['version']}"))
+    final = read_committed_version(spark, base, state, "t10")
     return final.select(
         "user_id", "n_events", F.round("total_value", 4).alias("total_value")
     ).orderBy("user_id")

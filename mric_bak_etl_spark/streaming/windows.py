@@ -686,15 +686,9 @@ def streaming_register_maintenance(
         .start()
     )
     q.awaitTermination()
-    if state["version"] == 0:
-        # No micro-batch ever fired (e.g. empty/missing events source):
-        # v0 was never written, so surface a clear error instead of an
-        # opaque path-not-found AnalysisException (ADVICE r9).
-        raise RuntimeError(
-            "t13b: stream produced no micro-batches; no register "
-            "version was committed"
-        )
-    final = spark.read.parquet(os.path.join(base, f"v{state['version']}"))
+    from mric_bak_etl_spark.streaming.stateful import read_committed_version
+
+    final = read_committed_version(spark, base, state, "t13b")
     return final.select(
         "week",
         "day",

@@ -1343,11 +1343,7 @@ def build_wavsum_spark(spark, sf_dir: str, case: dict):
     import pandas as pd
     from pyspark.sql import functions as F  # noqa: PLC0415
 
-    from mric_bak_etl_spark.llm.multimodal import (
-        decode_media,
-        make_wav,
-        wav_channel_sums,
-    )
+    from mric_bak_etl_spark.llm.multimodal import make_wav, wav_channel_sums
     from mric_bak_etl_spark.tables import load_table
 
     nch_mod, nfr_mod, off, gap = (
