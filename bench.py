@@ -115,6 +115,10 @@ HEADLINE = [
     "m8_bmp_channel_stats", # decoded pixel-array exact channel sums
     "l41_duplication_profile",  # clone-cluster histogram (dedup form picker)
     "s21_schema_evolution_read",  # two-generation mergeSchema landing-zone read
+    # round-10 additions (the ops-join-the-bench step is a standing
+    # per-round task — closed in-round since r10)
+    "m9_wav_decode",        # real 16-bit PCM WAV decode + exact channel sums
+    "l26b_bpe_encode",      # tokenizer apply: broadcast merge table, vocab encode
 ]
 
 
