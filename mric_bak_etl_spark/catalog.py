@@ -105,15 +105,16 @@ def all_specs() -> dict[str, QuerySpec]:
 # decode consumer re-enters (m7, m8, and new m9's first row), the
 # merge-fold refactor re-enters l26 + new l26b, the l41
 # form-selection doc paragraphs are decorator-level changes to
-# l2/l29/l40/l2e (doc-only, but the sweep is deliberately
-# conservative), and the zero-batch guards re-enter t10/t13b. Then,
-# with no HEADLINE query changed and rotation debt at zero, the entire
-# remaining budget goes OLDEST-GREEN-FIRST (r9 verdict task 1's second
-# half): all 27 queries whose newest green row is still round 1 —
-# pre-ANSI, pre-AQE-posture, pre-Spark-pin vintage — plus the 7 oldest
-# round-2 rows, so after this round no green row predates round 2 and
-# the stalest attestations move to ~r2/r3 vintage for round 11 to
-# finish. 1 + 4 + 11 + 27 + 7 = 50, exactly the driver budget; the
+# l2/l29/l40/l2e and the codec-state notes on m2/m4 (doc-only, but
+# the sweep is deliberately conservative), and the zero-batch guards
+# re-enter t10/t13b. Then, with no HEADLINE query changed and rotation
+# debt at zero, the entire remaining budget goes OLDEST-GREEN-FIRST
+# (r9 verdict task 1's second half): all 27 queries whose newest green
+# row is still round 1 — pre-ANSI, pre-AQE-posture, pre-Spark-pin
+# vintage — plus the 5 oldest round-2 rows, so after this round no
+# green row predates round 2 and the stalest attestations move to
+# ~r2/r3 vintage for round 11 to finish.
+# 1 + 4 + 13 + 27 + 5 = 50, exactly the driver budget; the
 # local parity suite (tests/test_oracle_parity.py, value-matched
 # before every commit) remains the regression guard for everything
 # sitting out.
@@ -140,6 +141,11 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "l2e_dup_clusters",
     "t10_foreach_batch_upsert",
     "t13b_streaming_register_maintenance",
+    # ...plus m2/m4, whose decorator docs now state the two-real-codec
+    # hook (doc-only edits, but the sweep is deliberately conservative —
+    # they take the two youngest fill slots below).
+    "m2_feature_extract",
+    "m4_resize",
     # Oldest-green-first re-confirms: every remaining round-1-vintage
     # green row (27)...
     "a15_median_mode", "a17_histogram", "a2_distinct_count_distinct",
@@ -152,10 +158,11 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "j9_bucketed_colocated_join", "p3_null_handling",
     "sq3_not_exists_uncorrelated_scalar", "sq4_in_subquery",
     "sq6_not_in_null_aware", "sq7_any_all",
-    # ...and the seven oldest round-2 rows.
+    # ...and the five oldest round-2 rows (dq1/dq5, the next two by
+    # age, ceded their slots to the m2/m4 changed-consumer rows above;
+    # they lead the round-11 vintage sweep).
     "a10_min_by_max_by", "a12_filtered_aggregates", "a13_unpivot",
-    "a16_decimal_exact", "a7_percentiles", "dq1_quality_gate",
-    "dq5_referential_integrity",
+    "a16_decimal_exact", "a7_percentiles",
 )
 
 

@@ -4,10 +4,14 @@ Pattern: media lives as a ``binary`` column (here synthesized
 deterministically from document text — no image/audio libs ship in this
 environment) with a typed metadata struct beside it; decode / feature-
 extract / frame-sample run as Arrow-batched ``mapInPandas`` stages so the
-bytes never leave the executors. The real codec call is stubbed behind
-:func:`decode_media` (clearly-marked NotImplementedError) with a
-deterministic fake featurizer taking its place; the Spark-side contract —
-schema, batch iteration, fan-out shape, partitioning — is real and tested.
+bytes never leave the executors. :func:`decode_media` is the codec hook:
+REAL for two containers — uncompressed 24-bit BMP (m7/m8) and 16-bit PCM
+RIFF/WAVE (m9), both parsed in pure Python with their decoded payloads
+anchored by exact-integer oracles — and a clearly-marked
+NotImplementedError for containers that need external codec libs (video,
+non-BMP images, non-PCM audio), with a deterministic fake featurizer
+standing in for those paths; the Spark-side contract — schema, batch
+iteration, fan-out shape, partitioning — is real and tested either way.
 
 Scale notes (100 TB of media): binary columns ride normal parquet row
 groups, so filters on the *metadata* columns prune scans without touching
@@ -372,8 +376,8 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     doc="Multimodal feature extraction: mapInPandas over (payload, "
     "metadata) → fixed-dim feature vectors; Arrow-batched, executor-"
     "local, schema-contracted. Deterministic byte-moment featurizer "
-    "exercises the plumbing (decode_media handles real BMPs, see m7; "
-    "other codecs stay stubbed). Rows-only here by nature (pandas "
+    "exercises the plumbing (decode_media handles real BMPs and WAVs, "
+    "see m7/m9; other codecs stay stubbed). Rows-only here by nature (pandas "
     "byte math has no direct SQL mirror), but value-anchored "
     "transitively: the m2b portable twin carries a full value oracle "
     "and a test asserts m2b == m2 row for row.",
@@ -985,7 +989,9 @@ def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     doc="Multimodal resize: mapInPandas over (payload, typed metadata) — "
     "stride-subsampled bytes + halved nominal dimensions as the "
     "deterministic stand-in for decode→resample→re-encode "
-    "(decode_media stays the NotImplementedError codec hook). "
+    "(decode_media raises for containers without a real parser — "
+    "BMP/WAV have one, see m7/m9 — so m4's synthetic payloads stay on "
+    "the stand-in path by design). "
     "Closed-form output sizes make the whole pandas stage "
     "oracle-checkable; embarrassingly parallel, no shuffle.",
     tags=("llm", "multimodal", "udf"),
