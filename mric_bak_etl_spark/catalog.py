@@ -111,10 +111,14 @@ def all_specs() -> dict[str, QuerySpec]:
 # debt at zero, the entire remaining budget goes OLDEST-GREEN-FIRST
 # (r9 verdict task 1's second half): all 27 queries whose newest green
 # row is still round 1 — pre-ANSI, pre-AQE-posture, pre-Spark-pin
-# vintage — plus the 5 oldest round-2 rows, so after this round no
-# green row predates round 2 and the stalest attestations move to
-# ~r2/r3 vintage for round 11 to finish.
-# 1 + 4 + 13 + 27 + 5 = 50, exactly the driver budget; the
+# vintage — by EITHER definition of green: the 27 value-hash-green
+# r1 rows below plus a3_approx_count_distinct, whose only driver row
+# is a round-1 ROWS-ONLY attestation (value-anchored via its a3b twin,
+# but its own sampling predates every environment change since) —
+# plus the 4 oldest round-2 rows, so after this round no attestation
+# of any kind predates round 2 and the stalest rows move to ~r2/r3
+# vintage for round 11 to finish.
+# 1 + 4 + 13 + 28 + 4 = 50, exactly the driver budget; the
 # local parity suite (tests/test_oracle_parity.py, value-matched
 # before every commit) remains the regression guard for everything
 # sitting out.
@@ -157,12 +161,13 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "j4_left_semi", "j5_range_theta", "j7_cross",
     "j9_bucketed_colocated_join", "p3_null_handling",
     "sq3_not_exists_uncorrelated_scalar", "sq4_in_subquery",
-    "sq6_not_in_null_aware", "sq7_any_all",
-    # ...and the five oldest round-2 rows (dq1/dq5, the next two by
-    # age, ceded their slots to the m2/m4 changed-consumer rows above;
-    # they lead the round-11 vintage sweep).
+    "sq6_not_in_null_aware", "sq7_any_all", "a3_approx_count_distinct",
+    # ...and the four oldest round-2 rows (a7/dq1/dq5, the next three
+    # by age, ceded their slots to the m2/m4 changed-consumer rows and
+    # a3's r1 rows-only re-attestation above; they lead the round-11
+    # vintage sweep).
     "a10_min_by_max_by", "a12_filtered_aggregates", "a13_unpivot",
-    "a16_decimal_exact", "a7_percentiles",
+    "a16_decimal_exact",
 )
 
 
