@@ -119,6 +119,8 @@ HEADLINE = [
     # per-round task — closed in-round since r10)
     "m9_wav_decode",        # real 16-bit PCM WAV decode + exact channel sums
     "l26b_bpe_encode",      # tokenizer apply: broadcast merge table, vocab encode
+    "m10_wav_window_stats", # audio framing: 4-frame windows, exact energy/peak
+    "m10b_portable_wav_window_stats",  # its JVM HOF twin (permanent A/B vs pandas)
 ]
 
 

@@ -820,6 +820,246 @@ def wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_M10_SCHEMA = (
+    "media_id long, channel long, win_no long, n_win_frames long, "
+    "win_sum long, win_peak long"
+)
+_M10_WIN_FRAMES = 4  # fixed analysis-window size (frames per window)
+
+
+def wav_window_stats(
+    blob: bytes, dec: dict | None = None, win_frames: int | None = None
+) -> list[tuple]:
+    """Per-(channel, window) exact integer stats of the decoded samples:
+    (channel, win_no, n_win_frames, win_sum, win_peak) for fixed
+    ``win_frames``-frame windows (default ``_M10_WIN_FRAMES``), last
+    window ragged. Slices the sample data where the DECODER says it is
+    (data_offset / block layout — the m8 coupling lesson, shared with
+    wav_channel_sums). ``win_frames`` is an explicit argument (not a
+    patched global) because the grammar-18 fuzz drives it from inside
+    Python workers, where a driver-side monkeypatch never arrives."""
+    import struct
+
+    if dec is None:
+        dec = decode_media(blob, "audio")
+    if win_frames is None:
+        win_frames = _M10_WIN_FRAMES
+    nch, nfr = dec["n_channels"], dec["n_frames"]
+    data = blob[dec["data_offset"] : dec["data_offset"] + dec["data_size"]]
+    vals = struct.unpack_from(f"<{nfr * nch}h", data)
+    out = []
+    for ch in range(nch):
+        chan = vals[ch::nch]
+        for w0 in range(0, nfr, win_frames):
+            win = chan[w0 : w0 + win_frames]
+            out.append((ch, w0 // win_frames, len(win), sum(win), max(win)))
+    return out
+
+
+def _wav_window_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    cols = ("media_id", "channel", "win_no", "n_win_frames", "win_sum", "win_peak")
+    for pdf in batches:
+        out: dict[str, list] = {k: [] for k in cols}
+        for mid, text in zip(pdf["doc_id"], pdf["text"]):
+            # Same corpus contract as m8/m9: the oracle counts code
+            # points, the builder cycles encode() bytes — ASCII-only.
+            assert text.isascii(), (
+                f"m10 oracle assumes ASCII text; doc {mid} is not"
+            )
+            nch = int(mid) % 2 + 1
+            nfr = int(mid) % 24 + 1
+            rate = 8000 + int(mid) % 3 * 4000
+            blob = make_wav(text.encode(), nch, nfr, rate)
+            dec = decode_media(blob, "audio")
+            for ch, w, n, s, peak in wav_window_stats(blob, dec):
+                out["media_id"].append(mid)
+                out["channel"].append(ch)
+                out["win_no"].append(w)
+                out["n_win_frames"].append(n)
+                out["win_sum"].append(s)
+                out["win_peak"].append(peak)
+        yield pd.DataFrame(out)
+
+
+def _m10_sample_oracle() -> str:
+    """DuckDB signed-16-bit sample for frame ``f``, channel ``ch`` of the
+    cycled text bytes — m9's branchless sign idiom, exact in BIGINT."""
+    return (
+        f"({_m9_byte_oracle('2 * (f * nch + ch)')}"
+        f" + 256 * {_m9_byte_oracle('2 * (f * nch + ch) + 1')}"
+        " + 32768) % 65536 - 32768"
+    )
+
+
+def _m10_oracle() -> str:
+    """The m10 window-stats oracle — module-level so m10b (the JVM-path
+    twin) registers the IDENTICAL closed form under its own name."""
+    return f"""
+    WITH g AS (
+      SELECT doc_id, text,
+             doc_id % 2 + 1  AS nch,
+             doc_id % 24 + 1 AS nfr
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, text, nch, nfr, unnest(range(0, nch)) AS ch FROM g
+    ),
+    w AS (
+      SELECT doc_id, text, nch, nfr, ch,
+             unnest(range(0, (nfr + {_M10_WIN_FRAMES - 1}) // {_M10_WIN_FRAMES})) AS win
+      FROM c
+    )
+    SELECT doc_id               AS media_id,
+           CAST(ch AS BIGINT)   AS channel,
+           CAST(win AS BIGINT)  AS win_no,
+           CAST(least({_M10_WIN_FRAMES}, nfr - {_M10_WIN_FRAMES} * win)
+                AS BIGINT)      AS n_win_frames,
+           CAST(CASE WHEN length(text) = 0 THEN 0 ELSE
+             list_sum(list_transform(
+               generate_series({_M10_WIN_FRAMES} * win,
+                               least({_M10_WIN_FRAMES} * win + {_M10_WIN_FRAMES - 1},
+                                     nfr - 1)),
+               f -> {_m10_sample_oracle()}))
+           END AS BIGINT)       AS win_sum,
+           CAST(CASE WHEN length(text) = 0 THEN 0 ELSE
+             list_max(list_transform(
+               generate_series({_M10_WIN_FRAMES} * win,
+                               least({_M10_WIN_FRAMES} * win + {_M10_WIN_FRAMES - 1},
+                                     nfr - 1)),
+               f -> {_m10_sample_oracle()}))
+           END AS BIGINT)       AS win_peak
+    FROM w
+    ORDER BY media_id, channel, win_no
+    """
+
+
+@register(
+    "m10_wav_window_stats",
+    oracle=_m10_oracle(),
+    doc="M10: audio FEATURE EXTRACTION over the decoded payload — the "
+    "windowing/framing stage every audio pipeline runs before VAD, "
+    "silence trimming, or loudness filtering: each document becomes a "
+    "16-bit PCM WAV (m9's builder, up to 24 frames so the windows are "
+    "non-trivial), decode_media validates the container, and the "
+    "samples — sliced at the DECODER's data_offset/block layout, never "
+    "the builder's — are cut into fixed 4-frame analysis windows with "
+    "exact integer energy-sum and peak per (channel, window), last "
+    "window ragged. The oracle recomputes every window closed-form "
+    "from the text (frame f, channel ch = cycled bytes 2(f·nch+ch), "
+    "+1; sign via the branchless m9 idiom; window membership via "
+    "strided generate_series) — all-BIGINT output, no float surface. "
+    "Corpus contract: ASCII-only, asserted in the builder. 100 TB "
+    "shape: Arrow-batched mapInPandas after spread(), audio bytes "
+    "never leave the executor, output is metadata-sized (≤12 rows/doc "
+    "— 2 channels × ≤6 windows); the windowing is pure executor-local "
+    "arithmetic, so the stage scales with payload bytes exactly like "
+    "m9 (SCALE.md round-10 curves).",
+    tags=("llm", "multimodal", "udf"),
+)
+def wav_window_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return (
+        spread(d)
+        .mapInPandas(_wav_window_batches, schema=_M10_SCHEMA)
+        .orderBy("media_id", "channel", "win_no")
+    )
+
+
+# m10b: the sample value as one Spark-SQL fragment — signed 16-bit
+# little-endian at cycled byte positions 2(f·nch+ch), +1 of the text,
+# the exact arithmetic m9's oracle established (branchless sign, exact
+# in BIGINT). `f` is the HOF lambda variable; `nch`/`ch` are projected
+# columns in scope at the use site. CAST to BIGINT up front so the
+# position arithmetic and the %65536 fold stay in the 64-bit domain
+# both engines share.
+_M10B_SAMPLE = (
+    "(ascii(substring(text,"
+    " ((2 * (f * nch + ch)) % length(text)) + 1, 1))"
+    " + 256 * ascii(substring(text,"
+    " ((2 * (f * nch + ch) + 1) % length(text)) + 1, 1))"
+    " + 32768) % 65536 - 32768"
+)
+_M10B_FRAMES = (
+    f"sequence(CAST({_M10_WIN_FRAMES} * win AS BIGINT), "
+    f"CAST(least({_M10_WIN_FRAMES} * win + {_M10_WIN_FRAMES - 1}, nfr - 1)"
+    " AS BIGINT))"
+)
+_M10B_SAMPLES = f"transform({_M10B_FRAMES}, f -> {_M10B_SAMPLE})"
+# Both window stats in ONE evaluation: higher-order functions are not
+# whole-stage-codegen'd, so they get no common-subexpression
+# elimination — a naive `aggregate(samples) AS win_sum,
+# array_max(samples) AS win_peak` builds the sample array TWICE per row
+# (measured 2.33 s vs 1.29 s for the pandas path at sf0.1 before this
+# form). The fix: one transform builds the samples once, one aggregate
+# folds sum and peak together into a struct, and inline(array(...))
+# turns the struct into real output attributes through a Generator —
+# which Catalyst evaluates once per row, immune to the projection
+# collapse that would otherwise duplicate a struct-field extraction.
+_M10B_STATS = f"""inline(array(CASE WHEN length(text) = 0
+  THEN named_struct('win_sum', CAST(0 AS BIGINT),
+                    'win_peak', CAST(0 AS BIGINT))
+  ELSE aggregate(
+    {_M10B_SAMPLES},
+    named_struct('win_sum', CAST(0 AS BIGINT),
+                 'win_peak', CAST(-32769 AS BIGINT)),
+    (acc, x) -> named_struct('win_sum', acc.win_sum + x,
+                             'win_peak', greatest(acc.win_peak, x)))
+  END))"""
+
+
+@register(
+    "m10b_portable_wav_window_stats",
+    oracle=_m10_oracle(),
+    doc="M10b: m10's windowed audio stats re-expressed as pure Spark-SQL "
+    "higher-order functions — no Python worker, no Arrow transfer, no "
+    "codec: because make_wav derives the samples deterministically from "
+    "the text bytes, the window sums/peaks have a closed form the JVM "
+    "can evaluate directly (sequence→transform→aggregate/array_max over "
+    "the cycled-byte sample arithmetic, all exact BIGINT). The portable "
+    "twin of the m2/m2b pattern: tests pin m10b == m10 row for row, so "
+    "the pandas decode path is value-anchored against the JVM path AND "
+    "both against the DuckDB oracle. At 100 TB this is the preferred "
+    "form whenever the 'decode' is pure byte math — whole-stage-"
+    "codegen-adjacent HOFs, zero Python — while m10 carries the shape "
+    "real codecs need; the permanent A/B keeps the Python-stage premium "
+    "measured (bench: m10 vs m10b).",
+    tags=("llm", "multimodal"),
+)
+def portable_wav_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    g = d.select(
+        "doc_id",
+        "text",
+        F.expr("doc_id % 2 + 1").alias("nch"),
+        F.expr("doc_id % 24 + 1").alias("nfr"),
+    )
+    c = g.select(
+        "doc_id", "text", "nch", "nfr",
+        F.explode(F.expr("sequence(0, nch - 1)")).alias("ch"),
+    )
+    w = c.select(
+        "doc_id", "text", "nch", "nfr", "ch",
+        F.explode(
+            F.expr(
+                f"sequence(0, (nfr + {_M10_WIN_FRAMES - 1})"
+                f" div {_M10_WIN_FRAMES} - 1)"
+            )
+        ).alias("win"),
+    )
+    return w.select(
+        F.col("doc_id").alias("media_id"),
+        F.col("ch").cast("long").alias("channel"),
+        F.col("win").cast("long").alias("win_no"),
+        F.expr(
+            f"CAST(least({_M10_WIN_FRAMES}, nfr - {_M10_WIN_FRAMES} * win)"
+            " AS BIGINT)"
+        ).alias("n_win_frames"),
+        F.expr(_M10B_STATS),
+    ).orderBy("media_id", "channel", "win_no")
+
+
 @register(
     "x2_grouped_pandas_agg",
     oracle="""

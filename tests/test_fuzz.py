@@ -1420,3 +1420,143 @@ def test_random_wav_codec_recipes_agree(spark, duck, sf_dir, case):
         f"wavsum[c{case['nch_mod']}|f{case['nfr_mod']}+{case['nfr_off']}|"
         f"{case['xform']}|g{case['gap']}]",
     )
+
+
+# --- grammar 18: WAV windowing recipe (m10's end-to-end composition) ---------
+# Grammar 17 searches the codec's channel-sum contract; this searches the
+# FRAMING consumer built on it: random window sizes x channel counts x
+# frame counts (including zero-frame files, which must emit zero window
+# rows) x byte sources x JUNK-chunk layouts, with the window membership,
+# the ragged last window, and the per-window max recomputed closed-form
+# by DuckDB from the cycled text bytes. The gap exists only on the Spark
+# side (the oracle never models it), so any offset/stride slip in the
+# decoder->window path diverges immediately. All-integer output.
+
+WAVWIN_CASES = st.fixed_dictionaries(
+    {
+        "nch_mod": st.sampled_from([1, 2, 3]),
+        "nfr_mod": st.sampled_from([1, 7, 13, 24]),
+        "nfr_off": st.sampled_from([0, 1]),  # 0 admits zero-frame files
+        "win": st.sampled_from([1, 3, 4, 5]),
+        "xform": st.sampled_from(
+            ["text", "upper(text)", "substring(text, 7, 40)"]
+        ),
+        "gap": st.integers(min_value=0, max_value=9),
+    }
+)
+
+
+def build_wavwin_spark(spark, sf_dir: str, case: dict):
+    import struct
+
+    import pandas as pd
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    import mric_bak_etl_spark.llm.multimodal as mm
+    from mric_bak_etl_spark.tables import load_table
+
+    nch_mod, nfr_mod, off, gap, win = (
+        case["nch_mod"], case["nfr_mod"], case["nfr_off"], case["gap"],
+        case["win"],
+    )
+
+    def batches(it):
+        for pdf in it:
+            out = {
+                "doc_id": [], "channel": [], "win_no": [],
+                "n_win_frames": [], "win_sum": [], "win_peak": [],
+            }
+            for did, t in zip(pdf["doc_id"], pdf["t"]):
+                assert t.isascii()  # the m8/m9 corpus contract
+                nch = int(did) % nch_mod + 1
+                nfr = int(did) % nfr_mod + off
+                wav = mm.make_wav(t.encode(), nch, nfr, 8000)
+                if gap:
+                    junk = (
+                        b"JUNK" + struct.pack("<I", gap)
+                        + b"\x7f" * gap + b"\x00" * (gap & 1)
+                    )
+                    moved = bytearray(wav[:12] + junk + wav[12:])
+                    struct.pack_into("<I", moved, 4, len(moved) - 8)
+                    wav = bytes(moved)
+                for ch, w, n, s, peak in mm.wav_window_stats(
+                    wav, win_frames=win
+                ):
+                    out["doc_id"].append(did)
+                    out["channel"].append(ch)
+                    out["win_no"].append(w)
+                    out["n_win_frames"].append(n)
+                    out["win_sum"].append(s)
+                    out["win_peak"].append(peak)
+            yield pd.DataFrame(out)
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(case["xform"]).alias("t")
+    )
+    return d.mapInPandas(
+        batches,
+        schema=(
+            "doc_id long, channel long, win_no long, n_win_frames long, "
+            "win_sum long, win_peak long"
+        ),
+    ).orderBy("doc_id", "channel", "win_no")
+
+
+def render_wavwin_sql(case: dict) -> str:
+    nch_mod, nfr_mod, off, win = (
+        case["nch_mod"], case["nfr_mod"], case["nfr_off"], case["win"]
+    )
+
+    def byte(p: str) -> str:
+        return f"ascii(substring(t, (({p}) % length(t)) + 1, 1))"
+
+    sample = (
+        f"({byte('2 * (f * nch + ch)')}"
+        f" + 256 * {byte('2 * (f * nch + ch) + 1')}"
+        " + 32768) % 65536 - 32768"
+    )
+    frames = (
+        f"generate_series({win} * win, "
+        f"least({win} * win + {win - 1}, nfr - 1))"
+    )
+    return f"""
+    WITH g AS (
+      SELECT doc_id, {case["xform"]} AS t,
+             doc_id % {nch_mod} + 1 AS nch,
+             doc_id % {nfr_mod} + {off} AS nfr
+      FROM documents
+    ),
+    c AS (SELECT doc_id, t, nch, nfr, unnest(range(0, nch)) AS ch FROM g),
+    w AS (
+      SELECT doc_id, t, nch, nfr, ch,
+             unnest(range(0, (nfr + {win - 1}) // {win})) AS win
+      FROM c
+    )
+    SELECT doc_id,
+           CAST(ch AS BIGINT) AS channel,
+           CAST(win AS BIGINT) AS win_no,
+           CAST(least({win}, nfr - {win} * win) AS BIGINT) AS n_win_frames,
+           CAST(CASE WHEN length(t) = 0 THEN 0 ELSE
+             list_sum(list_transform({frames}, f -> {sample}))
+           END AS BIGINT) AS win_sum,
+           CAST(CASE WHEN length(t) = 0 THEN 0 ELSE
+             list_max(list_transform({frames}, f -> {sample}))
+           END AS BIGINT) AS win_peak
+    FROM w
+    ORDER BY doc_id, channel, win_no
+    """
+
+
+@FUZZ_SETTINGS
+@given(case=WAVWIN_CASES)
+def test_random_wav_window_recipes_agree(spark, duck, sf_dir, case):
+    from test_oracle_parity import assert_frames_match
+
+    got = build_wavwin_spark(spark, sf_dir, case).toPandas()
+    want = duck.execute(render_wavwin_sql(case)).df()
+    assert_frames_match(
+        got,
+        want,
+        f"wavwin[c{case['nch_mod']}|f{case['nfr_mod']}+{case['nfr_off']}|"
+        f"w{case['win']}|{case['xform']}|g{case['gap']}]",
+    )

@@ -291,6 +291,32 @@ def test_wav_channel_sums_survive_extra_chunks():
     assert wav_channel_sums(bytes(moved)) == base_sums
 
 
+def test_wav_window_stats_pinned():
+    """m10's window math pinned against hand arithmetic: fixed 4-frame
+    windows, last ragged; stats sliced at the decoder's layout so the
+    JUNK-chunk test above covers the offset path transitively."""
+    import struct
+
+    from mric_bak_etl_spark.llm.multimodal import (
+        make_wav,
+        wav_window_stats,
+    )
+
+    wav = make_wav(b"hello!", 2, 6, 8000)
+    vals = struct.unpack_from("<12h", wav, 44)
+    expect = []
+    for ch in range(2):
+        chan = vals[ch::2]
+        for w0 in (0, 4):
+            win = chan[w0 : w0 + 4]
+            expect.append((ch, w0 // 4, len(win), sum(win), max(win)))
+    assert wav_window_stats(wav) == expect
+    # Ragged tail is real: second window has only 2 frames.
+    assert [t[2] for t in expect] == [4, 2, 4, 2]
+    # Zero frames → no windows, not an error.
+    assert wav_window_stats(make_wav(b"", 2, 0, 8000)) == []
+
+
 def test_feature_extract_contract(spark, sf_dir):
     m = media_table(spark, sf_dir)
     assert dict(m.dtypes)["content"] == "binary"
@@ -327,6 +353,26 @@ def test_portable_feature_extract_equals_pandas_path(spark, sf_dir):
     )
     jvm_rows = sorted(
         map(tuple, portable_feature_extract(spark, sf_dir).collect())
+    )
+    assert pandas_rows == jvm_rows
+
+
+def test_portable_wav_window_equals_pandas_path(spark, sf_dir):
+    """m10b's value-anchoring claim, the m2/m2b pin applied to the audio
+    window stats: the JVM HOF closed form reproduces the decode-then-
+    window pandas path ROW FOR ROW, so a builder/decoder/window slip on
+    either side breaks this pin even where the DuckDB oracle agrees
+    with one of them."""
+    from mric_bak_etl_spark.llm.multimodal import (
+        portable_wav_window_stats,
+        wav_window_query,
+    )
+
+    pandas_rows = sorted(
+        map(tuple, wav_window_query(spark, sf_dir).collect())
+    )
+    jvm_rows = sorted(
+        map(tuple, portable_wav_window_stats(spark, sf_dir).collect())
     )
     assert pandas_rows == jvm_rows
 

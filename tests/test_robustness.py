@@ -93,6 +93,13 @@ REPRESENTATIVES = [
     # postures as m8.
     "l26b_bpe_encode",
     "m9_wav_decode",
+    # m10 windows the same decoded samples executor-local; its ragged
+    # last window and per-window max must be posture-invariant too.
+    # m10b is its pure-HOF JVM twin — the interpreted (no_codegen) and
+    # ansi_off paths are exactly where nested transform/aggregate
+    # arithmetic could diverge.
+    "m10_wav_window_stats",
+    "m10b_portable_wav_window_stats",
 ]
 
 SCENARIOS = {
