@@ -303,7 +303,38 @@ def main() -> None:
             },
             separators=(",", ":"),
         )
+    # Second shed: the heavy-ratio map, not the queries map. On a noisy
+    # hour the 1 s Spark gate admits many fixed-overhead queries, so the
+    # heavy map alone can blow the budget (observed r10: 13 entries,
+    # middle line 1898 chars > 1800 → the old chain dropped the ENTIRE
+    # per-query map, degrading the driver record). Priority order is
+    # queries > c23 totals > ratios: keep only the 5 largest ratios and
+    # carry the shed count so the trim is visible.
     if len(line) > 1800:
+        top5 = dict(
+            sorted(heavy_ratios.items(), key=lambda kv: -kv[1])[:5]
+        )
+        line = json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": {n: round(t, 2) for n, t in timings.items()},
+                "sf": sf,
+                "spark_over_duck_heavy": top5,
+                "heavy_shed": max(len(heavy_ratios) - len(top5), 0),
+                "duck_total": round(sum(duck_timings.values()), 2),
+                "duck_common23": round(
+                    sum(duck_timings.get(n, 0.0) for n in COMMON23), 2
+                ),
+                "duck_c23_n": sum(1 for n in COMMON23 if n in duck_timings),
+                "spark_common23": round(
+                    sum(timings.get(n, 0.0) for n in COMMON23), 2
+                ),
+            },
+            separators=(",", ":"),
+        )
+    if len(line) > 1800:  # last resort; headline only, never expected
         line = json.dumps(
             {
                 "metric": "headline_queries_total_runtime",
