@@ -121,6 +121,7 @@ HEADLINE = [
     "l26b_bpe_encode",      # tokenizer apply: broadcast merge table, vocab encode
     "m10_wav_window_stats", # audio framing: 4-frame windows, exact energy/peak
     "m10b_portable_wav_window_stats",  # its JVM HOF twin (permanent A/B vs pandas)
+    "m11_ppm_decode",       # real Netpbm P6 decode (ASCII-tokenized header)
 ]
 
 

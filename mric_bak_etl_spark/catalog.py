@@ -118,11 +118,11 @@ def all_specs() -> dict[str, QuerySpec]:
 # plus the 4 oldest round-2 rows, so after this round no attestation
 # of any kind predates round 2 and the stalest rows move to ~r2/r3
 # vintage for round 11 to finish.
-# 1 + 4 + 15 + 28 + 2 = 50, exactly the driver budget (the changed/new
-# block grew by two when the m10/m10b first rows joined mid-round, so
-# a16_decimal_exact and a13_unpivot — the youngest remaining round-2
-# fills — ceded their slots and lead the round-11 vintage sweep with
-# a7/dq1/dq5); the
+# 1 + 4 + 16 + 28 + 1 = 50, exactly the driver budget (the changed/new
+# block grew by three when the m10/m10b/m11 first rows joined mid-round,
+# so a16_decimal_exact, a13_unpivot, and a12_filtered_aggregates — the
+# youngest remaining round-2 fills — ceded their slots and lead the
+# round-11 vintage sweep with a7/dq1/dq5); the
 # local parity suite (tests/test_oracle_parity.py, value-matched
 # before every commit) remains the regression guard for everything
 # sitting out.
@@ -141,6 +141,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "m9_wav_decode",
     "m10_wav_window_stats",
     "m10b_portable_wav_window_stats",
+    "m11_ppm_decode",
     "l26b_bpe_encode",
     "m7_bmp_decode",
     "m8_bmp_channel_stats",
@@ -168,11 +169,12 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "j9_bucketed_colocated_join", "p3_null_handling",
     "sq3_not_exists_uncorrelated_scalar", "sq4_in_subquery",
     "sq6_not_in_null_aware", "sq7_any_all", "a3_approx_count_distinct",
-    # ...and the two oldest round-2 rows (a7/dq1/dq5 ceded their slots
-    # to the m2/m4 changed-consumer rows and a3's r1 rows-only
-    # re-attestation; a16_decimal_exact and a13_unpivot ceded to the
-    # m10/m10b first rows; all five lead the round-11 vintage sweep).
-    "a10_min_by_max_by", "a12_filtered_aggregates",
+    # ...and the oldest round-2 row (a7/dq1/dq5 ceded their slots to the
+    # m2/m4 changed-consumer rows and a3's r1 rows-only re-attestation;
+    # a16_decimal_exact, a13_unpivot, and a12_filtered_aggregates ceded
+    # to the m10/m10b/m11 first rows; all six lead the round-11 vintage
+    # sweep).
+    "a10_min_by_max_by",
 )
 
 

@@ -5,11 +5,13 @@ deterministically from document text — no image/audio libs ship in this
 environment) with a typed metadata struct beside it; decode / feature-
 extract / frame-sample run as Arrow-batched ``mapInPandas`` stages so the
 bytes never leave the executors. :func:`decode_media` is the codec hook:
-REAL for two containers — uncompressed 24-bit BMP (m7/m8) and 16-bit PCM
-RIFF/WAVE (m9), both parsed in pure Python with their decoded payloads
-anchored by exact-integer oracles — and a clearly-marked
+REAL for three containers spanning three parsing families — uncompressed
+24-bit BMP (m7/m8, fixed binary structs), 16-bit PCM RIFF/WAVE (m9/m10,
+chunk walk), and binary Netpbm P6 (m11, ASCII-tokenized header), all
+parsed in pure Python with their decoded payloads anchored by
+exact-integer oracles — and a clearly-marked
 NotImplementedError for containers that need external codec libs (video,
-non-BMP images, non-PCM audio), with a deterministic fake featurizer
+other image/audio codecs), with a deterministic fake featurizer
 standing in for those paths; the Spark-side contract — schema, batch
 iteration, fan-out shape, partitioning — is real and tested either way.
 
@@ -87,18 +89,22 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def decode_media(content: bytes, media_type: str) -> dict:
-    """Codec hook. REAL for two containers: uncompressed 24-bit BMP
-    (BITMAPFILEHEADER + BITMAPINFOHEADER) and 16-bit PCM RIFF/WAVE are
-    parsed here in pure Python — magic, declared sizes, geometry,
-    format/compression sanity — and the decoded header fields are
-    returned as a dict (including the payload offset/stride layout, so
-    consumers slice where the DECODER says the samples are). Every other
-    container still raises: video (and non-BMP images, non-PCM audio)
-    need pillow/torchaudio/pyav, which do not ship in this environment;
-    wire them in here and the m2/m3/m7/m9 plumbing needs no other change.
+    """Codec hook. REAL for three containers spanning three parsing
+    families: uncompressed 24-bit BMP (fixed binary structs), 16-bit PCM
+    RIFF/WAVE (chunk walk), and binary Netpbm P6/PPM (ASCII-tokenized
+    header with comments) are parsed here in pure Python — magic,
+    declared sizes, geometry, format sanity — and the decoded header
+    fields are returned as a dict (including the payload offset/stride
+    layout, so consumers slice where the DECODER says the samples are).
+    Every other container still raises: video (and other image/audio
+    codecs) need pillow/torchaudio/pyav, which do not ship in this
+    environment; wire them in here and the m2/m3/m7/m9/m11 plumbing
+    needs no other change.
     """
     if media_type == "audio" and content[:4] == b"RIFF":
         return _decode_wav(content)
+    if media_type == "image" and content[:2] == b"P6":
+        return _decode_ppm(content)
     if media_type == "image" and content[:2] == b"BM" and len(content) >= 54:
         import struct
 
@@ -279,6 +285,102 @@ def _decode_wav(content: bytes) -> dict:
         "data_offset": data_offset,
         "data_size": data_size,
     }
+
+
+_PPM_WS = b" \t\n\x0b\x0c\r"
+
+
+def _decode_ppm(content: bytes) -> dict:
+    """Binary Netpbm P6 parser (the m11 codec) — the ASCII-tokenized
+    header family: `P6`, then width/height/maxval as decimal tokens
+    separated by whitespace, with `#`-to-end-of-line comments legal
+    wherever whitespace is; EXACTLY ONE whitespace byte after maxval,
+    then the raw w*h*3 RGB raster. Lying sizes, degenerate geometry,
+    and malformed headers raise ValueError (corrupt); maxval > 255
+    (two-byte samples) raises NotImplementedError (missing codec, not
+    corruption) — the same split the BMP/WAV branches draw."""
+    if content[:2] != b"P6":
+        raise ValueError("corrupt PPM: bad magic")
+    if content[2:3] not in _PPM_WS and content[2:3] != b"#":
+        raise ValueError("corrupt PPM: magic not followed by whitespace")
+
+    def token(pos: int) -> tuple[int, int]:
+        while pos < len(content):
+            c = content[pos : pos + 1]
+            if c in _PPM_WS:
+                pos += 1
+            elif c == b"#":
+                nl = content.find(b"\n", pos)
+                if nl == -1:
+                    raise ValueError("corrupt PPM: unterminated comment")
+                pos = nl + 1
+            else:
+                break
+        start = pos
+        while pos < len(content) and content[pos : pos + 1].isdigit():
+            pos += 1
+        if start == pos:
+            raise ValueError("corrupt PPM: expected decimal header token")
+        return int(content[start:pos]), pos
+
+    width, pos = token(2)
+    height, pos = token(pos)
+    maxval, pos = token(pos)
+    if pos >= len(content) or content[pos : pos + 1] not in _PPM_WS:
+        raise ValueError("corrupt PPM: missing single-byte raster separator")
+    pos += 1
+    if width < 1 or height < 1:
+        raise ValueError(f"corrupt PPM: degenerate geometry {width}x{height}")
+    if maxval < 1 or maxval > 65535:
+        raise ValueError(f"corrupt PPM: maxval {maxval} outside 1..65535")
+    if maxval > 255:
+        raise NotImplementedError(
+            f"only single-byte Netpbm samples are supported (maxval={maxval})"
+        )
+    data_size = width * height * 3
+    if len(content) - pos != data_size:
+        raise ValueError(
+            f"corrupt PPM: raster is {len(content) - pos} bytes, geometry "
+            f"expects {data_size}"
+        )
+    return {
+        "width": width,
+        "height": height,
+        "maxval": maxval,
+        "n_pixels": width * height,
+        "data_offset": pos,
+        "data_size": data_size,
+    }
+
+
+def make_ppm(
+    pixel_source: bytes, width: int, height: int, comment: str | None = None
+) -> bytes:
+    """A real, spec-valid binary Netpbm P6 file: canonical header
+    (`P6\\n<w> <h>\\n255\\n`, optionally with a spec-legal `#` comment
+    line after the magic — a header-layout variant the closed-form
+    oracle never models, so consumers must slice at the decoder's
+    offset), then the w*h*3 RGB raster drawn from ``pixel_source``
+    cycled/zero-filled — the make_bmp/make_wav discipline for the
+    text-headered image family (no row padding: the raster is exactly
+    the pixel bytes)."""
+    c = f"# {comment}\n" if comment is not None else ""
+    return (
+        f"P6\n{c}{width} {height}\n255\n".encode()
+        + _cycle_bytes(pixel_source, width * height * 3)
+    )
+
+
+def ppm_channel_sums(blob: bytes, dec: dict | None = None) -> tuple:
+    """(n_pixels, r_sum, g_sum, b_sum) — exact integer sums of the
+    decoded RGB raster, sliced at the DECODER's data_offset (the m8
+    coupling lesson: a header with comments or extra whitespace moves
+    the offset; the sums must not care). P6 is RGB order — channel 0
+    is RED here, where the BMP raster's channel 0 is blue."""
+    if dec is None:
+        dec = decode_media(blob, "image")
+    data = blob[dec["data_offset"] : dec["data_offset"] + dec["data_size"]]
+    return (dec["n_pixels"], sum(data[0::3]), sum(data[1::3]), sum(data[2::3]))
 
 
 def make_wav(
@@ -1058,6 +1160,89 @@ def portable_wav_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_win_frames"),
         F.expr(_M10B_STATS),
     ).orderBy("media_id", "channel", "win_no")
+
+
+_M11_SCHEMA = (
+    "media_id long, width long, height long, maxval long, n_pixels long, "
+    "r_sum long, g_sum long, b_sum long"
+)
+
+
+def _ppm_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    cols = (
+        "media_id", "width", "height", "maxval", "n_pixels",
+        "r_sum", "g_sum", "b_sum",
+    )
+    for pdf in batches:
+        out: dict[str, list] = {k: [] for k in cols}
+        for mid, text in zip(pdf["doc_id"], pdf["text"]):
+            # Same corpus contract as m8/m9: the oracle counts code
+            # points, the builder cycles encode() bytes — ASCII-only.
+            assert text.isascii(), (
+                f"m11 oracle assumes ASCII text; doc {mid} is not"
+            )
+            w = int(mid) % 16 + 1
+            h = int(mid) % 8 + 1
+            # Odd ids carry a spec-legal header comment — a layout the
+            # oracle never models, so the sums stay right only if they
+            # slice at the decoder's offset (the WAV JUNK-gap idiom).
+            blob = make_ppm(
+                text.encode(), w, h,
+                comment=f"synthetic {mid}" if mid % 2 else None,
+            )
+            dec = decode_media(blob, "image")
+            n_px, r, g, b = ppm_channel_sums(blob, dec)
+            out["media_id"].append(mid)
+            out["width"].append(dec["width"])
+            out["height"].append(dec["height"])
+            out["maxval"].append(dec["maxval"])
+            out["n_pixels"].append(n_px)
+            out["r_sum"].append(r)
+            out["g_sum"].append(g)
+            out["b_sum"].append(b)
+        yield pd.DataFrame(out)
+
+
+@register(
+    "m11_ppm_decode",
+    oracle=f"""
+    SELECT doc_id AS media_id,
+           CAST(doc_id % 16 + 1 AS BIGINT) AS width,
+           CAST(doc_id % 8 + 1 AS BIGINT)  AS height,
+           CAST(255 AS BIGINT)             AS maxval,
+           CAST((doc_id % 16 + 1) * (doc_id % 8 + 1) AS BIGINT) AS n_pixels,
+           {_m8_chan_oracle(0)} AS r_sum,
+           {_m8_chan_oracle(1)} AS g_sum,
+           {_m8_chan_oracle(2)} AS b_sum
+    FROM documents
+    ORDER BY media_id
+    """,
+    doc="M11: third REAL container — binary Netpbm P6/PPM, the "
+    "ASCII-TOKENIZED-HEADER parsing family the fixed-struct BMP and "
+    "chunk-walked WAV branches don't exercise: decimal tokens separated "
+    "by arbitrary whitespace, `#` comments legal wherever whitespace "
+    "is, exactly one separator byte before the raster, every declared "
+    "byte accounted for (corrupt vs missing-codec split: maxval > 255 "
+    "two-byte samples raise NotImplementedError). Each document becomes "
+    "a spec-valid P6 (odd ids carry a header COMMENT the oracle never "
+    "models — the offset shift exists only on the Spark side, so the "
+    "channel sums survive only by slicing at the decoder's "
+    "data_offset), and the raster comes back as exact per-channel "
+    "(R,G,B) sums against m8's closed-form cycled-bytes oracle — the "
+    "raster layout is byte-identical to the BMP pixel array minus row "
+    "padding, which is exactly why the shared oracle anchors BOTH "
+    "decoders' slicing. All-integer output; ASCII corpus asserted. "
+    "Same 100 TB shape as m7-m10: Arrow-batched mapInPandas after "
+    "spread(), bytes never leave the executor, one row per media.",
+    tags=("llm", "multimodal", "udf"),
+)
+def ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return (
+        spread(d)
+        .mapInPandas(_ppm_batches, schema=_M11_SCHEMA)
+        .orderBy("media_id")
+    )
 
 
 @register(

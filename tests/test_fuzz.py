@@ -89,12 +89,13 @@ FUZZ_SETTINGS = settings(
     suppress_health_check=[HealthCheck.function_scoped_fixture],
     derandomize=True,
 )
-# Grammars 1-12 have been stable for 2+ rounds and each has 300-case
+# Grammars 1-16 have been stable for 2+ rounds and each has 300-case
 # fresh-seed sweeps on record (the r8 sweep additionally searched
-# grammars 10-16 with non-derandomized seeds) — the in-suite
-# derandomized cases are only a regression floor, so 10 keeps the floor
-# while holding the suite wall near the ~15 min budget (r7 verdict
-# task 7). New or recently-changed grammars keep the full 25.
+# grammars 10-16 with non-derandomized seeds; 15-16 were fresh-swept
+# at BOTH sf0.01 and sf0.1 in r10 before joining the floor) — the
+# in-suite derandomized cases are only a regression floor, so 10 keeps
+# the floor while holding the suite wall near the ~15 min budget (r7
+# verdict task 7). New or recently-changed grammars keep the full 25.
 FUZZ_SETTINGS_STABLE = settings(
     max_examples=10,
     deadline=None,
@@ -1198,7 +1199,7 @@ def build_psketch_spark(spark, sf_dir: str, case: dict):
     )
 
 
-@FUZZ_SETTINGS
+@FUZZ_SETTINGS_STABLE  # stable r8-r10; fresh-swept at sf0.01 AND sf0.1 (r10)
 @given(case=PSKETCH_CASES)
 def test_random_portable_sketch_plans_agree(spark, duck, sf_dir, case):
     from test_oracle_parity import assert_frames_match
@@ -1298,7 +1299,7 @@ def build_bytemoment_spark(spark, sf_dir: str, case: dict):
     ).orderBy("doc_id")
 
 
-@FUZZ_SETTINGS
+@FUZZ_SETTINGS_STABLE  # stable r8-r10; fresh-swept at sf0.01 AND sf0.1 (r10)
 @given(case=BYTEMOMENT_CASES)
 def test_random_byte_moment_plans_agree(spark, duck, sf_dir, case):
     from test_oracle_parity import assert_frames_match

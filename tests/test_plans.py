@@ -159,7 +159,9 @@ def test_no_python_udfs_outside_declared_pandas_stages(spark, sf_dir, catalog_pl
     # JVM-side: no BatchEvalPython / ArrowEvalPython in the plan.
     pandas_ok = {"x1_unzip_payload", "m2_feature_extract", "m3_frame_sample",
                  "m4_resize", "m7_bmp_decode", "m8_bmp_channel_stats",
-                 "m9_wav_decode",
+                 "m9_wav_decode", "m10_wav_window_stats", "m11_ppm_decode",
+                 # NOT m10b: the portable twin must stay JVM-only — that
+                 # is its contract, and this guard is what enforces it.
                  "x2_grouped_pandas_agg",
                  "t6_stateful_custom",
                  "x3_python_udtf", "x4_scalar_pandas_udf", "x5_map_in_arrow",

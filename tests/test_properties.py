@@ -1066,3 +1066,96 @@ def test_wav_decode_accepts_spec_space_rejects_corruption(case):
     for blob in mutations:
         with pytest.raises((ValueError, NotImplementedError)):
             decode_media(blob, "audio")
+
+
+# --- PPM container property (m11's codec core) -------------------------------
+# The third parsing family: ASCII-tokenized headers. Sweep the accept
+# space the decoder claims — arbitrary whitespace runs between tokens,
+# `#` comments anywhere whitespace is legal, any of the four separator
+# bytes before the raster — assert the decoded layout AND that the
+# channel sums from the decoder's offset equal the closed form over the
+# cycled source bytes, then assert every malformation is rejected LOUDLY
+# (ValueError for corrupt headers/rasters, NotImplementedError for
+# two-byte samples). Pure Python bytes math: budget-free.
+
+PPM_CASES = st.fixed_dictionaries(
+    {
+        "w": st.integers(min_value=1, max_value=17),
+        "h": st.integers(min_value=1, max_value=9),
+        "src": st.binary(min_size=0, max_size=64),
+        "ws1": st.sampled_from([b"\n", b" ", b"\t", b"\r\n", b"  \n"]),
+        "ws2": st.sampled_from([b" ", b"\n", b"\t\t", b" \r "]),
+        "sep": st.sampled_from([b"\n", b" ", b"\t", b"\r"]),
+        "comment": st.sampled_from([None, b"synthetic", b" 12 9 "]),
+    }
+)
+
+
+@settings(max_examples=25, deadline=None, derandomize=True)
+@given(case=PPM_CASES)
+def test_ppm_decode_accepts_spec_space_rejects_corruption(case):
+    import pytest
+
+    from mric_bak_etl_spark.llm.multimodal import (
+        _cycle_bytes,
+        decode_media,
+        ppm_channel_sums,
+    )
+
+    w, h, src = case["w"], case["h"], case["src"]
+    dsize = w * h * 3
+    comment = b"#" + case["comment"] + b"\n" if case["comment"] else b""
+    header = (
+        b"P6" + case["ws1"] + comment + str(w).encode() + case["ws2"]
+        + str(h).encode() + case["ws1"] + b"255" + case["sep"]
+    )
+    raster = _cycle_bytes(src, dsize)
+    good = header + raster
+
+    dec = decode_media(good, "image")
+    assert dec == {
+        "width": w,
+        "height": h,
+        "maxval": 255,
+        "n_pixels": w * h,
+        "data_offset": len(header),
+        "data_size": dsize,
+    }
+    # Channel sums from the decoder's offset == closed form over the
+    # cycled source bytes, comments and whitespace runs notwithstanding.
+    assert ppm_channel_sums(good, dec) == (
+        w * h,
+        sum(raster[0::3]),
+        sum(raster[1::3]),
+        sum(raster[2::3]),
+    )
+
+    def header_variant(**kv) -> bytes:
+        vals = {"w": str(w).encode(), "h": str(h).encode(), "mv": b"255"}
+        vals.update(kv)
+        return (
+            b"P6\n" + vals["w"] + b" " + vals["h"] + b"\n" + vals["mv"]
+            + b"\n" + raster
+        )
+
+    mutations = [
+        b"P5" + good[2:],  # wrong magic (P5 is greyscale, not P6)
+        b"P6" + str(w).encode() + good[2 + len(case["ws1"]) :],  # no ws after magic
+        good[:-1],  # truncated raster
+        good + b"\x00",  # trailing byte beyond geometry
+        header_variant(w=b"0"),  # degenerate width
+        header_variant(h=b"0"),  # degenerate height
+        header_variant(mv=b"0"),  # maxval below 1
+        header_variant(mv=b"65536"),  # maxval above spec ceiling
+        header[:-1] if dsize else header[:-1] + b"",  # header runs into EOF
+        b"P6\n# unterminated comment",  # comment never closed
+        b"P6\n" + str(w).encode() + b" " + str(h).encode() + b"\n",  # no maxval
+    ]
+    for blob in mutations:
+        with pytest.raises((ValueError, NotImplementedError)):
+            decode_media(blob, "image")
+    # Two-byte samples: a MISSING CODEC, distinct from corruption.
+    with pytest.raises(NotImplementedError):
+        decode_media(
+            b"P6\n1 1\n65535\n" + bytes(6), "image"
+        )

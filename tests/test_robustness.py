@@ -100,6 +100,9 @@ REPRESENTATIVES = [
     # arithmetic could diverge.
     "m10_wav_window_stats",
     "m10b_portable_wav_window_stats",
+    # m11's ASCII-header parse runs in Python; the doc-grain fan-out
+    # rides the same exchange/collect postures as m7/m9.
+    "m11_ppm_decode",
 ]
 
 SCENARIOS = {
