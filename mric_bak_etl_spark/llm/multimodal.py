@@ -301,6 +301,11 @@ def _decode_ppm(content: bytes) -> dict:
     corruption) — the same split the BMP/WAV branches draw."""
     if content[:2] != b"P6":
         raise ValueError("corrupt PPM: bad magic")
+    if len(content) <= 2:
+        # Guard before the separator test: b"" is vacuously "in" _PPM_WS,
+        # so a bare b"P6" would otherwise fall through to a misleading
+        # header-token error instead of naming the truncation.
+        raise ValueError("corrupt PPM: truncated after magic")
     if content[2:3] not in _PPM_WS and content[2:3] != b"#":
         raise ValueError("corrupt PPM: magic not followed by whitespace")
 
@@ -364,6 +369,11 @@ def make_ppm(
     cycled/zero-filled — the make_bmp/make_wav discipline for the
     text-headered image family (no row padding: the raster is exactly
     the pixel bytes)."""
+    if comment is not None and ("\n" in comment or "\r" in comment):
+        # A line break would terminate the comment early and inject the
+        # remainder as stray header tokens — the blob would decode to a
+        # different geometry than requested (or be rejected).
+        raise ValueError("PPM comment must not contain line breaks")
     c = f"# {comment}\n" if comment is not None else ""
     return (
         f"P6\n{c}{width} {height}\n255\n".encode()
@@ -946,6 +956,10 @@ def wav_window_stats(
         dec = decode_media(blob, "audio")
     if win_frames is None:
         win_frames = _M10_WIN_FRAMES
+    if win_frames < 1:
+        # Fail loudly: 0 would raise a bare range() ValueError below and
+        # a negative value would silently yield NO windows.
+        raise ValueError(f"win_frames must be >= 1, got {win_frames}")
     nch, nfr = dec["n_channels"], dec["n_frames"]
     data = blob[dec["data_offset"] : dec["data_offset"] + dec["data_size"]]
     vals = struct.unpack_from(f"<{nfr * nch}h", data)
@@ -1126,7 +1140,15 @@ _M10B_STATS = f"""inline(array(CASE WHEN length(text) = 0
     "form whenever the 'decode' is pure byte math — whole-stage-"
     "codegen-adjacent HOFs, zero Python — while m10 carries the shape "
     "real codecs need; the permanent A/B keeps the Python-stage premium "
-    "measured (bench: m10 vs m10b).",
+    "measured (bench: m10 vs m10b). Measured premium (r11 same-session "
+    "A/B, twice, plus the r10 driver bench — all three agree): at sf0.1 "
+    "m10b runs 1.3-1.7x SLOWER than m10 — the Catalyst HOF fold gets no "
+    "common-subexpression elimination (each window re-derives its "
+    "samples inside aggregate+array_max), which at this payload size "
+    "costs more than m10's Arrow round-trip; SCALE.md's earlier parity "
+    "rows were host-weather noise. The twin stays: at larger frames/doc "
+    "the Arrow transfer grows linearly while the HOF overhead is "
+    "per-expression, and the value anchor is the point.",
     tags=("llm", "multimodal"),
 )
 def portable_wav_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

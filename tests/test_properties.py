@@ -1147,7 +1147,7 @@ def test_ppm_decode_accepts_spec_space_rejects_corruption(case):
         header_variant(h=b"0"),  # degenerate height
         header_variant(mv=b"0"),  # maxval below 1
         header_variant(mv=b"65536"),  # maxval above spec ceiling
-        header[:-1] if dsize else header[:-1] + b"",  # header runs into EOF
+        header[:-1],  # header runs into EOF
         b"P6\n# unterminated comment",  # comment never closed
         b"P6\n" + str(w).encode() + b" " + str(h).encode() + b"\n",  # no maxval
     ]
@@ -1159,3 +1159,39 @@ def test_ppm_decode_accepts_spec_space_rejects_corruption(case):
         decode_media(
             b"P6\n1 1\n65535\n" + bytes(6), "image"
         )
+
+
+def test_media_builder_edge_contracts():
+    """r10 ADVICE hardening: the error faces the builders/consumers owe.
+
+    - a bare b'P6' names the TRUNCATION (b'' is vacuously 'in' the
+      whitespace set, so without the guard it fell through to a
+      misleading header-token error);
+    - make_ppm rejects comments whose line break would terminate the
+      comment early and inject stray header tokens;
+    - wav_window_stats rejects win_frames < 1 loudly instead of a bare
+      range() error (0) or silently emitting no windows (negative).
+    """
+    import pytest
+
+    from mric_bak_etl_spark.llm.multimodal import (
+        decode_media,
+        make_ppm,
+        make_wav,
+        wav_window_stats,
+    )
+
+    with pytest.raises(ValueError, match="truncated after magic"):
+        decode_media(b"P6", "image")
+
+    with pytest.raises(ValueError, match="line breaks"):
+        make_ppm(b"xyz", 2, 2, comment="evil\n9 9")
+    with pytest.raises(ValueError, match="line breaks"):
+        make_ppm(b"xyz", 2, 2, comment="evil\r")
+
+    wav = make_wav(b"abc", 1, 4, 8000)
+    for bad in (0, -1):
+        with pytest.raises(ValueError, match="win_frames"):
+            wav_window_stats(wav, win_frames=bad)
+    # The valid face is unchanged: one full window of 4 frames.
+    assert [r[2] for r in wav_window_stats(wav, win_frames=4)] == [4]
