@@ -89,18 +89,24 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def decode_media(content: bytes, media_type: str) -> dict:
-    """Codec hook. REAL for three containers spanning three parsing
+    """Codec hook. REAL for four containers spanning four parsing
     families: uncompressed 24-bit BMP (fixed binary structs), 16-bit PCM
-    RIFF/WAVE (chunk walk), and binary Netpbm P6/PPM (ASCII-tokenized
-    header with comments) are parsed here in pure Python — magic,
-    declared sizes, geometry, format sanity — and the decoded header
-    fields are returned as a dict (including the payload offset/stride
-    layout, so consumers slice where the DECODER says the samples are).
-    Every other container still raises: video (and other image/audio
-    codecs) need pillow/torchaudio/pyav, which do not ship in this
-    environment; wire them in here and the m2/m3/m7/m9/m11 plumbing
-    needs no other change.
+    RIFF/WAVE (chunk walk), binary Netpbm P6/PPM (ASCII-tokenized
+    header with comments), and stored-method ZIP (tail-anchored
+    directory walk over multiple entries) are parsed here in pure
+    Python — magic, declared sizes, geometry, format sanity — and the
+    decoded header fields are returned as a dict (including the payload
+    offset/stride layout, so consumers slice where the DECODER says the
+    samples are). Every other container still raises: video (and other
+    image/audio codecs) need pillow/torchaudio/pyav, which do not ship
+    in this environment; wire them in here and the m2/m3/m7/m9/m11/m12
+    plumbing needs no other change.
     """
+    if media_type == "archive":
+        # No magic probe: a self-extracting prefix legally hides the
+        # local-header signature, so ZIP identity is decided by the
+        # tail-anchored EOCD scan inside the walker itself.
+        return _decode_zip(content)
     if media_type == "audio" and content[:4] == b"RIFF":
         return _decode_wav(content)
     if media_type == "image" and content[:2] == b"P6":
@@ -379,6 +385,216 @@ def make_ppm(
         f"P6\n{c}{width} {height}\n255\n".encode()
         + _cycle_bytes(pixel_source, width * height * 3)
     )
+
+
+_ZIP_EOCD_SIG = b"PK\x05\x06"
+_ZIP_CDIR_SIG = b"PK\x01\x02"
+_ZIP_LOCAL_SIG = b"PK\x03\x04"
+
+
+def _decode_zip(content: bytes) -> dict:
+    """ZIP central-directory walker (the m12 codec) — the multi-entry
+    archive family: find the end-of-central-directory record from the
+    tail (it floats behind a variable-length archive comment), walk the
+    central directory, and cross-check every entry against its local
+    file header. Mirrors the reference's decompress stage
+    (src/bak_unload.ps1:74-75) with the m-family's split: structural
+    lies (truncation, size/offset/count mismatches, CRC damage) raise
+    ValueError; entries whose content is unreachable without another
+    codec (compression, encryption, multi-disk spanning) raise
+    NotImplementedError.
+
+    Self-extracting-style prefixes are spec reality: offsets recorded
+    in the archive are relative to the ORIGINAL archive start, so a
+    blob with prepended bytes decodes only by deriving the shift from
+    where the directory ACTUALLY sits vs where the EOCD claims it is —
+    the m8/m11 lesson (consumers slice where the DECODER says) in
+    archive form; the closed-form oracle never models the prefix.
+    """
+    import struct
+    import zlib
+
+    n = len(content)
+    if n < 22:
+        raise ValueError("corrupt ZIP: shorter than an EOCD record")
+    # EOCD: last 22 bytes + up to 65535 comment bytes. Scan backwards
+    # for the signature whose comment length seals the file exactly; a
+    # non-sealing hit is payload/comment coincidence (or a lying comment
+    # length) — keep scanning, the no-EOCD rejection below covers it.
+    floor = max(0, n - 22 - 65535)
+    eocd = -1
+    pos = n - 22
+    while pos >= floor:
+        if content[pos : pos + 4] == _ZIP_EOCD_SIG:
+            (clen,) = struct.unpack_from("<H", content, pos + 20)
+            if pos + 22 + clen == n:
+                eocd = pos
+                break
+        pos -= 1
+    if eocd == -1:
+        raise ValueError("corrupt ZIP: no end-of-central-directory record")
+    disk, cd_disk, n_disk, n_total, cd_size, cd_offset = struct.unpack_from(
+        "<HHHHII", content, eocd + 4
+    )
+    if disk != 0 or cd_disk != 0 or n_disk != n_total:
+        raise NotImplementedError("multi-disk ZIP archives are not supported")
+    actual_cd = eocd - cd_size
+    if actual_cd < 0:
+        raise ValueError("corrupt ZIP: central directory size exceeds file")
+    shift = actual_cd - cd_offset
+    if shift < 0:
+        raise ValueError(
+            "corrupt ZIP: central directory offset points past its "
+            "actual position"
+        )
+
+    entries = []
+    pos = actual_cd
+    for i in range(n_total):
+        if content[pos : pos + 4] != _ZIP_CDIR_SIG:
+            raise ValueError(
+                f"corrupt ZIP: bad central-directory signature at entry {i}"
+            )
+        (
+            _ver_made, _ver_need, flags, method, _time, _date,
+            crc, comp_size, uncomp_size, name_len, extra_len, comment_len,
+            _disk_start, _int_attrs, _ext_attrs, local_off,
+        ) = struct.unpack_from("<HHHHHHIIIHHHHHII", content, pos + 4)
+        name_start = pos + 46
+        name = content[name_start : name_start + name_len]
+        if len(name) != name_len:
+            raise ValueError("corrupt ZIP: central directory truncated")
+        if flags & 0x1:
+            raise NotImplementedError(
+                "encrypted ZIP entries are not supported"
+            )
+        if flags & 0x8:
+            raise ValueError(
+                "corrupt ZIP: data-descriptor entries carry no sizes in "
+                "the central directory"
+            )
+        if method != 0:
+            raise NotImplementedError(
+                f"only stored (method 0) ZIP entries are supported "
+                f"(method={method})"
+            )
+        if comp_size != uncomp_size:
+            raise ValueError(
+                f"corrupt ZIP: stored entry {i} sizes disagree "
+                f"({comp_size} != {uncomp_size})"
+            )
+        # Cross-check the local header the central record points at —
+        # its OWN name/extra lengths decide where the data starts (local
+        # extra fields legally differ from the central copy).
+        lpos = shift + local_off
+        if lpos + 30 > actual_cd:
+            raise ValueError(
+                f"corrupt ZIP: entry {i} local header outside archive body"
+            )
+        if content[lpos : lpos + 4] != _ZIP_LOCAL_SIG:
+            raise ValueError(
+                f"corrupt ZIP: bad local-header signature for entry {i}"
+            )
+        l_name_len, l_extra_len = struct.unpack_from("<HH", content, lpos + 26)
+        if content[lpos + 30 : lpos + 30 + l_name_len] != name:
+            raise ValueError(
+                f"corrupt ZIP: entry {i} local/central names disagree"
+            )
+        data_off = lpos + 30 + l_name_len + l_extra_len
+        if data_off + uncomp_size > actual_cd:
+            raise ValueError(
+                f"corrupt ZIP: entry {i} data overruns the central directory"
+            )
+        payload = content[data_off : data_off + uncomp_size]
+        if zlib.crc32(payload) != crc:
+            raise ValueError(f"corrupt ZIP: entry {i} CRC mismatch")
+        entries.append(
+            {
+                "name": name.decode("ascii"),
+                "size": uncomp_size,
+                "data_offset": data_off,
+            }
+        )
+        pos = name_start + name_len + extra_len + comment_len
+    if pos != eocd:
+        raise ValueError(
+            f"corrupt ZIP: central directory size lies "
+            f"(walked to {pos}, EOCD at {eocd})"
+        )
+    return {
+        "n_entries": n_total,
+        "cd_offset": actual_cd,
+        "prefix_len": shift,
+        "entries": entries,
+    }
+
+
+def make_zip(
+    payload_source: bytes,
+    entry_lens: list[int],
+    prefix: bytes = b"",
+    comment: bytes = b"",
+) -> bytes:
+    """A real, stored-method ZIP: entry ``i`` is named ``e{i}.bin`` and
+    carries ``entry_lens[i]`` bytes drawn from ``payload_source`` cycled
+    starting at position ``i`` (byte ``j`` of entry ``i`` is source byte
+    ``(j + i) % len`` — the m8/m9 cycled-position idiom, rotated per
+    entry so every entry's sum differs). ``prefix`` models the
+    self-extracting case: recorded offsets stay relative to the archive
+    proper, exactly what concatenating a stub in front produces. The
+    output opens in stdlib zipfile (interop pinned by the container
+    property test)."""
+    import struct
+    import zlib
+
+    assert b"\n" not in comment and b"\r" not in comment
+    payloads = []
+    for i, ln in enumerate(entry_lens):
+        if payload_source:
+            rot = i % len(payload_source)
+            rotated = payload_source[rot:] + payload_source[:rot]
+        else:
+            rotated = b""
+        payloads.append(_cycle_bytes(rotated, ln))
+    locals_blob = bytearray()
+    centrals = bytearray()
+    offsets = []
+    for i, payload in enumerate(payloads):
+        name = f"e{i}.bin".encode()
+        crc = zlib.crc32(payload)
+        offsets.append(len(locals_blob))
+        locals_blob += _ZIP_LOCAL_SIG + struct.pack(
+            "<HHHHHIIIHH", 20, 0, 0, 0, 0x21, crc,
+            len(payload), len(payload), len(name), 0,
+        ) + name + payload
+    for i, payload in enumerate(payloads):
+        name = f"e{i}.bin".encode()
+        centrals += _ZIP_CDIR_SIG + struct.pack(
+            "<HHHHHHIIIHHHHHII", 20, 20, 0, 0, 0, 0x21, zlib.crc32(payload),
+            len(payload), len(payload), len(name), 0, 0, 0, 0, 0,
+            offsets[i],
+        ) + name
+    eocd = _ZIP_EOCD_SIG + struct.pack(
+        "<HHHHIIH", 0, 0, len(payloads), len(payloads),
+        len(centrals), len(locals_blob), len(comment),
+    ) + comment
+    return prefix + bytes(locals_blob) + bytes(centrals) + eocd
+
+
+def zip_entry_byte_sums(blob: bytes, dec: dict | None = None) -> list[tuple]:
+    """Per-entry (size, byte_sum) with payloads sliced at the DECODER's
+    data offsets (the m8/m11 coupling lesson in archive form: a
+    self-extracting prefix, an EOCD comment, or a local extra field
+    moves every offset; the sums must not care)."""
+    if dec is None:
+        dec = decode_media(blob, "archive")
+    return [
+        (
+            e["size"],
+            sum(blob[e["data_offset"] : e["data_offset"] + e["size"]]),
+        )
+        for e in dec["entries"]
+    ]
 
 
 def ppm_channel_sums(blob: bytes, dec: dict | None = None) -> tuple:
@@ -1264,6 +1480,98 @@ def ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         spread(d)
         .mapInPandas(_ppm_batches, schema=_M11_SCHEMA)
         .orderBy("media_id")
+    )
+
+
+_M12_SCHEMA = (
+    "media_id long, entry_no long, name string, n_bytes long, byte_sum long"
+)
+
+
+def _zip_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    cols = ("media_id", "entry_no", "name", "n_bytes", "byte_sum")
+    for pdf in batches:
+        out: dict[str, list] = {k: [] for k in cols}
+        for mid, text in zip(pdf["doc_id"], pdf["text"]):
+            # Same corpus contract as m8/m9/m10/m11: the oracle counts
+            # code points, the builder cycles encode() bytes — ASCII-only.
+            assert text.isascii(), (
+                f"m12 oracle assumes ASCII text; doc {mid} is not"
+            )
+            mid_i = int(mid)
+            ne = mid_i % 3 + 1
+            lens = [mid_i % 13 + 1 + 7 * i for i in range(ne)]
+            blob = make_zip(
+                text.encode(),
+                lens,
+                # Self-extracting junk prefix (odd ids) and EOCD comment
+                # (ids ≡ 1 mod 3): layout the oracle never models —
+                # correctness REQUIRES slicing at the decoder's shifted
+                # offsets.
+                prefix=b"\xfe" * (mid_i % 5 + 1) if mid_i % 2 else b"",
+                comment=(
+                    f"synthetic {mid_i}".encode() if mid_i % 3 == 1 else b""
+                ),
+            )
+            dec = decode_media(blob, "archive")
+            for i, (sz, s) in enumerate(zip_entry_byte_sums(blob, dec)):
+                out["media_id"].append(mid)
+                out["entry_no"].append(i)
+                out["name"].append(dec["entries"][i]["name"])
+                out["n_bytes"].append(sz)
+                out["byte_sum"].append(s)
+        yield pd.DataFrame(out)
+
+
+@register(
+    "m12_zip_manifest",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id, text, doc_id % 3 + 1 AS ne FROM documents
+    ),
+    e AS (SELECT doc_id, text, unnest(range(0, ne)) AS i FROM g),
+    s AS (SELECT doc_id, text, i, doc_id % 13 + 1 + 7 * i AS len FROM e)
+    SELECT doc_id                 AS media_id,
+           CAST(i AS BIGINT)      AS entry_no,
+           'e' || i || '.bin'     AS name,
+           CAST(len AS BIGINT)    AS n_bytes,
+           CAST(CASE WHEN length(text) = 0 THEN 0 ELSE
+             list_sum(list_transform(generate_series(0, len - 1), j ->
+               {_m9_byte_oracle("j + i")}))
+           END AS BIGINT)         AS byte_sum
+    FROM s
+    ORDER BY media_id, entry_no
+    """,
+    doc="M12: fourth REAL container, and the first MULTI-ENTRY one — a "
+    "ZIP central-directory walk, closing the loop back to the "
+    "reference's own decompress stage (src/bak_unload.ps1:74-75) with "
+    "the m-family's exact-integer oracle discipline. Each document "
+    "becomes a stored-method archive of 1-3 entries (entry i carries "
+    "the text bytes cycled from position i); decode_media('archive') "
+    "finds the EOCD from the tail (it floats behind a variable-length "
+    "comment), walks the central directory, cross-checks every entry "
+    "against its local header (whose OWN name/extra lengths place the "
+    "data), validates CRC-32, and derives the self-extracting prefix "
+    "shift from where the directory ACTUALLY sits vs where the EOCD "
+    "claims — the manifest sums are sliced at the decoder's shifted "
+    "offsets (odd ids carry a junk prefix the oracle never models: the "
+    "m8/m11 coupling lesson in archive form). Structural lies "
+    "(truncated EOCD, lying cd_size/counts/sizes, CRC damage) raise "
+    "ValueError; content needing another codec (compression, "
+    "encryption, multi-disk) raises NotImplementedError; stdlib-zipfile "
+    "interop is pinned both directions by the container property. Same "
+    "100 TB shape as m7-m11: Arrow-batched mapInPandas after spread(), "
+    "bytes never leave the executor, manifest-sized output (1-3 "
+    "rows/doc) — exactly how a crawl turns an archive column into a "
+    "training-data manifest.",
+    tags=("llm", "multimodal", "udf", "reference-fidelity"),
+)
+def zip_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return (
+        spread(d)
+        .mapInPandas(_zip_batches, schema=_M12_SCHEMA)
+        .orderBy("media_id", "entry_no")
     )
 
 

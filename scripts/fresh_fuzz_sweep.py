@@ -2,7 +2,7 @@
 
 The in-suite fuzz tests are DERANDOMIZED — a fixed regression floor that
 runs identically every time. This sweep is the searched depth: every
-invocation draws genuinely new cases for all 18 grammars and fails loudly
+invocation draws genuinely new cases for all 19 grammars and fails loudly
 on the first cross-engine divergence. Round 8 ran 4,050 fresh cases this
 way (300 x grammars 1-12, then a reduced budget for the heavier recipe
 grammars), zero divergences; the grammar-16 IN-SUITE run had already
@@ -76,6 +76,8 @@ def main() -> None:
          tf.test_random_wav_codec_recipes_agree, True),
         ("wavwin", tf.WAVWIN_CASES,
          tf.test_random_wav_window_recipes_agree, True),
+        ("zipman", tf.ZIPMAN_CASES,
+         tf.test_random_zip_manifest_recipes_agree, True),
     ]
     only = {g for g in args.only.split(",") if g}
     cfg = settings(

@@ -1561,3 +1561,113 @@ def test_random_wav_window_recipes_agree(spark, duck, sf_dir, case):
         f"wavwin[c{case['nch_mod']}|f{case['nfr_mod']}+{case['nfr_off']}|"
         f"w{case['win']}|{case['xform']}|g{case['gap']}]",
     )
+
+
+# --- grammar 19: ZIP manifest recipe (m12's end-to-end composition) ---------
+# Random archive recipes through the REAL ZIP codec: the builder packs a
+# per-document stored-method archive (entry counts x entry-length ladders x
+# byte sources x self-extracting junk prefixes x EOCD comments — the last
+# two are layout the ORACLE never models, so the manifest sums must be
+# shift-invariant purely via the decoder's own offsets), walks the central
+# directory, and emits exact per-entry byte sums; DuckDB recomputes them
+# closed-form from the rotated cycled text bytes. All-integer output — no
+# float surface anywhere in the grammar.
+
+ZIPMAN_CASES = st.fixed_dictionaries(
+    {
+        "ne_mod": st.sampled_from([1, 2, 3, 4]),
+        "len_mod": st.sampled_from([5, 13, 19]),
+        "len_step": st.sampled_from([0, 3, 7]),
+        "xform": st.sampled_from(
+            ["text", "upper(text)", "substring(text, 5, 60)",
+             "substring(text, 2000, 10)"]
+        ),
+        "prefix": st.integers(min_value=0, max_value=9),
+        "comment": st.booleans(),
+    }
+)
+
+
+def build_zipman_spark(spark, sf_dir: str, case: dict):
+    import pandas as pd
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from mric_bak_etl_spark.llm.multimodal import (
+        decode_media,
+        make_zip,
+        zip_entry_byte_sums,
+    )
+    from mric_bak_etl_spark.tables import load_table
+
+    ne_mod, len_mod, step = case["ne_mod"], case["len_mod"], case["len_step"]
+    prefix, comment = case["prefix"], case["comment"]
+
+    def batches(it):
+        for pdf in it:
+            out = {"doc_id": [], "entry_no": [], "n_bytes": [], "byte_sum": []}
+            for did, t in zip(pdf["doc_id"], pdf["t"]):
+                assert t.isascii()  # the m8/m9 corpus contract
+                ne = int(did) % ne_mod + 1
+                lens = [int(did) % len_mod + 1 + step * i for i in range(ne)]
+                blob = make_zip(
+                    t.encode(), lens,
+                    prefix=b"\xfe" * prefix,
+                    comment=(f"fuzz {did}".encode() if comment else b""),
+                )
+                dec = decode_media(blob, "archive")
+                for i, (sz, s) in enumerate(zip_entry_byte_sums(blob, dec)):
+                    out["doc_id"].append(did)
+                    out["entry_no"].append(i)
+                    out["n_bytes"].append(sz)
+                    out["byte_sum"].append(s)
+            yield pd.DataFrame(out)
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(case["xform"]).alias("t")
+    )
+    return d.mapInPandas(
+        batches,
+        schema="doc_id long, entry_no long, n_bytes long, byte_sum long",
+    ).orderBy("doc_id", "entry_no")
+
+
+def render_zipman_sql(case: dict) -> str:
+    ne_mod, len_mod, step = case["ne_mod"], case["len_mod"], case["len_step"]
+
+    def byte(p: str) -> str:
+        return f"ascii(substring(t, (({p}) % length(t)) + 1, 1))"
+
+    return f"""
+    WITH g AS (
+      SELECT doc_id, {case["xform"]} AS t, doc_id % {ne_mod} + 1 AS ne
+      FROM documents
+    ),
+    e AS (SELECT doc_id, t, unnest(range(0, ne)) AS i FROM g),
+    s AS (SELECT doc_id, t, i,
+                 doc_id % {len_mod} + 1 + {step} * i AS len
+          FROM e)
+    SELECT doc_id,
+           CAST(i AS BIGINT)   AS entry_no,
+           CAST(len AS BIGINT) AS n_bytes,
+           CAST(CASE WHEN length(t) = 0 THEN 0 ELSE
+             list_sum(list_transform(generate_series(0, len - 1), j ->
+               {byte("j + i")}))
+           END AS BIGINT)      AS byte_sum
+    FROM s
+    ORDER BY doc_id, entry_no
+    """
+
+
+@FUZZ_SETTINGS
+@given(case=ZIPMAN_CASES)
+def test_random_zip_manifest_recipes_agree(spark, duck, sf_dir, case):
+    from test_oracle_parity import assert_frames_match
+
+    got = build_zipman_spark(spark, sf_dir, case).toPandas()
+    want = duck.execute(render_zipman_sql(case)).df()
+    assert_frames_match(
+        got,
+        want,
+        f"zipman[n{case['ne_mod']}|l{case['len_mod']}+{case['len_step']}|"
+        f"{case['xform']}|p{case['prefix']}|c{int(case['comment'])}]",
+    )

@@ -377,6 +377,33 @@ def test_portable_wav_window_equals_pandas_path(spark, sf_dir):
     assert pandas_rows == jvm_rows
 
 
+def test_zip_manifest_decoder_contract():
+    """m12 unit face: known bytes → exact sums; the self-extracting
+    prefix shifts every offset (oracle-invisible layout — the decoder
+    owns it); a DEFLATED archive is a MISSING CODEC, not corruption."""
+    import io
+    import zipfile
+
+    from mric_bak_etl_spark.llm.multimodal import (
+        decode_media,
+        make_zip,
+        zip_entry_byte_sums,
+    )
+
+    blob = make_zip(b"ab", [3, 2], prefix=b"\xfe\xfe", comment=b"c")
+    dec = decode_media(blob, "archive")
+    assert dec["prefix_len"] == 2 and dec["n_entries"] == 2
+    assert [e["name"] for e in dec["entries"]] == ["e0.bin", "e1.bin"]
+    # entry 0: bytes a,b,a → 97+98+97; entry 1 rotated by 1: b,a → 98+97
+    assert zip_entry_byte_sums(blob, dec) == [(3, 292), (2, 195)]
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("x.txt", b"compress me " * 10)
+    with pytest.raises(NotImplementedError, match="method"):
+        decode_media(buf.getvalue(), "archive")
+
+
 def test_ivf_scores_consistent_with_brute_force(spark, sf_dir):
     from mric_bak_etl_spark.llm.similarity import ivf_topk
 

@@ -1195,3 +1195,121 @@ def test_media_builder_edge_contracts():
             wav_window_stats(wav, win_frames=bad)
     # The valid face is unchanged: one full window of 4 frames.
     assert [r[2] for r in wav_window_stats(wav, win_frames=4)] == [4]
+
+
+# --- ZIP container property (m12's codec core) -------------------------------
+# The BMP/WAV/PPM discipline for the archive codec: sweep the container
+# space the decoder claims to accept — 0..4 stored entries, arbitrary
+# payloads, self-extracting junk prefixes, EOCD comments — assert the
+# decoded manifest AND the per-entry byte sums against the raw payloads
+# (the decoder-owned offset contract), interop BOTH directions with
+# stdlib zipfile (our writer's archives must open there; zipfile-written
+# archives must decode here), then assert every corruption is rejected
+# LOUDLY (ValueError for lying sizes/counts/CRC/truncation,
+# NotImplementedError for compressed/encrypted/multi-disk). Pure Python
+# bytes math: budget-free.
+
+ZIP_CASES = st.fixed_dictionaries(
+    {
+        "payloads": st.lists(
+            st.binary(min_size=0, max_size=40), min_size=0, max_size=4
+        ),
+        "src": st.binary(min_size=0, max_size=48),
+        "prefix": st.integers(min_value=0, max_value=9),
+        "comment": st.binary(min_size=0, max_size=12).filter(
+            lambda c: b"PK" not in c
+        ),
+    }
+)
+
+
+@settings(max_examples=25, deadline=None, derandomize=True)
+@given(case=ZIP_CASES)
+def test_zip_decode_accepts_spec_space_rejects_corruption(case):
+    import io
+    import struct
+    import zipfile
+
+    import pytest
+
+    from mric_bak_etl_spark.llm.multimodal import (
+        decode_media,
+        make_zip,
+        zip_entry_byte_sums,
+    )
+
+    src, lens = case["src"], [len(p) for p in case["payloads"]]
+    prefix = b"\xfe" * case["prefix"]
+    good = make_zip(src, lens, prefix=prefix, comment=case["comment"])
+
+    dec = decode_media(good, "archive")
+    assert dec["n_entries"] == len(lens)
+    assert dec["prefix_len"] == len(prefix)
+    # Manifest + sums from the decoder's layout == closed-form over the
+    # rotated cycled source bytes, prefix/comment notwithstanding.
+    sums = zip_entry_byte_sums(good, dec)
+    for i, ln in enumerate(lens):
+        assert dec["entries"][i]["name"] == f"e{i}.bin"
+        want = (
+            sum(src[(j + i) % len(src)] for j in range(ln)) if src else 0
+        )
+        assert sums[i] == (ln, want)
+
+    # Interop out: stdlib zipfile opens our archives and agrees.
+    with zipfile.ZipFile(io.BytesIO(good)) as zf:
+        assert zf.namelist() == [f"e{i}.bin" for i in range(len(lens))]
+        assert zf.testzip() is None
+        for i, ln in enumerate(lens):
+            payload = zf.read(f"e{i}.bin")
+            assert len(payload) == ln and sum(payload) == sums[i][1]
+
+    # Interop in: zipfile-written STORED archives decode here.
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as zf:
+        for i, payload in enumerate(case["payloads"]):
+            zf.writestr(f"p{i}.dat", payload)
+    theirs = decode_media(buf.getvalue(), "archive")
+    assert [e["name"] for e in theirs["entries"]] == [
+        f"p{i}.dat" for i in range(len(case["payloads"]))
+    ]
+    assert [s for _, s in zip_entry_byte_sums(buf.getvalue(), theirs)] == [
+        sum(p) for p in case["payloads"]
+    ]
+
+    def corrupt(*patches) -> bytes:
+        b = bytearray(good)
+        for offset, fmt, value in patches:
+            struct.pack_into(fmt, b, offset, value)
+        return bytes(b)
+
+    eocd = len(good) - len(case["comment"]) - 22  # EOCD record position
+    cd_size = eocd - dec["cd_offset"]
+    mutations = [
+        good[:-1],  # truncated EOCD (comment length no longer seals)
+        good + b"\x00",  # trailing byte beyond the EOCD comment
+        # entry count lies high (both disk-count fields, else the
+        # mismatch trips the multi-disk gate before the lie matters)
+        corrupt((eocd + 8, "<H", len(lens) + 1),
+                (eocd + 10, "<H", len(lens) + 1)),
+        corrupt((eocd + 12, "<I", cd_size + 4)),  # cd_size lies
+        corrupt((eocd + 16, "<I", dec["cd_offset"] + 1)),  # offset past actual
+    ]
+    if lens:
+        cd = dec["cd_offset"]
+        first_local = dec["prefix_len"]
+        mutations += [
+            corrupt((cd + 10, "<H", 8)),  # deflate → missing codec
+            corrupt((cd + 8, "<H", 1)),  # encrypted → missing codec
+            corrupt((cd + 16, "<I", 0xDEADBEEF)),  # CRC lies
+            corrupt((cd + 20, "<I", lens[0] + 1)),  # stored sizes disagree
+            corrupt((first_local, "<I", 0x02014B50)),  # local sig wrong
+        ]
+        if len(lens) > 1:
+            # count lies low → the directory walk stops short of the EOCD
+            mutations.append(
+                corrupt((eocd + 8, "<H", len(lens) - 1),
+                        (eocd + 10, "<H", len(lens) - 1))
+            )
+    for blob in mutations:
+        with pytest.raises((ValueError, NotImplementedError)):
+            decode_media(blob, "archive")
