@@ -15,6 +15,9 @@ token counts) are embarrassingly parallel projections: no shuffle at all.
 
 from __future__ import annotations
 
+import os
+import tempfile
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1467,6 +1470,19 @@ def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         (r["a"], r["b"])
         for r in bpe_merges(spark, sf_dir).orderBy("rank").collect()
     ]
+    return _encode_corpus(spark, sf_dir, merges)
+
+
+def _encode_corpus(
+    spark: SparkSession, sf_dir: str, merges: list[tuple[str, str]]
+) -> DataFrame:
+    """The apply face shared by l26b (freshly trained merges) and l26c
+    (persisted-artifact merges): encode the distinct corpus vocabulary
+    with the merge table via the SAME leftmost fold training used
+    (_merge_fold_spark), broadcast-join the encoded vocabulary back
+    onto the corpus words, and roll up to document grain. The corpus
+    never shuffles for the encode; the only exchange is the final
+    map-side-combinable doc rollup."""
     d = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     words = d.select("doc_id", F.explode(tokens()).alias("word")).filter(
         F.col("word").rlike("^[a-z]+$")
@@ -1495,6 +1511,91 @@ def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def _merge_artifact_base(sf_dir: str) -> str:
+    """Versioned location of the persisted merge table for ``sf_dir`` —
+    keyed by the documents parquet's identity (absolute path + size +
+    mtime) and the trainer's config, so a regenerated corpus or a
+    retuned tokenizer invalidates the artifact instead of poisoning the
+    apply face with stale merges. The production analogue is a tokenizer
+    version pin in a model registry."""
+    import hashlib
+
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    key = hashlib.sha256(
+        f"{os.path.abspath(sf_dir)}|{st.st_size}|{st.st_mtime_ns}"
+        f"|bpe-v1-r{BPE_ROUNDS}-w{BPE_VOCAB_WORDS}".encode()
+    ).hexdigest()[:16]
+    return os.path.join(tempfile.gettempdir(), "mric_bpe_artifacts", key)
+
+
+def publish_merge_table(spark: SparkSession, sf_dir: str) -> str:
+    """Train-if-missing: return the published merge-table path, training
+    and publishing only when absent — write to a staging dir, AUDIT what
+    was actually written (exactly BPE_ROUNDS rows, ranks 1..N, non-null
+    pairs), then one atomic rename: the s11 write-audit-publish shape
+    applied to a model artifact instead of a snapshot. Concurrent
+    trainers race benignly — the loser's rename fails against the
+    winner's published dir and falls through to reading it."""
+    base = _merge_artifact_base(sf_dir)
+    published = os.path.join(base, "published")
+    if os.path.isdir(published):
+        return published
+    os.makedirs(base, exist_ok=True)
+    staging = tempfile.mkdtemp(prefix="_staging_", dir=base)
+    bpe_merges(spark, sf_dir).write.mode("overwrite").parquet(staging)
+    audited = spark.read.parquet(staging).collect()
+    ranks = sorted(r["rank"] for r in audited)
+    if ranks != list(range(1, BPE_ROUNDS + 1)) or any(
+        not r["a"] or not r["b"] for r in audited
+    ):
+        raise ValueError(
+            f"merge-table audit failed (ranks={ranks}) — NOT published"
+        )
+    try:
+        os.rename(staging, published)  # atomic on POSIX
+    except OSError:
+        if not os.path.isdir(published):
+            raise  # a real failure, not a lost publish race
+    return published
+
+
+def load_merge_table(spark: SparkSession, sf_dir: str) -> list[tuple[str, str]]:
+    """The apply-only artifact read: BPE_ROUNDS rows in rank order — the
+    KB-sized file a tokenizer ships. No training stage anywhere on this
+    path once the artifact exists (tests/test_llm.py pins that by making
+    training raise)."""
+    path = publish_merge_table(spark, sf_dir)
+    rows = spark.read.parquet(path).orderBy("rank").collect()
+    return [(r["a"], r["b"]) for r in rows]
+
+
+@register(
+    "l26c_bpe_encode_persisted",
+    oracle=_bpe_apply_oracle(),
+    doc="L26c: l26b's PRODUCTION face — what a crawl actually runs. l26b "
+    "is honest as a self-contained oracle pair but re-trains the merge "
+    "table on every call (6 pair-count aggregations + per-round argmax "
+    "probes); a pipeline trains ONCE, ships the artifact, and every "
+    "encode job loads it. This query consumes a PERSISTED merge table: "
+    "publish_merge_table trains at most once per corpus fingerprint "
+    "(write → audit-what-was-written → one atomic rename, the s11 "
+    "write-audit-publish shape applied to a model artifact; the "
+    "artifact key pins corpus identity + trainer config — the l38/l40 "
+    "probe-the-persisted-index pattern applied to tokenizers), and the "
+    "steady-state work is: read BPE_ROUNDS parquet rows, build the "
+    "fold expressions, encode — identical semantics to l26b via the "
+    "shared _encode_corpus/_merge_fold_spark, verified by the same "
+    "re-learning oracle, and pinned apply-only by test (training "
+    "monkeypatched to raise once the artifact exists). At 100 TB: the "
+    "merge table is KB-sized and broadcast; per-crawl cost is one "
+    "tokenize + one broadcast join — training amortizes to zero across "
+    "crawls.",
+    tags=("llm", "text", "artifact"),
+)
+def bpe_encode_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _encode_corpus(spark, sf_dir, load_merge_table(spark, sf_dir))
 
 
 @register(

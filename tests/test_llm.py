@@ -865,3 +865,53 @@ def test_bpe_apply_fold_and_encode_invariants(spark, sf_dir):
     )
     assert all(r["n_tokens"] <= chars[r["doc_id"]] for r in out)
     assert sum(r["n_tokens"] for r in out) < sum(chars.values())
+
+
+def test_bpe_persisted_artifact_is_apply_only(spark, sf_dir, monkeypatch):
+    """l26c's contract (r10 verdict task 4): train once, publish, then
+    every call is apply-only — pinned by making training raise after the
+    artifact exists. Also pins l26c == l26b row for row (same merges →
+    same encode via the shared fold)."""
+    import os
+    import shutil
+
+    import pandas as pd
+
+    from mric_bak_etl_spark.llm import text as T
+
+    base = T._merge_artifact_base(sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+
+    want = T.bpe_encode(spark, sf_dir).toPandas()  # the self-contained face
+
+    first = T.bpe_encode_persisted(spark, sf_dir).toPandas()
+    assert os.path.isdir(os.path.join(base, "published"))
+
+    def boom(*_a, **_k):
+        raise AssertionError("training ran on the apply-only path")
+
+    monkeypatch.setattr(T, "bpe_merges", boom)
+    second = T.bpe_encode_persisted(spark, sf_dir).toPandas()
+
+    pd.testing.assert_frame_equal(first, second)
+    pd.testing.assert_frame_equal(first, want)
+
+
+def test_bpe_artifact_audit_blocks_bad_merge_tables(
+    spark, sf_dir, monkeypatch, tmp_path
+):
+    """The write-audit-publish gate: a trainer that produces a short /
+    wrong-ranked merge table must NOT publish (the s11 failed-audit
+    shape on the model-artifact path)."""
+    import os
+
+    from mric_bak_etl_spark.llm import text as T
+
+    monkeypatch.setattr(
+        T, "_merge_artifact_base", lambda _sf: str(tmp_path / "art")
+    )
+    bad = T.bpe_merges(spark, sf_dir).filter(F.col("rank") < T.BPE_ROUNDS)
+    monkeypatch.setattr(T, "bpe_merges", lambda *_a: bad)
+    with pytest.raises(ValueError, match="audit failed"):
+        T.publish_merge_table(spark, sf_dir)
+    assert not os.path.isdir(str(tmp_path / "art" / "published"))
