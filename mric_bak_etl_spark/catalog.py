@@ -197,3 +197,95 @@ def oracle_sql() -> dict[str, str]:
         for spec in _ordered_specs()
         if spec.oracle is not None
     }
+
+
+# Headline/bench set (r10 verdict task 6): the flagship + one
+# representative per operator family, grown as families land. bench.py
+# derives its run list from here via headline_names(), which validates
+# every name against the registry (a typo or a renamed query fails
+# loudly), and tests/test_catalog.py makes FORGETTING impossible: every
+# query with no driver attestation yet (first registered this round)
+# must be a member, so its first driver round benches it too.
+#
+# Design note — why a registry-level tuple and not @register(...,
+# headline=True): the introspect sweep deliberately treats any decorator
+# edit as a changed verification contract (an oracle-only edit must
+# re-enter the driver head), so flipping a kwarg on 50+ existing
+# registrations would queue them ALL for driver re-confirmation —
+# blowing the ~50-entry rotation budget on a semantically-inert change
+# at the cost of the round's real re-verification work. Bench membership
+# is not part of the correctness contract, so it lives beside the
+# registry, not inside the verified symbols.
+HEADLINE: tuple[str, ...] = (
+    "a1_pricing_summary",   # scan + filter + multi-measure hash agg
+    "a4_rollup",            # grouping sets / Expand
+    "j1_inner_equi",        # shuffle join + agg
+    "j2_broadcast_dims",    # broadcast snowflake join
+    "j6_asof",              # as-of via union+window carry-forward
+    "w1_ranking",           # top-N per group window
+    "w3_frames",            # running/moving frames
+    "o2_topk",              # TakeOrderedAndProject
+    "u2b_except_all",       # multiset set-op
+    "f5_arrays",            # higher-order array expressions
+    "h3_shipping_priority", # TPC-H Q3 composite (3-way join + agg + top-k)
+    "h5_local_supplier_volume",  # TPC-H Q5 composite (6-way join)
+    "h18_large_volume_customer", # TPC-H Q18 (semi-filter + re-aggregate)
+    "sq2_scalar_correlated",     # decorrelated scalar subquery (Q17 shape)
+    "j8_salted_skew_join",       # manual skew salting
+    "t1_tumbling_window",   # streaming window agg (batch face)
+    "l2_minhash_lsh",       # shingle→minhash→band→bucket-join near-dup
+    "l3_cosine_topk",       # vector top-k (broadcast query, zip_with dot)
+    "l4_tokenize_tf",       # tokenize+explode+TF
+    "l17_semdedup",         # centroid-cosine semantic dedup
+    "l18_unigram_lm",       # corpus-LM fluency scoring (broadcast vocab)
+    "e4_event_transitions", # per-user sequence → Markov transition matrix
+    "m2_feature_extract",   # Arrow-batched pandas feature stage
+    "e6_event_paths",       # 3-step path mining (lead×2, one window shuffle)
+    "a18_bitmap_exact_distinct",  # mergeable exact distinct via bitmaps
+    "j12_interval_overlap_join",  # two-sided interval overlap as bucket equi-join
+    "l19_kmeans",           # Lloyd's k-means: broadcast centroids, map-side assign
+    # round-3 additions
+    "j15_bloom_prejoin",    # bloom build + map-side probe before the join
+    "g4_triangle_count",    # oriented wedge counting on the co-activity graph
+    "l22_slice_divergence", # JS divergence between corpus slices (drift monitor)
+    "r21_incremental_agg",  # IVM: old agg + group-grain deltas from the diff
+    # round-4 additions
+    "g5_user_pagerank",     # distributed PageRank on the user graph (no driver collect)
+    "l29_exact_substring_dedup",  # window-hash exact-substring dedup (bucket join)
+    "e9_sequence_pattern",  # CEP regex over per-user event strings (one shuffle)
+    # round-5 additions
+    "l38_incremental_exact_dedup",  # new-batch-vs-corpus-index dedup (no old x old)
+    # round-6 additions
+    "l40_incremental_banded_neardup",  # capped band-index probe + exact verify, zero-shuffle plan
+    "w10_distributed_running_total",   # two-phase prefix running total (calendar cells + offset broadcast)
+    "a26_moment_profile",   # exact decimal power sums → portable moments
+    "s19_replica_checksum_audit",  # two-replica per-bucket count+xor audit
+    # round-8 additions
+    "a23b_portable_sketch_merge_rollup",  # day→week→total portable HLL register merge
+    "m2b_portable_feature_extract",  # JVM-path featurizer twin (permanent A/B vs m2's pandas path)
+    "m7_bmp_decode",        # real 24-bit BMP header decode via mapInPandas
+    "e15_srm_check",        # chi-square sample-ratio-mismatch gate
+    # round-9 additions
+    "t13b_streaming_register_maintenance",  # update-mode register sink (versioned merge)
+    "m8_bmp_channel_stats", # decoded pixel-array exact channel sums
+    "l41_duplication_profile",  # clone-cluster histogram (dedup form picker)
+    "s21_schema_evolution_read",  # two-generation mergeSchema landing-zone read
+    # round-10 additions (the ops-join-the-bench step is a standing
+    # per-round task — closed in-round since r10)
+    "m9_wav_decode",        # real 16-bit PCM WAV decode + exact channel sums
+    "l26b_bpe_encode",      # tokenizer apply: broadcast merge table, vocab encode
+    "m10_wav_window_stats", # audio framing: 4-frame windows, exact energy/peak
+    "m10b_portable_wav_window_stats",  # its JVM HOF twin (permanent A/B vs pandas)
+    "m11_ppm_decode",       # real Netpbm P6 decode (ASCII-tokenized header)
+    # round-11 additions
+    "m12_zip_manifest",     # multi-entry ZIP central-directory walk
+    "l26c_bpe_encode_persisted",  # tokenizer apply-only face (persisted artifact)
+)
+
+
+def headline_names() -> list[str]:
+    """The bench run list, validated against the registry."""
+    specs = all_specs()
+    missing = [n for n in HEADLINE if n not in specs]
+    assert not missing, f"HEADLINE names unknown queries: {missing}"
+    return list(HEADLINE)
