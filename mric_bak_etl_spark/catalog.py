@@ -93,88 +93,58 @@ def all_specs() -> dict[str, QuerySpec]:
     return dict(_REGISTRY)
 
 
-# Verification order — round 10 rotation. The driver's correctness run
-# is time-budgeted (~50 entries/round); rounds 1-9 drove all 294
-# then-registered queries (285 full value-hash green, 9 rows-only by
-# design, 0 failures ever — CORRECTNESS_r01-r09), closing the catalog
-# fully attested with zero rotation debt. Round-10 head (r9 verdict
-# task 1): the flagship canary; the four documented r9 cuts re-admitted
-# (t1/o2/u2b/s20 — all with prior green rows, unchanged, cut only for
-# budget); the full `python -m mric_bak_etl_spark.introspect` queue for
-# this round's changes — the WAV codec touched decode_media, so every
-# decode consumer re-enters (m7, m8, and new m9's first row), the
-# merge-fold refactor re-enters l26 + new l26b, the l41
-# form-selection doc paragraphs are decorator-level changes to
-# l2/l29/l40/l2e and the codec-state notes on m2/m4 (doc-only, but
-# the sweep is deliberately conservative), and the zero-batch guards
-# re-enter t10/t13b. Then, with no HEADLINE query changed and rotation
-# debt at zero, the entire remaining budget goes OLDEST-GREEN-FIRST
-# (r9 verdict task 1's second half): all 27 queries whose newest green
-# row is still round 1 — pre-ANSI, pre-AQE-posture, pre-Spark-pin
-# vintage — by EITHER definition of green: the 27 value-hash-green
-# r1 rows below plus a3_approx_count_distinct, whose only driver row
-# is a round-1 ROWS-ONLY attestation (value-anchored via its a3b twin,
-# but its own sampling predates every environment change since) —
-# plus the 4 oldest round-2 rows, so after this round no attestation
-# of any kind predates round 2 and the stalest rows move to ~r2/r3
-# vintage for round 11 to finish.
-# 1 + 4 + 16 + 28 + 1 = 50, exactly the driver budget (the changed/new
-# block grew by three when the m10/m10b/m11 first rows joined mid-round,
-# so a16_decimal_exact, a13_unpivot, and a12_filtered_aggregates — the
-# youngest remaining round-2 fills — ceded their slots and lead the
-# round-11 vintage sweep with a7/dq1/dq5); the
-# local parity suite (tests/test_oracle_parity.py, value-matched
-# before every commit) remains the regression guard for everything
-# sitting out.
+# Verification order — round 11 rotation. The driver's correctness run
+# is time-budgeted (~50 entries/round); the cumulative record through
+# round 10 is 299 distinct queries driver-sampled, 290 full value-hash
+# green, 9 rows-only by design, 0 failures ever (CORRECTNESS_r01-r10).
+# Round-11 head, the r9/r10 discipline: the flagship canary; this
+# round's NEW first rows (m12_zip_manifest — the ZIP codec; l26c — the
+# persisted-merge-table apply face); the full
+# `python -m mric_bak_etl_spark.introspect` queue for round-11 changes
+# (the ZIP codec and the PPM/WAV hardening live beside decode_media, so
+# every decode consumer re-enters: m7/m8/m9/m10/m11; m10b's doc gained
+# the measured-premium paragraph; the l26b encode tail was factored
+# into the _encode_corpus helper l26c shares). Then, with rotation debt
+# at zero, the entire remaining budget goes OLDEST-GREEN-FIRST (r10
+# verdict task 3): all 31 queries whose newest driver row is still
+# round 2 — the a7/dq1/dq5/a12/a13/a16 leaders that ceded r10 slots
+# plus the rest of the r2 vintage — finishing the sweep the r10 head
+# started, and the 9 alphabetical leaders of the round-3 vintage fill
+# the tail. 1 + 2 + 7 + 31 + 9 = 50, exactly the driver budget; after
+# this round no attestation predates round 3, and the remaining r3
+# rows (32) lead round 12. The local parity suite
+# (tests/test_oracle_parity.py, value-matched before every commit)
+# remains the regression guard for everything sitting out.
 _VERIFY_FIRST: tuple[str, ...] = (
     "a1_pricing_summary",
-    # The four documented round-9 budget cuts, re-admitted first.
-    "t1_tumbling_window",
-    "o2_topk",
-    "u2b_except_all",
-    "s20_bucket_scoped_repair",
-    # Round-10 changed-code consumers (introspect queue): the WAV codec
-    # + decoded-layout coupling (m7/m8/m9), the BPE fold refactor
-    # (l26/l26b), the l41 form-selection doc decorators (l2/l29/l40/
-    # l2e), and the zero-batch sink guards (t10/t13b). m9 and l26b are
-    # first driver rows.
+    # New first rows (round-11 operators)
+    "m12_zip_manifest",
+    "l26c_bpe_encode_persisted",
+    # Introspect queue: decode_media-transitive consumers of the ZIP
+    # codec + PPM/WAV hardening, the m10b doc pin, the l26b refactor.
+    "m7_bmp_decode",
+    "m8_bmp_channel_stats",
     "m9_wav_decode",
     "m10_wav_window_stats",
     "m10b_portable_wav_window_stats",
     "m11_ppm_decode",
     "l26b_bpe_encode",
-    "m7_bmp_decode",
-    "m8_bmp_channel_stats",
-    "l26_bpe_merges",
-    "l2_minhash_lsh",
-    "l29_exact_substring_dedup",
-    "l40_incremental_banded_neardup",
-    "l2e_dup_clusters",
-    "t10_foreach_batch_upsert",
-    "t13b_streaming_register_maintenance",
-    # ...plus m2/m4, whose decorator docs now state the two-real-codec
-    # hook (doc-only edits, but the sweep is deliberately conservative —
-    # they take the two youngest fill slots below).
-    "m2_feature_extract",
-    "m4_resize",
-    # Oldest-green-first re-confirms: every remaining round-1-vintage
-    # green row (27)...
-    "a15_median_mode", "a17_histogram", "a2_distinct_count_distinct",
-    "a4b_cube", "a4c_pivot", "a4d_grouping_sets", "a5_global_agg_guard",
-    "a6_max_as_latest", "a8_stats_corr_covar", "h10_returned_items",
-    "h14_promo_effect", "h7_nation_volume", "h8_market_share",
-    "j10_broadcast_nested_loop", "j11_bucketed_range_join",
-    "j14_shuffle_hash_join", "j3_left_outer", "j3b_full_outer",
-    "j4_left_semi", "j5_range_theta", "j7_cross",
-    "j9_bucketed_colocated_join", "p3_null_handling",
-    "sq3_not_exists_uncorrelated_scalar", "sq4_in_subquery",
-    "sq6_not_in_null_aware", "sq7_any_all", "a3_approx_count_distinct",
-    # ...and the oldest round-2 row (a7/dq1/dq5 ceded their slots to the
-    # m2/m4 changed-consumer rows and a3's r1 rows-only re-attestation;
-    # a16_decimal_exact, a13_unpivot, and a12_filtered_aggregates ceded
-    # to the m10/m10b/m11 first rows; all six lead the round-11 vintage
-    # sweep).
-    "a10_min_by_max_by",
+    # r2-vintage sweep (31): every query whose newest driver row is r2.
+    "a12_filtered_aggregates", "a13_unpivot", "a14_hll_sketch",
+    "a16_decimal_exact", "a7_percentiles", "dq1_quality_gate",
+    "dq5_referential_integrity", "e1_funnel", "f1_strings",
+    "f2_datetime", "f7_json", "g1_pagerank", "j4b_left_anti",
+    "l1_exact_dedup", "l2b_ngram_jaccard", "l6_stratified_sample",
+    "m1_multimodal_metadata", "p1_projection", "p2_filter_predicates",
+    "q1_sql_parity", "r17_merge_apply", "r7_state_antijoin",
+    "s1_parquet_scan", "sq1_exists_correlated",
+    "sq5_lateral_topk_per_group", "t5_stateful_dedup", "tx_langid",
+    "tx_token_count", "u1_union_by_name", "u2_intersect",
+    "x4_scalar_pandas_udf",
+    # r3-vintage fills (9 alphabetical leaders of the 41-query r3 set)
+    "a20_approx_topk", "a23_sketch_rollup", "dq6_schema_drift",
+    "dq7_psi_drift", "e8_attribution", "f26_regexp_family",
+    "f27_csv_expressions", "f3_math", "f4_conditional",
 )
 
 
