@@ -592,14 +592,14 @@ def test_hll_sketch_merge_is_lossless(spark, sf_dir):
 
 
 def test_bench_headline_names_exist():
-    """bench.py silently drops HEADLINE names missing from the registry
-    (the `if n in specs` guard keeps the bench running through renames);
-    this pins that the guard never actually fires — a renamed query must
-    update the headline list, not quietly vanish from the benchmark."""
-    import bench
+    """HEADLINE now lives in the catalog (r10 verdict task 6) and
+    headline_names() validates membership against the registry — a
+    renamed query must update the list, not quietly vanish from the
+    benchmark. This pin exercises exactly what bench.py calls;
+    tests/test_catalog.py carries the new-query-must-join guard."""
+    from mric_bak_etl_spark.catalog import HEADLINE, headline_names
 
-    missing = [n for n in bench.HEADLINE if n not in all_specs()]
-    assert not missing, f"bench HEADLINE names not in registry: {missing}"
+    assert headline_names() == list(HEADLINE)
 
 
 def test_round3_fixture_shape_assumptions(spark, sf_dir):
