@@ -94,11 +94,11 @@ FUZZ_SETTINGS = settings(
 # grammars 10-16 with non-derandomized seeds; 15-16 were fresh-swept
 # at BOTH sf0.01 and sf0.1 in r10, and 17-18 at both SFs in r11,
 # before joining the floor) — the
-# in-suite derandomized cases are only a regression floor, so 10 keeps
+# in-suite derandomized cases are only a regression floor, so 6 keeps
 # the floor while holding the suite wall near the ~15 min budget (r7
 # verdict task 7). New or recently-changed grammars keep the full 25.
 FUZZ_SETTINGS_STABLE = settings(
-    max_examples=10,
+    max_examples=6,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
     derandomize=True,
