@@ -98,8 +98,8 @@ def all_specs() -> dict[str, QuerySpec]:
 # round 10 is 299 distinct queries driver-sampled, 290 full value-hash
 # green, 9 rows-only by design, 0 failures ever (CORRECTNESS_r01-r10).
 # Round-11 head, the r9/r10 discipline: the flagship canary; this
-# round's NEW first rows (m12_zip_manifest — the ZIP codec; l26c — the
-# persisted-merge-table apply face); the full
+# round's NEW first rows (m12_zip_manifest — the ZIP codec; m13 — its
+# deflate-extraction face; l26c — the persisted-merge-table apply face); the full
 # `python -m mric_bak_etl_spark.introspect` queue for round-11 changes
 # (the ZIP codec and the PPM/WAV hardening live beside decode_media, so
 # every decode consumer re-enters: m7/m8/m9/m10/m11; m10b's doc gained
@@ -109,8 +109,10 @@ def all_specs() -> dict[str, QuerySpec]:
 # verdict task 3): all 31 queries whose newest driver row is still
 # round 2 — the a7/dq1/dq5/a12/a13/a16 leaders that ceded r10 slots
 # plus the rest of the r2 vintage — finishing the sweep the r10 head
-# started, and the 9 alphabetical leaders of the round-3 vintage fill
-# the tail. 1 + 2 + 7 + 31 + 9 = 50, exactly the driver budget; after
+# started, and the 8 alphabetical leaders of the round-3 vintage fill
+# the tail (f4_conditional ceded its slot when the m13 deflate face
+# landed mid-round and took a first-row slot — the r10 cede pattern).
+# 1 + 3 + 7 + 31 + 8 = 50, exactly the driver budget; after
 # this round no attestation predates round 3, and the remaining r3
 # rows (32) lead round 12. The local parity suite
 # (tests/test_oracle_parity.py, value-matched before every commit)
@@ -119,6 +121,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "a1_pricing_summary",
     # New first rows (round-11 operators)
     "m12_zip_manifest",
+    "m13_zip_deflate_manifest",
     "l26c_bpe_encode_persisted",
     # Introspect queue: decode_media-transitive consumers of the ZIP
     # codec + PPM/WAV hardening, the m10b doc pin, the l26b refactor.
@@ -141,10 +144,10 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "sq5_lateral_topk_per_group", "t5_stateful_dedup", "tx_langid",
     "tx_token_count", "u1_union_by_name", "u2_intersect",
     "x4_scalar_pandas_udf",
-    # r3-vintage fills (9 alphabetical leaders of the 41-query r3 set)
+    # r3-vintage fills (8 alphabetical leaders of the 41-query r3 set)
     "a20_approx_topk", "a23_sketch_rollup", "dq6_schema_drift",
     "dq7_psi_drift", "e8_attribution", "f26_regexp_family",
-    "f27_csv_expressions", "f3_math", "f4_conditional",
+    "f27_csv_expressions", "f3_math",
 )
 
 
@@ -250,6 +253,7 @@ HEADLINE: tuple[str, ...] = (
     # round-11 additions
     "m12_zip_manifest",     # multi-entry ZIP central-directory walk
     "l26c_bpe_encode_persisted",  # tokenizer apply-only face (persisted artifact)
+    "m13_zip_deflate_manifest",  # real deflate extraction (method-invariant sums)
 )
 
 

@@ -92,8 +92,8 @@ def decode_media(content: bytes, media_type: str) -> dict:
     """Codec hook. REAL for four containers spanning four parsing
     families: uncompressed 24-bit BMP (fixed binary structs), 16-bit PCM
     RIFF/WAVE (chunk walk), binary Netpbm P6/PPM (ASCII-tokenized
-    header with comments), and stored-method ZIP (tail-anchored
-    directory walk over multiple entries) are parsed here in pure
+    header with comments), and stored/deflated ZIP (tail-anchored
+    directory walk over multiple entries, raw-deflate inflation) are parsed here in pure
     Python — magic, declared sizes, geometry, format sanity — and the
     decoded header fields are returned as a dict (including the payload
     offset/stride layout, so consumers slice where the DECODER says the
@@ -400,9 +400,10 @@ def _decode_zip(content: bytes) -> dict:
     file header. Mirrors the reference's decompress stage
     (src/bak_unload.ps1:74-75) with the m-family's split: structural
     lies (truncation, size/offset/count mismatches, CRC damage) raise
-    ValueError; entries whose content is unreachable without another
-    codec (compression, encryption, multi-disk spanning) raise
-    NotImplementedError.
+    ValueError (including invalid or size-lying deflate streams —
+    method 8 is REAL here, inflated and cross-checked); entries whose
+    content is unreachable without another codec (exotic compression
+    methods, encryption, multi-disk spanning) raise NotImplementedError.
 
     Self-extracting-style prefixes are spec reality: offsets recorded
     in the archive are relative to the ORIGINAL archive start, so a
@@ -473,12 +474,12 @@ def _decode_zip(content: bytes) -> dict:
                 "corrupt ZIP: data-descriptor entries carry no sizes in "
                 "the central directory"
             )
-        if method != 0:
+        if method not in (0, 8):
             raise NotImplementedError(
-                f"only stored (method 0) ZIP entries are supported "
-                f"(method={method})"
+                f"only stored (0) and deflated (8) ZIP entries are "
+                f"supported (method={method})"
             )
-        if comp_size != uncomp_size:
+        if method == 0 and comp_size != uncomp_size:
             raise ValueError(
                 f"corrupt ZIP: stored entry {i} sizes disagree "
                 f"({comp_size} != {uncomp_size})"
@@ -501,17 +502,41 @@ def _decode_zip(content: bytes) -> dict:
                 f"corrupt ZIP: entry {i} local/central names disagree"
             )
         data_off = lpos + 30 + l_name_len + l_extra_len
-        if data_off + uncomp_size > actual_cd:
+        if data_off + comp_size > actual_cd:
             raise ValueError(
                 f"corrupt ZIP: entry {i} data overruns the central directory"
             )
-        payload = content[data_off : data_off + uncomp_size]
+        # Validate the payload the directory declares: decompress the
+        # deflate stream (raw, wbits=-15) and cross-check BOTH declared
+        # sizes, then CRC-32 over the DECOMPRESSED bytes — the content
+        # contract a real unzip enforces. A truncated/garbled stream is
+        # corruption, not a missing codec.
+        raw = content[data_off : data_off + comp_size]
+        if method == 8:
+            try:
+                d = zlib.decompressobj(wbits=-15)
+                payload = d.decompress(raw, uncomp_size + 1)
+                if not d.eof or d.unconsumed_tail or d.unused_data:
+                    raise ValueError("stream does not seal its sizes")
+            except (zlib.error, ValueError) as exc:
+                raise ValueError(
+                    f"corrupt ZIP: entry {i} deflate stream invalid ({exc})"
+                ) from None
+            if len(payload) != uncomp_size:
+                raise ValueError(
+                    f"corrupt ZIP: entry {i} inflates to {len(payload)} "
+                    f"bytes, directory declares {uncomp_size}"
+                )
+        else:
+            payload = raw
         if zlib.crc32(payload) != crc:
             raise ValueError(f"corrupt ZIP: entry {i} CRC mismatch")
         entries.append(
             {
                 "name": name.decode("ascii"),
                 "size": uncomp_size,
+                "method": method,
+                "comp_size": comp_size,
                 "data_offset": data_off,
             }
         )
@@ -534,20 +559,26 @@ def make_zip(
     entry_lens: list[int],
     prefix: bytes = b"",
     comment: bytes = b"",
+    methods: list[int] | None = None,
 ) -> bytes:
-    """A real, stored-method ZIP: entry ``i`` is named ``e{i}.bin`` and
-    carries ``entry_lens[i]`` bytes drawn from ``payload_source`` cycled
+    """A real ZIP: entry ``i`` is named ``e{i}.bin`` and carries
+    ``entry_lens[i]`` bytes drawn from ``payload_source`` cycled
     starting at position ``i`` (byte ``j`` of entry ``i`` is source byte
     ``(j + i) % len`` — the m8/m9 cycled-position idiom, rotated per
-    entry so every entry's sum differs). ``prefix`` models the
-    self-extracting case: recorded offsets stay relative to the archive
-    proper, exactly what concatenating a stub in front produces. The
-    output opens in stdlib zipfile (interop pinned by the container
-    property test)."""
+    entry so every entry's sum differs), stored (method 0, default) or
+    deflated (method 8, raw zlib stream) per ``methods[i]``. ``prefix``
+    models the self-extracting case: recorded offsets stay relative to
+    the archive proper, exactly what concatenating a stub in front
+    produces. The output opens in stdlib zipfile (interop pinned by the
+    container property test)."""
     import struct
     import zlib
 
-    assert b"\n" not in comment and b"\r" not in comment
+    # (No line-break guard here, unlike make_ppm: the EOCD comment is
+    # length-prefixed, so any byte content is spec-legal.)
+    methods = methods or [0] * len(entry_lens)
+    assert len(methods) == len(entry_lens)
+    assert all(m in (0, 8) for m in methods)
     payloads = []
     for i, ln in enumerate(entry_lens):
         if payload_source:
@@ -556,22 +587,29 @@ def make_zip(
         else:
             rotated = b""
         payloads.append(_cycle_bytes(rotated, ln))
+    stored = []
+    for p, m in zip(payloads, methods):
+        if m == 0:
+            stored.append(p)
+        else:
+            c = zlib.compressobj(wbits=-15)
+            stored.append(c.compress(p) + c.flush())
     locals_blob = bytearray()
     centrals = bytearray()
     offsets = []
-    for i, payload in enumerate(payloads):
+    for i, (payload, raw, m) in enumerate(zip(payloads, stored, methods)):
         name = f"e{i}.bin".encode()
-        crc = zlib.crc32(payload)
+        crc = zlib.crc32(payload)  # CRC is over the UNCOMPRESSED bytes
         offsets.append(len(locals_blob))
         locals_blob += _ZIP_LOCAL_SIG + struct.pack(
-            "<HHHHHIIIHH", 20, 0, 0, 0, 0x21, crc,
-            len(payload), len(payload), len(name), 0,
-        ) + name + payload
-    for i, payload in enumerate(payloads):
+            "<HHHHHIIIHH", 20, 0, m, 0, 0x21, crc,
+            len(raw), len(payload), len(name), 0,
+        ) + name + raw
+    for i, (payload, raw, m) in enumerate(zip(payloads, stored, methods)):
         name = f"e{i}.bin".encode()
         centrals += _ZIP_CDIR_SIG + struct.pack(
-            "<HHHHHHIIIHHHHHII", 20, 20, 0, 0, 0, 0x21, zlib.crc32(payload),
-            len(payload), len(payload), len(name), 0, 0, 0, 0, 0,
+            "<HHHHHHIIIHHHHHII", 20, 20, 0, m, 0, 0x21, zlib.crc32(payload),
+            len(raw), len(payload), len(name), 0, 0, 0, 0, 0,
             offsets[i],
         ) + name
     eocd = _ZIP_EOCD_SIG + struct.pack(
@@ -582,19 +620,27 @@ def make_zip(
 
 
 def zip_entry_byte_sums(blob: bytes, dec: dict | None = None) -> list[tuple]:
-    """Per-entry (size, byte_sum) with payloads sliced at the DECODER's
-    data offsets (the m8/m11 coupling lesson in archive form: a
-    self-extracting prefix, an EOCD comment, or a local extra field
-    moves every offset; the sums must not care)."""
+    """Per-entry (size, byte_sum) of the entry CONTENT — sliced at the
+    DECODER's data offsets (the m8/m11 coupling lesson in archive form:
+    a self-extracting prefix, an EOCD comment, or a local extra field
+    moves every offset; the sums must not care) and inflated first when
+    the directory says the entry is deflated. Content sums are
+    method-invariant by construction: the oracle models the original
+    bytes, never the stream."""
+    import zlib
+
     if dec is None:
         dec = decode_media(blob, "archive")
-    return [
-        (
-            e["size"],
-            sum(blob[e["data_offset"] : e["data_offset"] + e["size"]]),
+    out = []
+    for e in dec["entries"]:
+        raw = blob[e["data_offset"] : e["data_offset"] + e["comp_size"]]
+        payload = (
+            zlib.decompressobj(wbits=-15).decompress(raw)
+            if e["method"] == 8
+            else raw
         )
-        for e in dec["entries"]
-    ]
+        out.append((e["size"], sum(payload)))
+    return out
 
 
 def ppm_channel_sums(blob: bytes, dec: dict | None = None) -> tuple:
@@ -1556,9 +1602,10 @@ def _zip_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     "claims — the manifest sums are sliced at the decoder's shifted "
     "offsets (odd ids carry a junk prefix the oracle never models: the "
     "m8/m11 coupling lesson in archive form). Structural lies "
-    "(truncated EOCD, lying cd_size/counts/sizes, CRC damage) raise "
-    "ValueError; content needing another codec (compression, "
-    "encryption, multi-disk) raises NotImplementedError; stdlib-zipfile "
+    "(truncated EOCD, lying cd_size/counts/sizes, CRC damage, garbled "
+    "deflate streams) raise ValueError; content needing another codec "
+    "(exotic methods, encryption, multi-disk) raises "
+    "NotImplementedError; stdlib-zipfile "
     "interop is pinned both directions by the container property. Same "
     "100 TB shape as m7-m11: Arrow-batched mapInPandas after spread(), "
     "bytes never leave the executor, manifest-sized output (1-3 "
@@ -1571,6 +1618,90 @@ def zip_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         spread(d)
         .mapInPandas(_zip_batches, schema=_M12_SCHEMA)
+        .orderBy("media_id", "entry_no")
+    )
+
+
+_M13_SCHEMA = (
+    "media_id long, entry_no long, method long, n_bytes long, byte_sum long"
+)
+
+
+def _zip_deflate_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    cols = ("media_id", "entry_no", "method", "n_bytes", "byte_sum")
+    for pdf in batches:
+        out: dict[str, list] = {k: [] for k in cols}
+        for mid, text in zip(pdf["doc_id"], pdf["text"]):
+            # Same ASCII corpus contract as the rest of the m-family.
+            assert text.isascii(), (
+                f"m13 oracle assumes ASCII text; doc {mid} is not"
+            )
+            mid_i = int(mid)
+            ne = mid_i % 4 + 1
+            lens = [mid_i % 11 + 1 + 5 * i for i in range(ne)]
+            methods = [((mid_i + i) % 2) * 8 for i in range(ne)]
+            blob = make_zip(
+                text.encode(),
+                lens,
+                prefix=b"\xfd" * (mid_i % 3) if mid_i % 2 else b"",
+                methods=methods,
+            )
+            dec = decode_media(blob, "archive")
+            for i, (sz, s) in enumerate(zip_entry_byte_sums(blob, dec)):
+                out["media_id"].append(mid)
+                out["entry_no"].append(i)
+                out["method"].append(dec["entries"][i]["method"])
+                out["n_bytes"].append(sz)
+                out["byte_sum"].append(s)
+        yield pd.DataFrame(out)
+
+
+@register(
+    "m13_zip_deflate_manifest",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id, text, doc_id % 4 + 1 AS ne FROM documents
+    ),
+    e AS (SELECT doc_id, text, unnest(range(0, ne)) AS i FROM g),
+    s AS (SELECT doc_id, text, i, doc_id % 11 + 1 + 5 * i AS len FROM e)
+    SELECT doc_id                          AS media_id,
+           CAST(i AS BIGINT)               AS entry_no,
+           CAST((doc_id + i) % 2 * 8 AS BIGINT) AS method,
+           CAST(len AS BIGINT)             AS n_bytes,
+           CAST(CASE WHEN length(text) = 0 THEN 0 ELSE
+             list_sum(list_transform(generate_series(0, len - 1), j ->
+               {_m9_byte_oracle("j + i")}))
+           END AS BIGINT)                  AS byte_sum
+    FROM s
+    ORDER BY media_id, entry_no
+    """,
+    doc="M13: the ZIP codec's DEFLATE face — real decompression (stdlib "
+    "zlib, raw wbits=-15), which is what almost every archive a crawl "
+    "meets actually uses. Each document becomes a 1-4 entry archive "
+    "with methods alternating stored/deflated per (doc_id + entry) "
+    "parity; the decoder inflates deflated entries, cross-checks BOTH "
+    "declared sizes against the stream (non-sealing, truncated, or "
+    "over-inflating streams are corruption — ValueError), and "
+    "validates CRC-32 over the DECOMPRESSED bytes, exactly the "
+    "contract a real unzip enforces. The oracle is method-INVARIANT by "
+    "construction: it models the original cycled text bytes and never "
+    "sees the stream — so any inflation slip (wrong window bits, "
+    "gzip-vs-raw confusion, partial reads) diverges immediately, while "
+    "the compressed bytes themselves (zlib-version-dependent) never "
+    "enter the verified surface. Same 100 TB shape as m12: "
+    "Arrow-batched mapInPandas after spread(), decompression stays on "
+    "the executor, manifest-sized output. Closes the reference's "
+    "decompress stage (src/bak_unload.ps1:74-75) for real: m12 walks "
+    "the container, m13 extracts content.",
+    tags=("llm", "multimodal", "udf", "reference-fidelity"),
+)
+def zip_deflate_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return (
+        spread(d)
+        .mapInPandas(_zip_deflate_batches, schema=_M13_SCHEMA)
         .orderBy("media_id", "entry_no")
     )
 

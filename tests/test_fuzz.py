@@ -1585,6 +1585,7 @@ ZIPMAN_CASES = st.fixed_dictionaries(
         ),
         "prefix": st.integers(min_value=0, max_value=9),
         "comment": st.booleans(),
+        "deflate": st.booleans(),  # m13: alternate stored/deflated entries
     }
 )
 
@@ -1602,6 +1603,7 @@ def build_zipman_spark(spark, sf_dir: str, case: dict):
 
     ne_mod, len_mod, step = case["ne_mod"], case["len_mod"], case["len_step"]
     prefix, comment = case["prefix"], case["comment"]
+    deflate = case["deflate"]
 
     def batches(it):
         for pdf in it:
@@ -1614,6 +1616,10 @@ def build_zipman_spark(spark, sf_dir: str, case: dict):
                     t.encode(), lens,
                     prefix=b"\xfe" * prefix,
                     comment=(f"fuzz {did}".encode() if comment else b""),
+                    # oracle is method-invariant: it models content bytes,
+                    # never the stream (the m13 contract)
+                    methods=[(i % 2) * 8 if deflate else 0
+                             for i in range(ne)],
                 )
                 dec = decode_media(blob, "archive")
                 for i, (sz, s) in enumerate(zip_entry_byte_sums(blob, dec)):
@@ -1670,5 +1676,6 @@ def test_random_zip_manifest_recipes_agree(spark, duck, sf_dir, case):
         got,
         want,
         f"zipman[n{case['ne_mod']}|l{case['len_mod']}+{case['len_step']}|"
-        f"{case['xform']}|p{case['prefix']}|c{int(case['comment'])}]",
+        f"{case['xform']}|p{case['prefix']}|c{int(case['comment'])}|"
+        f"d{int(case['deflate'])}]",
     )

@@ -378,10 +378,12 @@ def test_portable_wav_window_equals_pandas_path(spark, sf_dir):
 
 
 def test_zip_manifest_decoder_contract():
-    """m12 unit face: known bytes → exact sums; the self-extracting
+    """m12/m13 unit face: known bytes → exact sums; the self-extracting
     prefix shifts every offset (oracle-invisible layout — the decoder
-    owns it); a DEFLATED archive is a MISSING CODEC, not corruption."""
+    owns it); DEFLATED entries are REAL (inflated, size/CRC-checked,
+    method-invariant sums) while exotic methods stay a MISSING CODEC."""
     import io
+    import struct
     import zipfile
 
     from mric_bak_etl_spark.llm.multimodal import (
@@ -397,11 +399,25 @@ def test_zip_manifest_decoder_contract():
     # entry 0: bytes a,b,a → 97+98+97; entry 1 rotated by 1: b,a → 98+97
     assert zip_entry_byte_sums(blob, dec) == [(3, 292), (2, 195)]
 
+    # The identical content deflated: sums are method-invariant (m13).
+    dblob = make_zip(b"ab", [3, 2], prefix=b"\xfe\xfe", methods=[8, 8])
+    ddec = decode_media(dblob, "archive")
+    assert [e["method"] for e in ddec["entries"]] == [8, 8]
+    assert zip_entry_byte_sums(dblob, ddec) == [(3, 292), (2, 195)]
+
+    # zipfile-DEFLATED archives decode here, content agreed exactly.
     buf = io.BytesIO()
     with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
         zf.writestr("x.txt", b"compress me " * 10)
+    got = zip_entry_byte_sums(buf.getvalue())
+    assert got == [(120, sum(b"compress me " * 10))]
+
+    # An exotic method (12 = bzip2) is a missing codec, not corruption.
+    exotic = bytearray(make_zip(b"ab", [3]))
+    cd = decode_media(bytes(exotic), "archive")["cd_offset"]
+    struct.pack_into("<H", exotic, cd + 10, 12)
     with pytest.raises(NotImplementedError, match="method"):
-        decode_media(buf.getvalue(), "archive")
+        decode_media(bytes(exotic), "archive")
 
 
 def test_ivf_scores_consistent_with_brute_force(spark, sf_dir):

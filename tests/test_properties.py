@@ -1219,6 +1219,10 @@ ZIP_CASES = st.fixed_dictionaries(
         "comment": st.binary(min_size=0, max_size=12).filter(
             lambda c: b"PK" not in c
         ),
+        # per-archive method: all stored, all deflated, or alternating —
+        # the sums/interop assertions below are method-INVARIANT, which
+        # is exactly the m13 contract (the oracle never sees the stream)
+        "method_mode": st.sampled_from(["stored", "deflate", "mixed"]),
     }
 )
 
@@ -1240,11 +1244,19 @@ def test_zip_decode_accepts_spec_space_rejects_corruption(case):
 
     src, lens = case["src"], [len(p) for p in case["payloads"]]
     prefix = b"\xfe" * case["prefix"]
-    good = make_zip(src, lens, prefix=prefix, comment=case["comment"])
+    methods = {
+        "stored": [0] * len(lens),
+        "deflate": [8] * len(lens),
+        "mixed": [(i % 2) * 8 for i in range(len(lens))],
+    }[case["method_mode"]]
+    good = make_zip(
+        src, lens, prefix=prefix, comment=case["comment"], methods=methods
+    )
 
     dec = decode_media(good, "archive")
     assert dec["n_entries"] == len(lens)
     assert dec["prefix_len"] == len(prefix)
+    assert [e["method"] for e in dec["entries"]] == methods
     # Manifest + sums from the decoder's layout == closed-form over the
     # rotated cycled source bytes, prefix/comment notwithstanding.
     sums = zip_entry_byte_sums(good, dec)
@@ -1297,11 +1309,18 @@ def test_zip_decode_accepts_spec_space_rejects_corruption(case):
     if lens:
         cd = dec["cd_offset"]
         first_local = dec["prefix_len"]
+        e0 = dec["entries"][0]
         mutations += [
-            corrupt((cd + 10, "<H", 8)),  # deflate → missing codec
+            # method flipped to the OTHER real method: a stored payload
+            # read as deflate is a garbled stream; a deflate stream read
+            # as stored has disagreeing sizes (or a CRC over raw bytes)
+            corrupt((cd + 10, "<H", 8 - e0["method"])),
+            corrupt((cd + 10, "<H", 12)),  # bzip2 → missing codec
             corrupt((cd + 8, "<H", 1)),  # encrypted → missing codec
             corrupt((cd + 16, "<I", 0xDEADBEEF)),  # CRC lies
-            corrupt((cd + 20, "<I", lens[0] + 1)),  # stored sizes disagree
+            # comp_size lies by one: stored → sizes disagree; deflate →
+            # the stream no longer seals its declared bytes
+            corrupt((cd + 20, "<I", e0["comp_size"] + 1)),
             corrupt((first_local, "<I", 0x02014B50)),  # local sig wrong
         ]
         if len(lens) > 1:
