@@ -253,30 +253,36 @@ def main() -> None:
     # per-query map, degrading the driver record). Priority order is
     # queries > c23 totals > ratios: keep only the 5 largest ratios and
     # carry the shed count so the trim is visible.
-    if len(line) > 1800:
-        top5 = dict(
-            sorted(heavy_ratios.items(), key=lambda kv: -kv[1])[:5]
-        )
-        line = json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": {n: round(t, 2) for n, t in timings.items()},
-                "sf": sf,
-                "spark_over_duck_heavy": top5,
-                "heavy_shed": max(len(heavy_ratios) - len(top5), 0),
-                "duck_total": round(sum(duck_timings.values()), 2),
-                "duck_common23": round(
-                    sum(duck_timings.get(n, 0.0) for n in COMMON23), 2
-                ),
-                "duck_c23_n": sum(1 for n in COMMON23 if n in duck_timings),
-                "spark_common23": round(
-                    sum(timings.get(n, 0.0) for n in COMMON23), 2
-                ),
-            },
-            separators=(",", ":"),
-        )
+    # The headline set crossed 55 entries in r11 and even the top-5 form
+    # overflowed, silently falling to the headline-only last resort (no
+    # per-query map in BENCH_r11's draft run — exactly the degradation
+    # the r10 fix existed to prevent). Generalized: walk the ratio-map
+    # size down (all → 5 → 3 → 0, the full map always in
+    # bench_detail.json) and keep dropping the next-least-valuable field
+    # before EVER touching the queries map.
+    k = 5
+    while len(line) > 1800 and k >= 0:
+        kept = dict(sorted(heavy_ratios.items(), key=lambda kv: -kv[1])[:k])
+        compact = {
+            "metric": "headline_queries_total_runtime",
+            "value": total,
+            "unit": "sec",
+            "queries": {n: round(t, 2) for n, t in timings.items()},
+            "sf": sf,
+            "spark_over_duck_heavy": kept,
+            "heavy_shed": max(len(heavy_ratios) - len(kept), 0),
+            "duck_common23": round(
+                sum(duck_timings.get(n, 0.0) for n in COMMON23), 2
+            ),
+            "duck_c23_n": sum(1 for n in COMMON23 if n in duck_timings),
+            "spark_common23": round(
+                sum(timings.get(n, 0.0) for n in COMMON23), 2
+            ),
+        }
+        if k == 5:  # only the roomiest compact form keeps duck_total
+            compact["duck_total"] = round(sum(duck_timings.values()), 2)
+        line = json.dumps(compact, separators=(",", ":"))
+        k -= 3 if k else 1  # 5 → 2 → 1 → 0, then give up
     if len(line) > 1800:  # last resort; headline only, never expected
         line = json.dumps(
             {
