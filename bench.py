@@ -203,6 +203,47 @@ def main() -> None:
         for n, r in ratios.items()
         if timings.get(n, 0.0) >= 1.0 and duck_timings.get(n, 0.0) >= 0.2
     }
+    print(compose_line(total, timings, sf, heavy_ratios, duck_timings))
+    spark.stop()
+
+
+def compose_line(
+    total: float,
+    timings: dict[str, float],
+    sf,
+    heavy_ratios: dict[str, float],
+    duck_timings: dict[str, float],
+    budget: int = 1800,
+) -> str:
+    """Compose the ONE stdout JSON line under the driver's tail-capture
+    budget (~2000 chars; we use 1800). Pure function so the shed ladder
+    is unit-testable (tests/test_catalog.py) — the r11 draft silently
+    dropped the per-query map because the old in-line decrement
+    `k -= 3 if k else 1` parsed as `k -= (3 if k else 1)` (5 → 2 → -1),
+    skipping the k=1/k=0 rungs (r11 ADVICE).
+
+    Shed priority: queries map > c23 gate > heavy-ratio map. The ladder
+    walks the ratio map down (all → 5 → 2 → 1 → 0; full map always in
+    bench_detail.json) and drops duck_total after the first rung, before
+    EVER touching the queries map.
+
+    The c23 pair is the cross-round weather/regression gate (SCALE.md
+    r11: absolute-seconds bands are retired; a regression is a c23_ratio
+    excursion above the ~7.7 historical envelope on a FLAT duck wall) —
+    printed in EVERY line form, down to the last resort, so the driver
+    record is self-adjudicating. duck_common23 is structurally a
+    21-of-23 sum (l2/m2 carry no oracle); duck_c23_n makes any FURTHER
+    shortfall — a transient per-query DuckDB failure silently
+    zero-filled by .get() — visible instead of skewing the ratio.
+    """
+    duck_c23 = sum(duck_timings.get(n, 0.0) for n in COMMON23)
+    spark_c23 = sum(timings.get(n, 0.0) for n in COMMON23)
+    c23 = {
+        "duck_common23": round(duck_c23, 2),
+        "duck_c23_n": sum(1 for n in COMMON23 if n in duck_timings),
+        "spark_common23": round(spark_c23, 2),
+        "c23_ratio": round(spark_c23 / duck_c23, 2) if duck_c23 > 0 else None,
+    }
     line = json.dumps(
         {
             "metric": "headline_queries_total_runtime",
@@ -212,56 +253,13 @@ def main() -> None:
             "sf": sf,
             "spark_over_duck_heavy": heavy_ratios,
             "duck_total": round(sum(duck_timings.values()), 3),
-            # duck_common23 is structurally a 21-of-23 sum (l2/m2 carry
-            # no oracle); duck_c23_n makes any FURTHER shortfall — a
-            # transient per-query DuckDB failure silently zero-filled by
-            # .get() — visible instead of skewing the c23 ratio.
-            "duck_common23": round(
-                sum(duck_timings.get(n, 0.0) for n in COMMON23), 3
-            ),
-            "duck_c23_n": sum(1 for n in COMMON23 if n in duck_timings),
-            "spark_common23": round(
-                sum(timings.get(n, 0.0) for n in COMMON23), 3
-            ),
+            **c23,
         },
         separators=(",", ":"),
     )
-    if len(line) > 1800:  # hard budget: shed detail, never the headline
-        line = json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": {n: round(t, 2) for n, t in timings.items()},
-                "sf": sf,
-                "spark_over_duck_heavy": heavy_ratios,
-                "duck_total": round(sum(duck_timings.values()), 2),
-                "duck_common23": round(
-                    sum(duck_timings.get(n, 0.0) for n in COMMON23), 2
-                ),
-                "duck_c23_n": sum(1 for n in COMMON23 if n in duck_timings),
-                "spark_common23": round(
-                    sum(timings.get(n, 0.0) for n in COMMON23), 2
-                ),
-            },
-            separators=(",", ":"),
-        )
-    # Second shed: the heavy-ratio map, not the queries map. On a noisy
-    # hour the 1 s Spark gate admits many fixed-overhead queries, so the
-    # heavy map alone can blow the budget (observed r10: 13 entries,
-    # middle line 1898 chars > 1800 → the old chain dropped the ENTIRE
-    # per-query map, degrading the driver record). Priority order is
-    # queries > c23 totals > ratios: keep only the 5 largest ratios and
-    # carry the shed count so the trim is visible.
-    # The headline set crossed 55 entries in r11 and even the top-5 form
-    # overflowed, silently falling to the headline-only last resort (no
-    # per-query map in BENCH_r11's draft run — exactly the degradation
-    # the r10 fix existed to prevent). Generalized: walk the ratio-map
-    # size down (all → 5 → 3 → 0, the full map always in
-    # bench_detail.json) and keep dropping the next-least-valuable field
-    # before EVER touching the queries map.
-    k = 5
-    while len(line) > 1800 and k >= 0:
+    for k in (5, 2, 1, 0):
+        if len(line) <= budget:
+            break
         kept = dict(sorted(heavy_ratios.items(), key=lambda kv: -kv[1])[:k])
         compact = {
             "metric": "headline_queries_total_runtime",
@@ -271,30 +269,23 @@ def main() -> None:
             "sf": sf,
             "spark_over_duck_heavy": kept,
             "heavy_shed": max(len(heavy_ratios) - len(kept), 0),
-            "duck_common23": round(
-                sum(duck_timings.get(n, 0.0) for n in COMMON23), 2
-            ),
-            "duck_c23_n": sum(1 for n in COMMON23 if n in duck_timings),
-            "spark_common23": round(
-                sum(timings.get(n, 0.0) for n in COMMON23), 2
-            ),
+            **c23,
         }
         if k == 5:  # only the roomiest compact form keeps duck_total
             compact["duck_total"] = round(sum(duck_timings.values()), 2)
         line = json.dumps(compact, separators=(",", ":"))
-        k -= 3 if k else 1  # 5 → 2 → 1 → 0, then give up
-    if len(line) > 1800:  # last resort; headline only, never expected
+    if len(line) > budget:  # last resort; headline + gate, never expected
         line = json.dumps(
             {
                 "metric": "headline_queries_total_runtime",
                 "value": total,
                 "unit": "sec",
                 "sf": sf,
+                **c23,
             },
             separators=(",", ":"),
         )
-    print(line)
-    spark.stop()
+    return line
 
 
 if __name__ == "__main__":

@@ -42,3 +42,86 @@ def test_headline_names_resolve_and_cover_common23():
         "COMMON23 (the cross-round comparable set) must stay a subset "
         "of the headline"
     )
+
+
+def _ladder_inputs(n_queries: int, n_heavy: int):
+    """Synthetic bench results sized to force specific ladder rungs."""
+    timings = {f"q{i:03d}_some_operator_name": 1.234 for i in range(n_queries)}
+    duck = {n: 0.345 for n in timings}
+    heavy = {n: 3.6 for n in list(timings)[:n_heavy]}
+    return timings, heavy, duck
+
+
+def test_bench_line_ladder_keeps_queries_map_and_gate():
+    """The shed ladder must drop ratio entries — never the per-query map
+    — and the c23 weather gate must survive every rung (r11 ADVICE: the
+    old decrement skipped the k=1/k=0 rungs and fell through to the
+    headline-only form, losing the map)."""
+    sys.path.insert(0, _ROOT)
+    import bench
+
+    # A heavy map big enough that the roomy form overflows, over a
+    # descending budget sweep. Invariant at every budget down to the
+    # k=0 rung: the per-query map and the c23 gate survive — only ratio
+    # entries shed. The r11 bug (rung sequence 5 → 2 → -1) is caught by
+    # the tightest budgets: they need the k=1/k=0 rungs the old
+    # decrement skipped.
+    timings, heavy, duck = _ladder_inputs(60, 20)
+    # Find the minimal budget at which the queries map survives — that
+    # is by construction the k=0 compact form's exact length.
+    k0_len = None
+    for budget in range(2800, 300, -1):
+        parsed = json.loads(
+            bench.compose_line(74.0, timings, 0.1, heavy, duck, budget=budget)
+        )
+        if "queries" not in parsed:
+            break
+        k0_len = budget
+        assert set(parsed["queries"]) == set(timings)
+        assert "c23_ratio" in parsed and "duck_common23" in parsed
+        if "heavy_shed" in parsed:  # compact rungs: trim is visible
+            assert parsed["heavy_shed"] == len(heavy) - len(
+                parsed["spark_over_duck_heavy"]
+            )
+    assert k0_len is not None, "queries map never survived any budget"
+    # At the k=0 boundary the line must fit exactly and carry NO ratio
+    # entries — i.e. the ladder genuinely reached the last rung instead
+    # of skipping from k=2 to the headline-only form.
+    parsed = json.loads(
+        bench.compose_line(74.0, timings, 0.1, heavy, duck, budget=k0_len)
+    )
+    assert parsed["spark_over_duck_heavy"] == {}
+    assert parsed["heavy_shed"] == len(heavy)
+    # One notch below: last resort, queries gone but the gate remains.
+    parsed = json.loads(
+        bench.compose_line(74.0, timings, 0.1, heavy, duck, budget=k0_len - 1)
+    )
+    assert "queries" not in parsed
+    assert "c23_ratio" in parsed and "duck_common23" in parsed
+
+
+def test_bench_line_gate_survives_last_resort():
+    """Even the headline-only last resort must carry the c23 gate, and
+    the roomy form must carry it too."""
+    sys.path.insert(0, _ROOT)
+    import bench
+
+    # Tiny headline: roomy form fits.
+    timings, heavy, duck = _ladder_inputs(5, 2)
+    # Make the COMMON23 members present so the ratio is real.
+    for n in bench.COMMON23:
+        timings[n] = 2.0
+        duck[n] = 0.4
+    line = bench.compose_line(10.0, timings, 0.01, heavy, duck)
+    parsed = json.loads(line)
+    assert parsed["c23_ratio"] == round(
+        sum(timings[n] for n in bench.COMMON23)
+        / sum(duck[n] for n in bench.COMMON23),
+        2,
+    )
+    # Pathological budget: every rung overflows → last resort still
+    # carries the gate fields.
+    line = bench.compose_line(10.0, timings, 0.01, heavy, duck, budget=250)
+    parsed = json.loads(line)
+    assert "queries" not in parsed  # genuinely the last resort
+    assert "c23_ratio" in parsed and "duck_common23" in parsed
