@@ -469,11 +469,14 @@ def _decode_zip(content: bytes) -> dict:
             raise NotImplementedError(
                 "encrypted ZIP entries are not supported"
             )
-        if flags & 0x8:
-            raise ValueError(
-                "corrupt ZIP: data-descriptor entries carry no sizes in "
-                "the central directory"
-            )
+        # Flag bit 3 (data descriptor, streamed writers): only the LOCAL
+        # header carries zeros — per APPNOTE 4.4.4 the CENTRAL directory
+        # always records the real sizes/CRC, which is exactly what this
+        # decoder trusts, so bit-3 archives (e.g. zipfile writing to a
+        # non-seekable stream) decode normally (r11 ADVICE; previously
+        # misclassified as corrupt). The descriptor bytes sit between
+        # the data and the next local header, outside every slice this
+        # walker takes.
         if method not in (0, 8):
             raise NotImplementedError(
                 f"only stored (0) and deflated (8) ZIP entries are "
@@ -531,9 +534,21 @@ def _decode_zip(content: bytes) -> dict:
             payload = raw
         if zlib.crc32(payload) != crc:
             raise ValueError(f"corrupt ZIP: entry {i} CRC mismatch")
+        # Name encoding per APPNOTE appendix D: flag bit 11 declares
+        # UTF-8; otherwise names are cp437 (which decodes every byte, so
+        # only the UTF-8 branch can fail — a lying flag is corruption,
+        # not a missing codec). r11 ADVICE: the old ascii decode raised
+        # a bare UnicodeDecodeError on valid non-ASCII archives.
+        try:
+            decoded_name = name.decode("utf-8" if flags & 0x800 else "cp437")
+        except UnicodeDecodeError:
+            raise ValueError(
+                f"corrupt ZIP: entry {i} declares UTF-8 (flag bit 11) "
+                f"but its name is not valid UTF-8"
+            ) from None
         entries.append(
             {
-                "name": name.decode("ascii"),
+                "name": decoded_name,
                 "size": uncomp_size,
                 "method": method,
                 "comp_size": comp_size,

@@ -16,6 +16,7 @@ token counts) are embarrassingly parallel projections: no shuffle at all.
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -1527,7 +1528,14 @@ def _merge_artifact_base(sf_dir: str) -> str:
         f"{os.path.abspath(sf_dir)}|{st.st_size}|{st.st_mtime_ns}"
         f"|bpe-v1-r{BPE_ROUNDS}-w{BPE_VOCAB_WORDS}".encode()
     ).hexdigest()[:16]
-    return os.path.join(tempfile.gettempdir(), "mric_bpe_artifacts", key)
+    # User-owned root (XDG cache), NOT the world-shared tempdir: on a
+    # multi-user box a predictable /tmp path lets any local user plant a
+    # "published" dir that the apply face would trust (r11 ADVICE). The
+    # load-time audit below is the second line of defense.
+    cache_root = os.environ.get(
+        "XDG_CACHE_HOME", os.path.join(os.path.expanduser("~"), ".cache")
+    )
+    return os.path.join(cache_root, "mric_bpe_artifacts", key)
 
 
 def publish_merge_table(spark: SparkSession, sf_dir: str) -> str:
@@ -1546,28 +1554,47 @@ def publish_merge_table(spark: SparkSession, sf_dir: str) -> str:
     staging = tempfile.mkdtemp(prefix="_staging_", dir=base)
     bpe_merges(spark, sf_dir).write.mode("overwrite").parquet(staging)
     audited = spark.read.parquet(staging).collect()
-    ranks = sorted(r["rank"] for r in audited)
-    if ranks != list(range(1, BPE_ROUNDS + 1)) or any(
-        not r["a"] or not r["b"] for r in audited
-    ):
-        raise ValueError(
-            f"merge-table audit failed (ranks={ranks}) — NOT published"
-        )
+    err = _audit_merge_rows(audited)
+    if err:
+        raise ValueError(f"merge-table audit failed ({err}) — NOT published")
     try:
         os.rename(staging, published)  # atomic on POSIX
     except OSError:
         if not os.path.isdir(published):
             raise  # a real failure, not a lost publish race
+        shutil.rmtree(staging, ignore_errors=True)  # lost the race: clean up
     return published
+
+
+def _audit_merge_rows(rows) -> str | None:
+    """The merge-table contract: exactly BPE_ROUNDS rows, ranks 1..N,
+    non-null pair halves. Returns a description of the violation, or
+    None. Cheap (BPE_ROUNDS rows) — run at publish AND at every load."""
+    ranks = sorted(r["rank"] for r in rows)
+    if ranks != list(range(1, BPE_ROUNDS + 1)):
+        return f"ranks={ranks}"
+    if any(not r["a"] or not r["b"] for r in rows):
+        return "null merge-pair half"
+    return None
 
 
 def load_merge_table(spark: SparkSession, sf_dir: str) -> list[tuple[str, str]]:
     """The apply-only artifact read: BPE_ROUNDS rows in rank order — the
     KB-sized file a tokenizer ships. No training stage anywhere on this
     path once the artifact exists (tests/test_llm.py pins that by making
-    training raise)."""
+    training raise). The publish-time audit is RE-RUN here (r11 ADVICE):
+    a publish is only ever the audited rename, so a published dir that
+    fails the contract was planted or tampered with — refuse it loudly
+    rather than silently poisoning every downstream encode."""
     path = publish_merge_table(spark, sf_dir)
     rows = spark.read.parquet(path).orderBy("rank").collect()
+    err = _audit_merge_rows(rows)
+    if err:
+        raise ValueError(
+            f"published merge table at {path} violates its audit "
+            f"contract ({err}) — artifact tampered or stale; delete it "
+            f"to retrain"
+        )
     return [(r["a"], r["b"]) for r in rows]
 
 

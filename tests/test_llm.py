@@ -419,6 +419,53 @@ def test_zip_manifest_decoder_contract():
     with pytest.raises(NotImplementedError, match="method"):
         decode_media(bytes(exotic), "archive")
 
+    # Flag bit 3 (data descriptor): a zipfile write to a NON-SEEKABLE
+    # stream zeroes the local sizes and appends descriptors, but the
+    # central directory still carries the truth (APPNOTE 4.4.4) — such
+    # spec-valid archives must decode, not read as corrupt (r11 ADVICE).
+    class _Unseekable(io.RawIOBase):
+        def __init__(self):
+            self._buf = io.BytesIO()
+
+        def writable(self):
+            return True
+
+        def write(self, b):
+            return self._buf.write(b)
+
+        def seekable(self):
+            return False
+
+    stream = _Unseekable()
+    with zipfile.ZipFile(stream, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("streamed.txt", b"descriptor bytes " * 7)
+    sblob = stream._buf.getvalue()
+    sdec = decode_media(sblob, "archive")
+    assert sdec["entries"][0]["name"] == "streamed.txt"
+    assert zip_entry_byte_sums(sblob, sdec) == [
+        (119, sum(b"descriptor bytes " * 7))
+    ]
+
+    # Name encodings (APPNOTE appendix D): zipfile flags non-ASCII
+    # names UTF-8 (bit 11); unflagged names are cp437 — both byte-safe.
+    ubuf = io.BytesIO()
+    with zipfile.ZipFile(ubuf, "w") as zf:
+        zf.writestr("café.txt", b"utf8 name")
+    udec = decode_media(ubuf.getvalue(), "archive")
+    assert udec["entries"][0]["name"] == "café.txt"
+    # cp437 branch: patch 'e0.bin' → '\x82' ('é' in cp437) in BOTH the
+    # local and central name copies of an unflagged archive.
+    legacy = make_zip(b"ab", [3]).replace(b"e0.bin", b"\x820.bin")
+    ldec = decode_media(legacy, "archive")
+    assert ldec["entries"][0]["name"] == "é0.bin"
+    # A lying UTF-8 flag over non-UTF-8 name bytes is corruption.
+    lying = bytearray(legacy)
+    lcd = ldec["cd_offset"]
+    flags = struct.unpack_from("<H", lying, lcd + 8)[0]
+    struct.pack_into("<H", lying, lcd + 8, flags | 0x800)
+    with pytest.raises(ValueError, match="UTF-8"):
+        decode_media(bytes(lying), "archive")
+
 
 def test_ivf_scores_consistent_with_brute_force(spark, sf_dir):
     from mric_bak_etl_spark.llm.similarity import ivf_topk
@@ -931,3 +978,54 @@ def test_bpe_artifact_audit_blocks_bad_merge_tables(
     with pytest.raises(ValueError, match="audit failed"):
         T.publish_merge_table(spark, sf_dir)
     assert not os.path.isdir(str(tmp_path / "art" / "published"))
+
+
+def test_bpe_load_audit_refuses_planted_artifact(
+    spark, sf_dir, monkeypatch, tmp_path
+):
+    """r11 ADVICE: the audit must also run at LOAD time — a publish is
+    only ever the audited rename, so a 'published' dir that violates the
+    contract was planted or tampered with (world-shared path era) and
+    must be refused, not silently applied. Also pins the lost-race
+    staging cleanup and the user-owned artifact root."""
+    import os
+
+    from mric_bak_etl_spark.llm import text as T
+
+    # The artifact root must be user-owned (XDG cache), not the
+    # world-shared tempdir.
+    import tempfile
+
+    real_base = T._merge_artifact_base(sf_dir)
+    assert not real_base.startswith(tempfile.gettempdir())
+
+    base = tmp_path / "art"
+    monkeypatch.setattr(T, "_merge_artifact_base", lambda _sf: str(base))
+    # Plant a short merge table as an already-"published" artifact.
+    planted = T.bpe_merges(spark, sf_dir).filter(F.col("rank") < T.BPE_ROUNDS)
+    planted.write.mode("overwrite").parquet(str(base / "published"))
+    with pytest.raises(ValueError, match="tampered or stale"):
+        T.load_merge_table(spark, sf_dir)
+
+    # Lost publish race: when 'published' appears between the staging
+    # write and the rename, the loser must clean its staging dir up.
+    import shutil
+
+    shutil.rmtree(base)
+    good = T.bpe_merges(spark, sf_dir).toPandas()
+    real_rename = os.rename
+
+    def racing_rename(src, dst):
+        if dst.endswith("published"):
+            # The winner publishes first.
+            os.makedirs(dst, exist_ok=True)
+            winner = spark.createDataFrame(good)
+            winner.write.mode("overwrite").parquet(dst)
+            raise OSError("simulated lost race")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", racing_rename)
+    path = T.publish_merge_table(spark, sf_dir)
+    assert os.path.isdir(path)
+    leftovers = [p for p in os.listdir(base) if p.startswith("_staging_")]
+    assert leftovers == [], f"lost-race staging dirs leaked: {leftovers}"
