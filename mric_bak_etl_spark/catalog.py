@@ -93,61 +93,57 @@ def all_specs() -> dict[str, QuerySpec]:
     return dict(_REGISTRY)
 
 
-# Verification order — round 11 rotation. The driver's correctness run
+# Verification order — round 12 rotation. The driver's correctness run
 # is time-budgeted (~50 entries/round); the cumulative record through
-# round 10 is 299 distinct queries driver-sampled, 290 full value-hash
-# green, 9 rows-only by design, 0 failures ever (CORRECTNESS_r01-r10).
-# Round-11 head, the r9/r10 discipline: the flagship canary; this
-# round's NEW first rows (m12_zip_manifest — the ZIP codec; m13 — its
-# deflate-extraction face; l26c — the persisted-merge-table apply face); the full
-# `python -m mric_bak_etl_spark.introspect` queue for round-11 changes
-# (the ZIP codec and the PPM/WAV hardening live beside decode_media, so
-# every decode consumer re-enters: m7/m8/m9/m10/m11; m10b's doc gained
-# the measured-premium paragraph; the l26b encode tail was factored
-# into the _encode_corpus helper l26c shares). Then, with rotation debt
-# at zero, the entire remaining budget goes OLDEST-GREEN-FIRST (r10
-# verdict task 3): all 31 queries whose newest driver row is still
-# round 2 — the a7/dq1/dq5/a12/a13/a16 leaders that ceded r10 slots
-# plus the rest of the r2 vintage — finishing the sweep the r10 head
-# started, and the 8 alphabetical leaders of the round-3 vintage fill
-# the tail (f4_conditional ceded its slot when the m13 deflate face
-# landed mid-round and took a first-row slot — the r10 cede pattern).
-# 1 + 3 + 7 + 31 + 8 = 50, exactly the driver budget; after
-# this round no attestation predates round 3, and the remaining r3
-# rows (32) lead round 12. The local parity suite
-# (tests/test_oracle_parity.py, value-matched before every commit)
-# remains the regression guard for everything sitting out.
+# round 11 is 302 distinct queries driver-sampled, 293 full value-hash
+# green, 9 rows-only by design, 0 failures ever (CORRECTNESS_r01-r11).
+# Round-12 head, the r9-r11 discipline: the flagship canary; this
+# round's NEW first rows (m14 — the persisted-archive decode-only
+# media face, the l26c pattern applied to m12/m13's codec; l42 — the
+# incremental crawl composite: url→exact-index→in-batch→banded-neardup
+# funnel on the portable hash family, full value oracle); the full
+# `python -m mric_bak_etl_spark.introspect` queue for round-12 changes
+# (the ZIP decoder gained bit-3/data-descriptor decoding and
+# UTF-8/cp437 name handling, so every decode_media consumer re-enters:
+# m7-m13; l26c's artifact path moved to the XDG cache root and gained
+# the load-time audit). Then OLDEST-GREEN-FIRST: all 33 remaining
+# r3-vintage rows (finishing the sweep r11 started — after this round
+# no attestation predates round 4), and the 6 alphabetical leaders of
+# the r4 vintage fill the tail. 1 + 2 + 8 + 33 + 6 = 50, exactly the
+# driver budget. The local parity suite (tests/test_oracle_parity.py,
+# value-matched before every commit) remains the regression guard for
+# everything sitting out.
 _VERIFY_FIRST: tuple[str, ...] = (
     "a1_pricing_summary",
-    # New first rows (round-11 operators)
-    "m12_zip_manifest",
-    "m13_zip_deflate_manifest",
+    # New first rows (round-12 operators)
+    "m14_zip_persisted_manifest",
+    "l42_incremental_crawl",
+    # Introspect queue: decode_media consumers of the ZIP decoder's
+    # bit-3/name-encoding change + the l26c artifact-path hardening.
     "l26c_bpe_encode_persisted",
-    # Introspect queue: decode_media-transitive consumers of the ZIP
-    # codec + PPM/WAV hardening, the m10b doc pin, the l26b refactor.
     "m7_bmp_decode",
     "m8_bmp_channel_stats",
     "m9_wav_decode",
     "m10_wav_window_stats",
-    "m10b_portable_wav_window_stats",
     "m11_ppm_decode",
-    "l26b_bpe_encode",
-    # r2-vintage sweep (31): every query whose newest driver row is r2.
-    "a12_filtered_aggregates", "a13_unpivot", "a14_hll_sketch",
-    "a16_decimal_exact", "a7_percentiles", "dq1_quality_gate",
-    "dq5_referential_integrity", "e1_funnel", "f1_strings",
-    "f2_datetime", "f7_json", "g1_pagerank", "j4b_left_anti",
-    "l1_exact_dedup", "l2b_ngram_jaccard", "l6_stratified_sample",
-    "m1_multimodal_metadata", "p1_projection", "p2_filter_predicates",
-    "q1_sql_parity", "r17_merge_apply", "r7_state_antijoin",
-    "s1_parquet_scan", "sq1_exists_correlated",
-    "sq5_lateral_topk_per_group", "t5_stateful_dedup", "tx_langid",
-    "tx_token_count", "u1_union_by_name", "u2_intersect",
-    "x4_scalar_pandas_udf",
-    # r3-vintage fills (8 alphabetical leaders of the 41-query r3 set)
-    "a20_approx_topk", "a23_sketch_rollup", "dq6_schema_drift",
-    "dq7_psi_drift", "e8_attribution", "f26_regexp_family",
-    "f27_csv_expressions", "f3_math",
+    "m12_zip_manifest",
+    "m13_zip_deflate_manifest",
+    # r3-vintage sweep (33): every query whose newest driver row is r3.
+    "f4_conditional", "f6_map_struct", "h6_forecast_revenue",
+    "j13_null_safe_join", "l21_bottomk_sample", "l23_containment_neardup",
+    "l24_bigram_lm", "l25_url_dedup", "l27_weighted_sample",
+    "l28_record_linkage", "l3e_pq_topk", "l5_slice_stats",
+    "o1_multikey_sort", "o4_limit_offset", "o5_distributed_row_number",
+    "q5_sql_udf", "q6_pipe_syntax", "q7_exec_immediate",
+    "q8_sql_scripting", "s14_time_travel", "s2_file_manifest",
+    "s3_snapshot_roundtrip", "t2_sliding_window", "t3_session_window",
+    "t4_watermark_cutoff", "tx_entropy", "u4_intersect_all",
+    "u5_union_missing_columns", "w2_lag_lead", "w8_interpolation",
+    "x1_unzip_payload", "x2_grouped_pandas_agg", "x9_iter_pandas_udf",
+    # r4-vintage fills (6 alphabetical leaders of the 42-query r4 set)
+    "a22_regression_aggregates", "a24_exact_percentiles",
+    "dq10_source_freshness", "dq2_volume_anomaly", "dq3_column_profile",
+    "dq8_fact_summary_reconciliation",
 )
 
 
@@ -254,6 +250,8 @@ HEADLINE: tuple[str, ...] = (
     "m12_zip_manifest",     # multi-entry ZIP central-directory walk
     "l26c_bpe_encode_persisted",  # tokenizer apply-only face (persisted artifact)
     "m13_zip_deflate_manifest",  # real deflate extraction (method-invariant sums)
+    "m14_zip_persisted_manifest",  # media apply-only face (persisted archive column)
+    "l42_incremental_crawl",  # incremental crawl composite (url→exact→near-dup funnel)
 )
 
 

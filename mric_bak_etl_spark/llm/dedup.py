@@ -2134,3 +2134,395 @@ def portable_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# L42: the incremental crawl composite (r11 verdict task 5)
+# ---------------------------------------------------------------------------
+
+def crawl_flags(corpus: DataFrame, batch: DataFrame) -> DataFrame:
+    """The incremental-crawl gate cascade, batch-vs-index form: classify
+    every NEW-batch document through the production funnel — URL-canonical
+    dedup (l25's gate, within batch), exact dedup against the corpus
+    content-hash index (l38's probe), exact dedup within the batch (l38's
+    window keeper), and near-dup against the corpus band index with exact
+    Jaccard verify (l40's probe on the PORTABLE l2f hash family, so any
+    SQL engine reproduces every gate bit-for-bit).
+
+    ``corpus``: (doc_id, text) — participates ONLY as two indexes (a
+    distinct content-hash set and a band table); it is never re-paired
+    with itself and never shuffled for the probe (broadcast joins, the
+    batch being small vs the corpus by contract). ``batch``: (new_id,
+    text, curl). Returns the batch with boolean survival flags s1..s4
+    (cumulative conjunction — sN means "survived gates 1..N") plus
+    ``tok_n`` (whitespace token count, the budget the funnel accounts).
+
+    Gate semantics, each deterministic: s1 keeps one doc per canonical
+    URL (longest text, then min new_id — l25's best-snapshot rule); s2
+    drops s1-survivors whose md5(text) is in the corpus index; s3 elects
+    min(new_id) per content hash among s2-survivors; s4 drops
+    s3-survivors sharing a band bucket with ANY corpus doc whose exact
+    string-shingle Jaccard is ≥ 0.5 (candidates from the bucket join,
+    truth from the verify — LSH only prunes).
+
+    At 100 TB both indexes are persisted artifacts (the l38/l40/l26c/m14
+    pattern); per-crawl cost is O(|batch| + capped index probe). The
+    hot-bucket posting cap (l40) is omitted here because the VALUE
+    oracle must replicate the candidate set exactly; the production
+    composition adds it at index-build time.
+    """
+    from pyspark.sql import Window
+
+    from mric_bak_etl_spark.tables import materialize
+
+    wu = Window.partitionBy("curl")
+    best_len = F.max(F.length("text")).over(wu)
+    f0 = batch.select(
+        "new_id",
+        "text",
+        "curl",
+        F.size(tokens()).cast("bigint").alias("tok_n"),
+        F.md5("text").alias("h"),
+        best_len.alias("best_len"),
+    )
+    f1 = f0.select(
+        "new_id",
+        "text",
+        "tok_n",
+        "h",
+        (
+            F.col("new_id")
+            == F.min(
+                F.when(F.length("text") == F.col("best_len"), F.col("new_id"))
+            ).over(wu)
+        ).alias("s1"),
+    )
+    corpus_h = corpus.select(F.md5("text").alias("h")).distinct()
+    f2 = f1.join(
+        corpus_h.withColumn("in_corpus", F.lit(True)), "h", "left"
+    ).select(
+        "new_id",
+        "text",
+        "tok_n",
+        "h",
+        "s1",
+        (F.col("s1") & F.col("in_corpus").isNull()).alias("s2"),
+    )
+    wh = Window.partitionBy("h")
+    f3 = materialize(
+        f2.select(
+            "new_id",
+            "text",
+            "tok_n",
+            "s1",
+            "s2",
+            (
+                F.col("s2")
+                & (
+                    F.col("new_id")
+                    == F.min(F.when(F.col("s2"), F.col("new_id"))).over(wh)
+                )
+            ).alias("s3"),
+        )
+    )
+    # Near-dup probe: only s3 survivors probe the index (why band docs
+    # the earlier gates already dropped). Portable family end to end.
+    surv_sh = materialize(
+        f3.filter("s3").select(
+            F.col("new_id").alias("doc_id"), shingles().alias("sh")
+        )
+    )
+    corpus_sh = materialize(corpus.select("doc_id", shingles().alias("sh")))
+    probe_bands = portable_band_hashes(portable_minhash_signatures(surv_sh))
+    index_bands = portable_band_hashes(portable_minhash_signatures(corpus_sh))
+    cands = (
+        F.broadcast(probe_bands.withColumnRenamed("doc_id", "new_id"))
+        .join(index_bands, ["band", "band_hash"])
+        .select(F.col("doc_id").alias("doc_a"), F.col("new_id").alias("doc_b"))
+        .distinct()
+    )
+    near = (
+        exact_jaccard(corpus_sh.unionByName(surv_sh), cands)
+        .filter(F.col("jaccard") >= 0.5)
+        .select(F.col("doc_b").alias("new_id"))
+        .distinct()
+        .withColumn("is_near", F.lit(True))
+    )
+    return f3.join(F.broadcast(near), "new_id", "left").select(
+        "new_id",
+        "text",
+        "tok_n",
+        "s1",
+        "s2",
+        "s3",
+        (F.col("s3") & F.col("is_near").isNull()).alias("s4"),
+    )
+
+
+def _l42_batch(d: DataFrame) -> DataFrame:
+    """The fixture increment, id-shifted into batch-only ranges (the l38
+    idiom): re-shipped exact copies (%10==3 → dup_corpus), a TWICE-shipped
+    revision (%10==7 → one in-batch dup, the keeper then a near-dup of
+    its source), genuinely fresh docs (%10==1 → kept), and a URL-colliding
+    resend pair (%10==9 → the longer capture survives the URL gate, then
+    usually falls to the near-dup probe)."""
+    url = lambda tail: F.concat(  # noqa: E731
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/"),
+        F.col("lang"),
+        tail,
+    )
+    slot = F.concat(F.lit("/doc-"), (F.col("doc_id") % 40).cast("string"))
+
+    def arm(mod: int, shift: int, text: F.Column, tail: F.Column) -> DataFrame:
+        return d.filter(F.col("doc_id") % 10 == mod).select(
+            (F.col("doc_id") + shift).alias("new_id"),
+            text.alias("text"),
+            url(tail).alias("curl"),
+        )
+
+    return (
+        arm(3, 2_000_000, F.col("text"), slot)
+        .unionByName(
+            arm(7, 3_000_000, F.concat("text", F.lit(" rev")), slot)
+        )
+        .unionByName(
+            arm(
+                7,
+                4_000_000,
+                F.concat("text", F.lit(" rev")),
+                F.concat(slot, F.lit("-alt")),
+            )
+        )
+        .unionByName(
+            arm(
+                1,
+                5_000_000,
+                F.concat(
+                    F.lit("fresh crawl "),
+                    F.col("doc_id").cast("string"),
+                    F.lit(" carries entirely new token material "),
+                    (F.col("doc_id") * 7).cast("string"),
+                ),
+                F.concat(F.lit("/fresh-"), F.col("doc_id").cast("string")),
+            )
+        )
+        .unionByName(
+            arm(
+                9,
+                6_000_000,
+                F.concat("text", F.lit(" resend with extra tail")),
+                slot,
+            )
+        )
+        .unionByName(arm(9, 6_500_000, F.concat("text", F.lit(" v0")), slot))
+    )
+
+
+def crawl_waterfall(corpus: DataFrame, batch: DataFrame) -> DataFrame:
+    """Aggregate crawl_flags into the l34-shaped per-gate funnel, in docs
+    AND tokens (the budget a crawl release actually reports)."""
+    flags = crawl_flags(corpus, batch)
+    tot = flags.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n0"),
+        *[
+            F.sum(F.col(f"s{i}").cast("int")).cast("bigint").alias(f"n{i}")
+            for i in (1, 2, 3, 4)
+        ],
+        F.sum("tok_n").cast("bigint").alias("t0"),
+        *[
+            F.sum(F.when(F.col(f"s{i}"), F.col("tok_n")).otherwise(0))
+            .cast("bigint")
+            .alias(f"t{i}")
+            for i in (1, 2, 3, 4)
+        ],
+    )
+    stages = tot.select(
+        F.expr(
+            "stack(4, "
+            "1, 'url_canonical',     n0, n1, t0, t1, "
+            "2, 'exact_vs_corpus',   n1, n2, t1, t2, "
+            "3, 'exact_in_batch',    n2, n3, t2, t3, "
+            "4, 'neardup_vs_corpus', n3, n4, t3, t4) "
+            "AS (stage_no, stage, n_in, n_out, tok_in, tok_out)"
+        )
+    )
+    return stages.select(
+        "stage_no",
+        "stage",
+        "n_in",
+        "n_out",
+        (F.col("n_in") - F.col("n_out")).alias("n_dropped"),
+        F.round(F.col("n_out").cast("double") / F.col("n_in"), 4).alias(
+            "pct_kept"
+        ),
+        "tok_in",
+        "tok_out",
+    ).orderBy("stage_no")
+
+
+_L42_SHINGLE_ORACLE = """list_distinct(list_transform(
+      range(1, greatest(len(string_split_regex(text, '\\s+')) - 2, 1) + 1),
+      i -> array_to_string(string_split_regex(text, '\\s+')[i:i+2], ' ')
+    ))"""
+
+_L42_BAND_ORACLE = """
+      SELECT doc_id, b.band,
+             md5(concat_ws('|', mh[b.band*4+1], mh[b.band*4+2],
+                                mh[b.band*4+3], mh[b.band*4+4])) AS band_hash
+"""
+
+
+@register(
+    "l42_incremental_crawl",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, text, lang, source FROM documents),
+    batch AS (
+      SELECT doc_id + 2000000 AS new_id, text,
+             'https://'||source||'.example.com/'||lang||'/doc-'||(doc_id%40) AS curl
+      FROM d WHERE doc_id % 10 = 3
+      UNION ALL
+      SELECT doc_id + 3000000, text || ' rev',
+             'https://'||source||'.example.com/'||lang||'/doc-'||(doc_id%40)
+      FROM d WHERE doc_id % 10 = 7
+      UNION ALL
+      SELECT doc_id + 4000000, text || ' rev',
+             'https://'||source||'.example.com/'||lang||'/doc-'||(doc_id%40)||'-alt'
+      FROM d WHERE doc_id % 10 = 7
+      UNION ALL
+      SELECT doc_id + 5000000,
+             'fresh crawl '||doc_id||' carries entirely new token material '||(doc_id*7),
+             'https://'||source||'.example.com/'||lang||'/fresh-'||doc_id
+      FROM d WHERE doc_id % 10 = 1
+      UNION ALL
+      SELECT doc_id + 6000000, text || ' resend with extra tail',
+             'https://'||source||'.example.com/'||lang||'/doc-'||(doc_id%40)
+      FROM d WHERE doc_id % 10 = 9
+      UNION ALL
+      SELECT doc_id + 6500000, text || ' v0',
+             'https://'||source||'.example.com/'||lang||'/doc-'||(doc_id%40)
+      FROM d WHERE doc_id % 10 = 9
+    ),
+    f0 AS (
+      SELECT new_id, text, curl,
+             CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS tok_n,
+             md5(text) AS h,
+             max(length(text)) OVER (PARTITION BY curl) AS best_len
+      FROM batch
+    ),
+    f1 AS (
+      SELECT new_id, text, tok_n, h,
+             new_id = min(CASE WHEN length(text) = best_len THEN new_id END)
+                      OVER (PARTITION BY curl) AS s1
+      FROM f0
+    ),
+    f2 AS (
+      SELECT f1.*,
+             s1 AND h NOT IN (SELECT DISTINCT md5(text) FROM d) AS s2
+      FROM f1
+    ),
+    f3 AS (
+      SELECT f2.*,
+             s2 AND new_id = min(CASE WHEN s2 THEN new_id END)
+                             OVER (PARTITION BY h) AS s3
+      FROM f2
+    ),
+    ssh AS (
+      SELECT new_id AS doc_id, {_L42_SHINGLE_ORACLE} AS sh
+      FROM f3 WHERE s3
+    ),
+    csh AS (SELECT doc_id, {_L42_SHINGLE_ORACLE} AS sh FROM d),
+    ssig AS (SELECT doc_id, [{{sig}}] AS mh FROM ssh),
+    csig AS (SELECT doc_id, [{{sig}}] AS mh FROM csh),
+    sbands AS ({_L42_BAND_ORACLE}
+      FROM ssig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) b),
+    cbands AS ({_L42_BAND_ORACLE}
+      FROM csig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) b),
+    cand AS (
+      SELECT DISTINCT s.doc_id AS new_id, c.doc_id AS corp_id
+      FROM sbands s JOIN cbands c
+        ON s.band = c.band AND s.band_hash = c.band_hash
+    ),
+    near AS (
+      SELECT DISTINCT cand.new_id
+      FROM cand
+      JOIN ssh ON ssh.doc_id = cand.new_id
+      JOIN csh ON csh.doc_id = cand.corp_id
+      WHERE round(CAST(len(list_intersect(ssh.sh, csh.sh)) AS DOUBLE)
+            / (len(ssh.sh) + len(csh.sh)
+               - len(list_intersect(ssh.sh, csh.sh))), 4) >= 0.5
+    ),
+    f4 AS (
+      SELECT f3.*,
+             s3 AND new_id NOT IN (SELECT new_id FROM near) AS s4
+      FROM f3
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n0,
+             CAST(sum(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+             CAST(sum(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+             CAST(sum(CASE WHEN s4 THEN 1 ELSE 0 END) AS BIGINT) AS n4,
+             CAST(sum(tok_n) AS BIGINT) AS t0,
+             CAST(sum(CASE WHEN s1 THEN tok_n ELSE 0 END) AS BIGINT) AS t1,
+             CAST(sum(CASE WHEN s2 THEN tok_n ELSE 0 END) AS BIGINT) AS t2,
+             CAST(sum(CASE WHEN s3 THEN tok_n ELSE 0 END) AS BIGINT) AS t3,
+             CAST(sum(CASE WHEN s4 THEN tok_n ELSE 0 END) AS BIGINT) AS t4
+      FROM f4
+    )
+    SELECT stage_no, stage, n_in, n_out,
+           n_in - n_out AS n_dropped,
+           round(CAST(n_out AS DOUBLE) / n_in, 4) AS pct_kept,
+           tok_in, tok_out
+    FROM (
+      SELECT 1 AS stage_no, 'url_canonical' AS stage,
+             n0 AS n_in, n1 AS n_out, t0 AS tok_in, t1 AS tok_out FROM tot
+      UNION ALL
+      SELECT 2, 'exact_vs_corpus', n1, n2, t1, t2 FROM tot
+      UNION ALL
+      SELECT 3, 'exact_in_batch', n2, n3, t2, t3 FROM tot
+      UNION ALL
+      SELECT 4, 'neardup_vs_corpus', n3, n4, t3, t4 FROM tot
+    )
+    ORDER BY stage_no
+    """.replace("{{sig}}", _L2F_SIG_ORACLE).replace("{sig}", _L2F_SIG_ORACLE),
+    doc="L42: the INCREMENTAL crawl composite (r11 verdict task 5) — the "
+    "end-to-end funnel a recurring crawl runs against a standing corpus, "
+    "registered as ONE query the way l11 proves the batch curation path: "
+    "URL-canonical dedup (l25's gate) → exact dedup vs the corpus "
+    "content-hash index (l38's probe) → exact dedup within the batch "
+    "(l38's window keeper) → near-dup vs the corpus band index with "
+    "exact-Jaccard verify (l40's probe shape on l2f's PORTABLE md5 "
+    "hash family — which is what buys this composite a FULL value "
+    "oracle: DuckDB reproduces every signature, band, candidate and "
+    "verdict bit-for-bit). Output is the l34-shaped waterfall in docs "
+    "AND whitespace tokens per gate — the budget accounting a release "
+    "ships. Fixture increment: re-shipped exact copies (caught by the "
+    "corpus index), a twice-shipped revision (one in-batch dup; the "
+    "keeper then falls to the near-dup probe against its source), "
+    "genuinely fresh docs (kept), and a URL-colliding resend pair "
+    "(the longer capture survives the URL gate). The corpus "
+    "participates ONLY as two probe-able indexes — never re-paired "
+    "with itself, never shuffled for the probe (the batch side "
+    "broadcasts) — so per-crawl cost is O(|batch| + index probe): "
+    "l38's incremental property, composed. Replay idempotence (the "
+    "t13b shape) is pinned by test: append the survivors to the "
+    "corpus, re-ship the SAME batch, and the funnel keeps zero docs. "
+    "At 100 TB the indexes are persisted artifacts (l26c/m14's "
+    "publish pattern) and the production form adds l40's hot-bucket "
+    "posting cap at index-build time (omitted here so the value "
+    "oracle can replicate the candidate set exactly). Downstream "
+    "stages of the composition are proven by their own apply faces: "
+    "l26c tokenizes survivors via the persisted merge table, m14 "
+    "manifests their media via the persisted archive column.",
+    tags=("llm", "dedup", "composite"),
+)
+def incremental_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text", "lang", "source"
+        ),
+        "doc_id",
+    )
+    return crawl_waterfall(d.select("doc_id", "text"), _l42_batch(d))

@@ -1721,6 +1721,207 @@ def zip_deflate_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _m14_geometry(mid: int) -> tuple[list[int], list[int]]:
+    """Per-archive layout for the persisted column: 2-4 entries, mixed
+    stored/deflated, sizes a closed-form function of doc_id alone (the
+    m12/m13 oracle discipline)."""
+    ne = mid % 3 + 2
+    lens = [mid % 9 + 2 + 6 * i for i in range(ne)]
+    methods = [0 if (mid + i) % 3 == 0 else 8 for i in range(ne)]
+    return lens, methods
+
+
+def _pack_archive_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """The SYNTHESIS stage — runs only inside publish_archive_column,
+    never on the m14 apply path (pinned by test: make_zip monkeypatched
+    to raise once the artifact exists)."""
+    for pdf in batches:
+        ids: list[int] = []
+        blobs: list[bytes] = []
+        for mid, text in zip(pdf["doc_id"], pdf["text"]):
+            assert text.isascii(), (
+                f"m14 oracle assumes ASCII text; doc {mid} is not"
+            )
+            mid_i = int(mid)
+            lens, methods = _m14_geometry(mid_i)
+            blobs.append(
+                make_zip(
+                    text.encode(),
+                    lens,
+                    # Same layout variety as m12: junk prefix (odd ids)
+                    # and EOCD comment (ids ≡ 2 mod 3) the oracle never
+                    # models — decode must slice at shifted offsets.
+                    prefix=b"\xfc" * (mid_i % 4) if mid_i % 2 else b"",
+                    comment=(
+                        f"m14 {mid_i}".encode() if mid_i % 3 == 2 else b""
+                    ),
+                    methods=methods,
+                )
+            )
+            ids.append(mid)
+        yield pd.DataFrame({"media_id": ids, "content": blobs})
+
+
+def _decode_persisted_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """The APPLY stage: decode + manifest only. No synthesis anywhere —
+    this function must never reference make_zip."""
+    cols = ("media_id", "entry_no", "method", "n_bytes", "byte_sum")
+    for pdf in batches:
+        out: dict[str, list] = {k: [] for k in cols}
+        for mid, content in zip(pdf["media_id"], pdf["content"]):
+            blob = bytes(content)
+            dec = decode_media(blob, "archive")
+            for i, (sz, s) in enumerate(zip_entry_byte_sums(blob, dec)):
+                out["media_id"].append(mid)
+                out["entry_no"].append(i)
+                out["method"].append(dec["entries"][i]["method"])
+                out["n_bytes"].append(sz)
+                out["byte_sum"].append(s)
+        yield pd.DataFrame(out)
+
+
+def _archive_artifact_base(sf_dir: str) -> str:
+    """Versioned location of the persisted archive column for ``sf_dir``
+    — keyed by the documents parquet's identity + packer config (the
+    l26c `_merge_artifact_base` shape): a regenerated corpus or a
+    re-tuned packer invalidates the artifact instead of silently serving
+    stale blobs. Rooted in the user-owned XDG cache, not the
+    world-shared tempdir (the r11 artifact-planting lesson)."""
+    import hashlib
+    import os
+
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    key = hashlib.sha256(
+        f"{os.path.abspath(sf_dir)}|{st.st_size}|{st.st_mtime_ns}"
+        f"|zipcol-v1-m14".encode()
+    ).hexdigest()[:16]
+    cache_root = os.environ.get(
+        "XDG_CACHE_HOME", os.path.join(os.path.expanduser("~"), ".cache")
+    )
+    return os.path.join(cache_root, "mric_media_artifacts", key)
+
+
+def publish_archive_column(spark: SparkSession, sf_dir: str) -> str:
+    """Pack-if-missing: return the published archive-column path (a
+    parquet of ``media_id, content binary``), packing only when absent —
+    the s11/l26c write-audit-publish shape applied to a MEDIA column.
+    The audit decodes every blob that was ACTUALLY written (distributed,
+    full structural validation: EOCD walk, local-header cross-checks,
+    inflate, CRC) and compares three aggregates — blob count, entry
+    count, total payload bytes — against the closed-form geometry; only
+    then does the atomic rename publish. Concurrent packers race
+    benignly: the loser reads the winner's dir and removes its staging.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    base = _archive_artifact_base(sf_dir)
+    published = os.path.join(base, "published")
+    if os.path.isdir(published):
+        return published
+    os.makedirs(base, exist_ok=True)
+    staging = tempfile.mkdtemp(prefix="_staging_", dir=base)
+    d = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    d.mapInPandas(
+        _pack_archive_batches, schema="media_id long, content binary"
+    ).write.mode("overwrite").parquet(staging)
+    # Audit what was written: decode every blob, aggregate, compare to
+    # the closed-form expectation. One distributed pass; 1 row collected.
+    got = (
+        spark.read.parquet(staging)
+        .mapInPandas(_decode_persisted_batches, schema=_M13_SCHEMA)
+        .agg(
+            F.countDistinct("media_id").alias("n_blobs"),
+            F.count(F.lit(1)).alias("n_entries"),
+            F.sum("n_bytes").alias("n_payload_bytes"),
+        )
+        .collect()[0]
+    )
+    ne = F.col("doc_id") % 3 + 2
+    want = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            ne.alias("ne"),
+            (ne * (F.col("doc_id") % 9 + 2) + 3 * ne * (ne - 1)).alias("pb"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_blobs"),
+            F.sum("ne").alias("n_entries"),
+            F.sum("pb").alias("n_payload_bytes"),
+        )
+        .collect()[0]
+    )
+    if tuple(got) != tuple(want):
+        raise ValueError(
+            f"archive-column audit failed (wrote {tuple(got)}, geometry "
+            f"says {tuple(want)}) — NOT published"
+        )
+    try:
+        os.rename(staging, published)  # atomic on POSIX
+    except OSError:
+        if not os.path.isdir(published):
+            raise  # a real failure, not a lost publish race
+        shutil.rmtree(staging, ignore_errors=True)
+    return published
+
+
+@register(
+    "m14_zip_persisted_manifest",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id, text, doc_id % 3 + 2 AS ne FROM documents
+    ),
+    e AS (SELECT doc_id, text, unnest(range(0, ne)) AS i FROM g),
+    s AS (SELECT doc_id, text, i, doc_id % 9 + 2 + 6 * i AS len FROM e)
+    SELECT doc_id                          AS media_id,
+           CAST(i AS BIGINT)               AS entry_no,
+           CAST(CASE WHEN (doc_id + i) % 3 = 0 THEN 0 ELSE 8 END
+                AS BIGINT)                 AS method,
+           CAST(len AS BIGINT)             AS n_bytes,
+           CAST(CASE WHEN length(text) = 0 THEN 0 ELSE
+             list_sum(list_transform(generate_series(0, len - 1), j ->
+               {_m9_byte_oracle("j + i")}))
+           END AS BIGINT)                  AS byte_sum
+    FROM s
+    ORDER BY media_id, entry_no
+    """,
+    doc="M14: the m-family's PRODUCTION face — what a crawl actually "
+    "pays (r11 verdict task 3, the l26c pattern applied to media). "
+    "m12/m13 are honest self-contained oracle pairs but synthesize "
+    "each archive in the same mapInPandas call that decodes it, so "
+    "their bench numbers measure pack+decode. A pipeline reads "
+    "PERSISTED bytes: publish_archive_column packs at most once per "
+    "corpus fingerprint (write → decode-audit-what-was-written → one "
+    "atomic rename; the artifact key pins corpus identity + packer "
+    "config, rooted in the user-owned cache), and the steady-state "
+    "query is scan-parquet → decode → manifest — NO synthesis stage "
+    "(pinned by test: make_zip monkeypatched to raise once the "
+    "artifact exists, and the apply plan must scan the artifact, not "
+    "documents.parquet). Geometry: 2-4 entries per doc, mixed "
+    "stored/deflated, junk prefixes and EOCD comments the oracle never "
+    "models. The audit is itself distributed (every blob re-decoded "
+    "with full CRC/inflate validation before publish; 1 row collected). "
+    "At 100 TB: the archive column rides normal parquet row groups, "
+    "payload bytes stay executor-local through the Arrow batches, and "
+    "the bench number now measures the decode a pipeline actually "
+    "runs — the m12 5.1x heavy-ratio adjudication made measurable.",
+    tags=("llm", "multimodal", "udf", "artifact", "reference-fidelity"),
+)
+def zip_persisted_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = publish_archive_column(spark, sf_dir)
+    m = spark.read.parquet(path)
+    return (
+        spread(m)
+        .mapInPandas(_decode_persisted_batches, schema=_M13_SCHEMA)
+        .orderBy("media_id", "entry_no")
+    )
+
+
 @register(
     "x2_grouped_pandas_agg",
     oracle="""

@@ -2,7 +2,7 @@
 
 The in-suite fuzz tests are DERANDOMIZED — a fixed regression floor that
 runs identically every time. This sweep is the searched depth: every
-invocation draws genuinely new cases for all 19 grammars and fails loudly
+invocation draws genuinely new cases for all 20 grammars and fails loudly
 on the first cross-engine divergence. Round 8 ran 4,050 fresh cases this
 way (300 x grammars 1-12, then a reduced budget for the heavier recipe
 grammars), zero divergences; the grammar-16 IN-SUITE run had already
@@ -34,6 +34,7 @@ def main() -> None:
     from hypothesis import HealthCheck, given, settings
 
     import test_fuzz as tf
+    import test_properties as tp
     from mric_bak_etl_spark.session import get_spark
     from mric_bak_etl_spark.tables import TABLE_NAMES
 
@@ -78,6 +79,12 @@ def main() -> None:
          tf.test_random_wav_window_recipes_agree, True),
         ("zipman", tf.ZIPMAN_CASES,
          tf.test_random_zip_manifest_recipes_agree, True),
+        # Grammar 20 (r11 verdict task 6): decoder vs an INDEPENDENT
+        # producer — stdlib-zipfile-generated archives (entry counts/
+        # sizes/methods/comments/UTF-8 names/streamed bit-3 writers).
+        # Pure bytes math: no spark/duck session needed.
+        ("zipfile_interop", tp.ZIPFILE_CASES,
+         tp.test_zip_decoder_against_zipfile_generated_archives, "pure"),
     ]
     only = {g for g in args.only.split(",") if g}
     cfg = settings(
@@ -91,9 +98,12 @@ def main() -> None:
             continue
         inner = test.hypothesis.inner_test
 
-        def make_body(fn, with_sf):
+        def make_body(fn, mode):
             # closure factory: @given rejects functions with defaults
-            if with_sf:
+            if mode == "pure":  # no session: pure bytes-math grammar
+                def body(case):
+                    fn(case=case)
+            elif mode:
                 def body(case):
                     fn(spark=spark, duck=con, sf_dir=args.sf, case=case)
             else:

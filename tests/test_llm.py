@@ -1029,3 +1029,96 @@ def test_bpe_load_audit_refuses_planted_artifact(
     assert os.path.isdir(path)
     leftovers = [p for p in os.listdir(base) if p.startswith("_staging_")]
     assert leftovers == [], f"lost-race staging dirs leaked: {leftovers}"
+
+
+def test_m14_persisted_archive_is_decode_only(spark, sf_dir, monkeypatch):
+    """m14's contract (r11 verdict task 3, the l26c shape on media):
+    pack once, publish, then every call is decode-only — pinned by
+    making synthesis raise after the artifact exists, and by the plan
+    scanning the ARTIFACT parquet, not documents.parquet."""
+    import os
+    import shutil
+
+    import pandas as pd
+
+    from mric_bak_etl_spark.catalog import all_specs
+    from mric_bak_etl_spark.llm import multimodal as M
+
+    base = M._archive_artifact_base(sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    build = all_specs()["m14_zip_persisted_manifest"].builder
+
+    first = build(spark, sf_dir).toPandas()
+    assert os.path.isdir(os.path.join(base, "published"))
+
+    def boom(*_a, **_k):
+        raise AssertionError("synthesis ran on the apply-only path")
+
+    monkeypatch.setattr(M, "make_zip", boom)
+    second = build(spark, sf_dir).toPandas()
+    pd.testing.assert_frame_equal(first, second)
+
+    plan = (
+        build(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "documents" not in plan, "apply plan still scans the corpus"
+    assert "published" in plan  # the artifact scan
+
+
+def test_m14_publish_audit_blocks_lossy_packer(
+    spark, sf_dir, monkeypatch, tmp_path
+):
+    """The decode-audit gate: a packer that silently drops blobs (or
+    writes undecodable ones) must NOT publish."""
+    import os
+
+    from mric_bak_etl_spark.llm import multimodal as M
+
+    monkeypatch.setattr(
+        M, "_archive_artifact_base", lambda _sf: str(tmp_path / "art")
+    )
+    real = M._pack_archive_batches
+
+    def lossy(batches):
+        for pdf in real(batches):
+            yield pdf.iloc[:-1]
+
+    monkeypatch.setattr(M, "_pack_archive_batches", lossy)
+    with pytest.raises(ValueError, match="audit failed"):
+        M.publish_archive_column(spark, sf_dir)
+    assert not os.path.isdir(str(tmp_path / "art" / "published"))
+
+
+def test_l42_replay_idempotence(spark, sf_dir):
+    """The t13b shape for the crawl composite: append the funnel's
+    survivors to the corpus and re-ship the SAME batch — the second
+    pass must keep ZERO docs (survivors are now exact dups of the
+    corpus; in-batch dups fall to the corpus index too, since their
+    keeper's text was ingested; near-dups still fall to the band
+    probe). This is what makes a daily crawl re-run safe."""
+    from mric_bak_etl_spark.llm import dedup as D
+    from mric_bak_etl_spark.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    corpus = d.select("doc_id", "text")
+    batch = D._l42_batch(d)
+
+    flags = D.crawl_flags(corpus, batch)
+    survivors = flags.filter("s4").select(
+        (F.col("new_id")).alias("doc_id"), "text"
+    )
+    n_survivors = survivors.count()
+    assert n_survivors > 0, "fixture must keep something on pass 1"
+
+    corpus2 = corpus.unionByName(survivors)
+    second = D.crawl_waterfall(corpus2, batch).collect()
+    last = next(r for r in second if r["stage_no"] == 4)
+    assert last["n_out"] == 0, f"replay kept {last['n_out']} docs"
+    assert last["tok_out"] == 0
+    # The funnel itself is unchanged upstream of the corpus-dependent
+    # gates: the URL gate sees the identical batch.
+    first_rows = {r["stage_no"]: r for r in D.crawl_waterfall(corpus, batch).collect()}
+    second_rows = {r["stage_no"]: r for r in second}
+    assert second_rows[1]["n_out"] == first_rows[1]["n_out"]

@@ -161,6 +161,7 @@ def test_no_python_udfs_outside_declared_pandas_stages(spark, sf_dir, catalog_pl
                  "m4_resize", "m7_bmp_decode", "m8_bmp_channel_stats",
                  "m9_wav_decode", "m10_wav_window_stats", "m11_ppm_decode",
                  "m12_zip_manifest", "m13_zip_deflate_manifest",
+                 "m14_zip_persisted_manifest",
                  # NOT m10b: the portable twin must stay JVM-only — that
                  # is its contract, and this guard is what enforces it.
                  "x2_grouped_pandas_agg",

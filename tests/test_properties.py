@@ -1332,3 +1332,95 @@ def test_zip_decode_accepts_spec_space_rejects_corruption(case):
     for blob in mutations:
         with pytest.raises((ValueError, NotImplementedError)):
             decode_media(blob, "archive")
+
+
+# --- ZIP interop fuzz: INDEPENDENT producer (r11 verdict task 6) ------------
+# Grammar 19 sweeps our own packer's mutation space; this arm fuzzes the
+# decoder against archives GENERATED BY STDLIB ZIPFILE — entry counts,
+# sizes, per-entry methods, entry comments, archive comments, non-ASCII
+# (UTF-8-flagged) names, and the streamed (data-descriptor / flag-bit-3)
+# writer path — so acceptance is pinned to the spec as another
+# implementation reads it, not to our packer's dialect of it.
+
+ZIPFILE_CASES = st.fixed_dictionaries(
+    {
+        "payloads": st.lists(
+            st.binary(min_size=0, max_size=60), min_size=0, max_size=5
+        ),
+        "methods": st.lists(
+            st.sampled_from(["stored", "deflate"]), min_size=5, max_size=5
+        ),
+        "archive_comment": st.binary(min_size=0, max_size=20).filter(
+            lambda c: b"PK" not in c
+        ),
+        "entry_comment": st.binary(min_size=0, max_size=10).filter(
+            lambda c: b"PK" not in c
+        ),
+        "utf8_names": st.booleans(),
+        "streamed": st.booleans(),
+    }
+)
+
+
+@settings(max_examples=25, deadline=None, derandomize=True)
+@given(case=ZIPFILE_CASES)
+def test_zip_decoder_against_zipfile_generated_archives(case):
+    import io
+    import zipfile
+
+    from mric_bak_etl_spark.llm.multimodal import (
+        decode_media,
+        zip_entry_byte_sums,
+    )
+
+    methods = {
+        "stored": zipfile.ZIP_STORED,
+        "deflate": zipfile.ZIP_DEFLATED,
+    }
+    names = [
+        (f"café-{i}.dat" if case["utf8_names"] else f"p{i}.dat")
+        for i in range(len(case["payloads"]))
+    ]
+
+    if case["streamed"]:
+        # Non-seekable sink: zipfile zeroes the local sizes and appends
+        # data descriptors (flag bit 3) — the central directory still
+        # carries the truth, which is what the decoder walks.
+        class _Unseekable(io.RawIOBase):
+            def __init__(self):
+                self.buf = io.BytesIO()
+
+            def writable(self):
+                return True
+
+            def write(self, b):
+                return self.buf.write(b)
+
+            def seekable(self):
+                return False
+
+        sink = _Unseekable()
+    else:
+        sink = io.BytesIO()
+    with zipfile.ZipFile(sink, "w") as zf:
+        zf.comment = case["archive_comment"]
+        for i, payload in enumerate(case["payloads"]):
+            zf.writestr(
+                zipfile.ZipInfo(names[i]),
+                payload,
+                compress_type=methods[case["methods"][i]],
+            )
+            zf.getinfo(names[i]).comment = case["entry_comment"]
+    blob = (sink.buf if case["streamed"] else sink).getvalue()
+
+    dec = decode_media(blob, "archive")
+    assert dec["n_entries"] == len(case["payloads"])
+    assert dec["prefix_len"] == 0
+    assert [e["name"] for e in dec["entries"]] == names
+    want_methods = [
+        methods[case["methods"][i]] for i in range(len(case["payloads"]))
+    ]
+    assert [e["method"] for e in dec["entries"]] == want_methods
+    assert zip_entry_byte_sums(blob, dec) == [
+        (len(p), sum(p)) for p in case["payloads"]
+    ]

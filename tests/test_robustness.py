@@ -166,10 +166,34 @@ def test_results_survive_arrow_disabled(spark, duck, sf_dir):
         spark.conf.set(key, saved)
 
 
+def _rotation_selected(scenario: str) -> bool:
+    """The r11-declared suite-wall trim rung: run 2 of the 4 scenarios
+    per round, rotating so every scenario runs at least every other
+    round (~110 s saved per run). The rotation key is the number of
+    committed driver-round parity files — it increments exactly once
+    per round, needs no env plumbing, and makes the selection
+    reproducible for the whole round. SPARK_GRAFT_FULL_ROBUSTNESS=1
+    restores full coverage (use for release-grade local runs)."""
+    import glob
+    import os
+
+    if os.environ.get("SPARK_GRAFT_FULL_ROBUSTNESS"):
+        return True
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    k = len(glob.glob(os.path.join(here, "CORRECTNESS_r*.json")))
+    names = sorted(SCENARIOS)
+    return scenario in {names[k % len(names)], names[(k + 1) % len(names)]}
+
+
 @pytest.mark.parametrize("scenario", sorted(SCENARIOS))
 def test_results_survive_physical_strategy_changes(spark, duck, sf_dir, scenario):
     from test_oracle_parity import assert_frames_match
 
+    if not _rotation_selected(scenario):
+        pytest.skip(
+            f"rotated out this round (2-of-{len(SCENARIOS)} rotation; "
+            f"set SPARK_GRAFT_FULL_ROBUSTNESS=1 for full coverage)"
+        )
     confs = SCENARIOS[scenario]
     saved = {k: spark.conf.get(k) for k in confs}
     for k, v in confs.items():
