@@ -118,7 +118,9 @@ _VERIFY_FIRST: tuple[str, ...] = (
     # New first rows (round-12 operators)
     "m14_zip_persisted_manifest",
     "l42_incremental_crawl",
-    # Introspect queue: decode_media consumers of the ZIP decoder's
+    "l43_quality_score_persisted",
+    # Introspect queue: l33 re-enters (its training loop was factored
+    # into the _train_logreg helper l43's publisher shares); decode_media consumers of the ZIP decoder's
     # bit-3/name-encoding change + the l26c artifact-path hardening.
     "l26c_bpe_encode_persisted",
     "m7_bmp_decode",
@@ -140,10 +142,12 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "t4_watermark_cutoff", "tx_entropy", "u4_intersect_all",
     "u5_union_missing_columns", "w2_lag_lead", "w8_interpolation",
     "x1_unzip_payload", "x2_grouped_pandas_agg", "x9_iter_pandas_udf",
-    # r4-vintage fills (6 alphabetical leaders of the 42-query r4 set)
+    "l33_logreg_train",
+    # r4-vintage fills (4 alphabetical leaders of the 42-query r4 set;
+    # dq3/dq8 ceded their slots when l43 + the l33 refactor landed
+    # mid-round — the r10/r11 cede pattern)
     "a22_regression_aggregates", "a24_exact_percentiles",
-    "dq10_source_freshness", "dq2_volume_anomaly", "dq3_column_profile",
-    "dq8_fact_summary_reconciliation",
+    "dq10_source_freshness", "dq2_volume_anomaly",
 )
 
 
@@ -252,6 +256,7 @@ HEADLINE: tuple[str, ...] = (
     "m13_zip_deflate_manifest",  # real deflate extraction (method-invariant sums)
     "m14_zip_persisted_manifest",  # media apply-only face (persisted archive column)
     "l42_incremental_crawl",  # incremental crawl composite (url→exact→near-dup funnel)
+    "l43_quality_score_persisted",  # model-artifact apply face (persisted logreg weights)
 )
 
 

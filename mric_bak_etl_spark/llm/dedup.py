@@ -2140,6 +2140,9 @@ def portable_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # L42: the incremental crawl composite (r11 verdict task 5)
 # ---------------------------------------------------------------------------
 
+L42_MAX_POSTING = 32  # corpus docs per band bucket before drop-as-boilerplate
+
+
 def crawl_flags(corpus: DataFrame, batch: DataFrame) -> DataFrame:
     """The incremental-crawl gate cascade, batch-vs-index form: classify
     every NEW-batch document through the production funnel — URL-canonical
@@ -2166,10 +2169,16 @@ def crawl_flags(corpus: DataFrame, batch: DataFrame) -> DataFrame:
     truth from the verify — LSH only prunes).
 
     At 100 TB both indexes are persisted artifacts (the l38/l40/l26c/m14
-    pattern); per-crawl cost is O(|batch| + capped index probe). The
-    hot-bucket posting cap (l40) is omitted here because the VALUE
-    oracle must replicate the candidate set exactly; the production
-    composition adds it at index-build time.
+    pattern); per-crawl cost is O(|batch| + capped index probe). Unlike
+    l40 (engine-private xxhash bands → rows-only), the hot-bucket
+    posting cap IS replicated by the value oracle here — the portable
+    family makes the capped index itself engine-neutral: band buckets
+    holding more than L42_MAX_POSTING corpus docs are dropped at index
+    build (drop-as-boilerplate, l40 semantics), bounding candidate
+    volume by cap × |batch bands| even against a pathologically
+    duplicated corpus (measured: the ×10 verbatim-copy corpus drove the
+    uncapped probe's pair volume ~100× — every bucket 10 deep × a 10×
+    batch — which is exactly the regime l41's profile detects).
     """
     from pyspark.sql import Window
 
@@ -2227,17 +2236,34 @@ def crawl_flags(corpus: DataFrame, batch: DataFrame) -> DataFrame:
     )
     # Near-dup probe: only s3 survivors probe the index (why band docs
     # the earlier gates already dropped). Portable family end to end.
+    # surv_sh is batch-sized (bounded by the increment contract) →
+    # materialize; corpus_sh is CORPUS-sized — the fact stream — so it
+    # is recomputed by its two consumers instead of pinned executor-
+    # local (materialize()'s own rule; pinning it measured as runaway
+    # storage pressure across repeated runs at the ×10 corpus).
     surv_sh = materialize(
         f3.filter("s3").select(
             F.col("new_id").alias("doc_id"), shingles().alias("sh")
         )
     )
-    corpus_sh = materialize(corpus.select("doc_id", shingles().alias("sh")))
+    corpus_sh = corpus.select("doc_id", shingles().alias("sh"))
     probe_bands = portable_band_hashes(portable_minhash_signatures(surv_sh))
     index_bands = portable_band_hashes(portable_minhash_signatures(corpus_sh))
+    # Hot-bucket posting cap at index build (l40's formulation: the hot
+    # list is tiny by construction, so one narrow count aggregate + a
+    # broadcast ANTI join — the index never shuffles for the cap).
+    hot = (
+        index_bands.groupBy("band", "band_hash")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > L42_MAX_POSTING)
+        .select("band", "band_hash")
+    )
+    capped_index = index_bands.join(
+        F.broadcast(hot), ["band", "band_hash"], "left_anti"
+    )
     cands = (
         F.broadcast(probe_bands.withColumnRenamed("doc_id", "new_id"))
-        .join(index_bands, ["band", "band_hash"])
+        .join(capped_index, ["band", "band_hash"])
         .select(F.col("doc_id").alias("doc_a"), F.col("new_id").alias("doc_b"))
         .distinct()
     )
@@ -2439,9 +2465,20 @@ _L42_BAND_ORACLE = """
       FROM ssig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) b),
     cbands AS ({_L42_BAND_ORACLE}
       FROM csig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) b),
+    hot AS (
+      SELECT band, band_hash FROM cbands
+      GROUP BY band, band_hash HAVING count(*) > 32
+    ),
+    capped AS (
+      SELECT c.* FROM cbands c
+      WHERE NOT EXISTS (
+        SELECT 1 FROM hot h
+        WHERE h.band = c.band AND h.band_hash = c.band_hash
+      )
+    ),
     cand AS (
       SELECT DISTINCT s.doc_id AS new_id, c.doc_id AS corp_id
-      FROM sbands s JOIN cbands c
+      FROM sbands s JOIN capped c
         ON s.band = c.band AND s.band_hash = c.band_hash
     ),
     near AS (

@@ -973,7 +973,14 @@ def test_bpe_artifact_audit_blocks_bad_merge_tables(
     monkeypatch.setattr(
         T, "_merge_artifact_base", lambda _sf: str(tmp_path / "art")
     )
-    bad = T.bpe_merges(spark, sf_dir).filter(F.col("rank") < T.BPE_ROUNDS)
+    # The audit judges the WRITTEN rows, so a synthetic short table is
+    # the same test as a truncated trained one — without paying a full
+    # BPE training for a gate that never reads the corpus (suite-wall
+    # trim, r12).
+    bad = spark.createDataFrame(
+        [(i, "a", "b") for i in range(1, T.BPE_ROUNDS)],
+        "rank int, a string, b string",
+    )
     monkeypatch.setattr(T, "bpe_merges", lambda *_a: bad)
     with pytest.raises(ValueError, match="audit failed"):
         T.publish_merge_table(spark, sf_dir)
@@ -1002,7 +1009,12 @@ def test_bpe_load_audit_refuses_planted_artifact(
     base = tmp_path / "art"
     monkeypatch.setattr(T, "_merge_artifact_base", lambda _sf: str(base))
     # Plant a short merge table as an already-"published" artifact.
-    planted = T.bpe_merges(spark, sf_dir).filter(F.col("rank") < T.BPE_ROUNDS)
+    # Synthetic rows: the load audit judges row shape only, so paying a
+    # BPE training here would test nothing extra (suite-wall trim, r12).
+    planted = spark.createDataFrame(
+        [(i, "a", "b") for i in range(1, T.BPE_ROUNDS)],
+        "rank int, a string, b string",
+    )
     planted.write.mode("overwrite").parquet(str(base / "published"))
     with pytest.raises(ValueError, match="tampered or stale"):
         T.load_merge_table(spark, sf_dir)
@@ -1012,15 +1024,18 @@ def test_bpe_load_audit_refuses_planted_artifact(
     import shutil
 
     shutil.rmtree(base)
-    good = T.bpe_merges(spark, sf_dir).toPandas()
+    good = spark.createDataFrame(
+        [(i, f"a{i}", f"b{i}") for i in range(1, T.BPE_ROUNDS + 1)],
+        "rank int, a string, b string",
+    )
+    monkeypatch.setattr(T, "bpe_merges", lambda *_a: good)
     real_rename = os.rename
 
     def racing_rename(src, dst):
         if dst.endswith("published"):
             # The winner publishes first.
             os.makedirs(dst, exist_ok=True)
-            winner = spark.createDataFrame(good)
-            winner.write.mode("overwrite").parquet(dst)
+            good.write.mode("overwrite").parquet(dst)
             raise OSError("simulated lost race")
         return real_rename(src, dst)
 
@@ -1122,3 +1137,47 @@ def test_l42_replay_idempotence(spark, sf_dir):
     first_rows = {r["stage_no"]: r for r in D.crawl_waterfall(corpus, batch).collect()}
     second_rows = {r["stage_no"]: r for r in second}
     assert second_rows[1]["n_out"] == first_rows[1]["n_out"]
+
+
+def test_l43_model_artifact_is_apply_only(spark, sf_dir, monkeypatch):
+    """l43's contract (the l26c/m14 shape on MODEL state): train once,
+    publish, then every scoring call is apply-only — pinned by making
+    training raise after the artifact exists — and the load-time audit
+    refuses a planted weight table."""
+    import os
+    import shutil
+
+    import pandas as pd
+
+    from mric_bak_etl_spark.catalog import all_specs
+    from mric_bak_etl_spark.llm import sampling as S
+
+    base = S._model_artifact_base(sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    build = all_specs()["l43_quality_score_persisted"].builder
+
+    first = build(spark, sf_dir).toPandas()
+    assert os.path.isdir(os.path.join(base, "published"))
+
+    def boom(*_a, **_k):
+        raise AssertionError("training ran on the apply-only path")
+
+    monkeypatch.setattr(S, "_train_logreg", boom)
+    second = build(spark, sf_dir).toPandas()
+    pd.testing.assert_frame_equal(first, second)
+
+    # Published weights == the live training trajectory (l33's loop).
+    monkeypatch.undo()
+    b, w1, w2 = S.load_model(spark, sf_dir)
+    tb, tw1, tw2 = S._train_logreg(spark, sf_dir)
+    assert (b, w1, w2) == (tb, tw1, tw2)
+
+    # A planted two-row table violates the one-finite-row contract.
+    shutil.rmtree(base)
+    spark.createDataFrame(
+        [(0.1, 0.2, 0.3), (0.4, 0.5, 0.6)],
+        "bias double, w_len double, w_aux double",
+    ).write.mode("overwrite").parquet(os.path.join(base, "published"))
+    with pytest.raises(ValueError, match="tampered or stale"):
+        S.load_model(spark, sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
