@@ -13,11 +13,35 @@ import math
 import pandas as pd
 import pytest
 
-from mric_bak_etl_spark.catalog import all_specs
+from mric_bak_etl_spark.catalog import _VERIFY_FIRST, all_specs
 
 SPECS = all_specs()
 ORACLE_NAMES = sorted(n for n, s in SPECS.items() if s.oracle is not None)
 ROWS_ONLY_NAMES = sorted(n for n, s in SPECS.items() if s.oracle is None)
+
+
+def _parity_selected(name: str) -> bool:
+    """Suite-wall trim rung 2 (r11 verdict task 1, the declared parity
+    rotation): each round runs the FULL driver verification head (this
+    round's new + changed + vintage-sweep queries — exactly the rows
+    whose semantics moved) plus HALF of the remaining oracle set,
+    alternating halves per round, so every query is locally
+    value-checked at least every other round and the skipped half is
+    visible as skips, never silently absent. Rotation key = committed
+    parity-file count (increments once per round, same key as the
+    robustness rotation). SPARK_GRAFT_FULL_PARITY=1 restores the full
+    sweep (use for release-grade runs)."""
+    import glob
+    import os
+    import zlib
+
+    if os.environ.get("SPARK_GRAFT_FULL_PARITY"):
+        return True
+    if name in _VERIFY_FIRST:
+        return True
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    k = len(glob.glob(os.path.join(here, "CORRECTNESS_r*.json")))
+    return (zlib.crc32(name.encode()) + k) % 2 == 0
 
 
 def _normalize(df: pd.DataFrame) -> pd.DataFrame:
@@ -62,6 +86,11 @@ def assert_frames_match(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: s
 
 @pytest.mark.parametrize("name", ORACLE_NAMES)
 def test_oracle_parity(spark, duck, sf_dir, name):
+    if not _parity_selected(name):
+        pytest.skip(
+            "rotated out this round (driver-head + half-set rotation; "
+            "set SPARK_GRAFT_FULL_PARITY=1 for the full sweep)"
+        )
     spec = SPECS[name]
     spark_pdf = spec.builder(spark, sf_dir).toPandas()
     duck_pdf = duck.execute(spec.oracle).df()
