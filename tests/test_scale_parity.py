@@ -56,6 +56,15 @@ SCALE_SLICE = [
     # when the index side stops broadcasting.
     "l38_incremental_exact_dedup",
     "l39_incremental_jaccard_neardup",
+    # round-12 artifact apply faces: what grows 10x is the published
+    # artifact itself (5,000 packed archives; the weight trajectory's
+    # gradient sums) — the apply path must stay correct reading it.
+    # l42 is deliberately absent: its value oracle re-learns the full
+    # portable band index in DuckDB (~58 s single-threaded at sf0.1),
+    # which buys no scale-sensitivity the l38/l39 rows don't already
+    # cover at a fraction of the wall.
+    "m14_zip_persisted_manifest",
+    "l43_quality_score_persisted",
 ]
 
 
