@@ -118,6 +118,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     # New first rows (round-12 operators)
     "m14_zip_persisted_manifest",
     "l42_incremental_crawl",
+    "l42b_incremental_crawl_persisted",
     "l43_quality_score_persisted",
     # Introspect queue: l33 re-enters (its training loop was factored
     # into the _train_logreg helper l43's publisher shares); decode_media consumers of the ZIP decoder's
@@ -143,11 +144,11 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "u5_union_missing_columns", "w2_lag_lead", "w8_interpolation",
     "x1_unzip_payload", "x2_grouped_pandas_agg", "x9_iter_pandas_udf",
     "l33_logreg_train",
-    # r4-vintage fills (4 alphabetical leaders of the 42-query r4 set;
-    # dq3/dq8 ceded their slots when l43 + the l33 refactor landed
-    # mid-round — the r10/r11 cede pattern)
+    # r4-vintage fills (3 alphabetical leaders of the 42-query r4 set;
+    # dq3/dq8/dq2 ceded their slots when l43, the l33 refactor, and
+    # l42b landed mid-round — the r10/r11 cede pattern)
     "a22_regression_aggregates", "a24_exact_percentiles",
-    "dq10_source_freshness", "dq2_volume_anomaly",
+    "dq10_source_freshness",
 )
 
 
@@ -257,6 +258,7 @@ HEADLINE: tuple[str, ...] = (
     "m14_zip_persisted_manifest",  # media apply-only face (persisted archive column)
     "l42_incremental_crawl",  # incremental crawl composite (url→exact→near-dup funnel)
     "l43_quality_score_persisted",  # model-artifact apply face (persisted logreg weights)
+    "l42b_incremental_crawl_persisted",  # crawl funnel probing persisted indexes
 )
 
 

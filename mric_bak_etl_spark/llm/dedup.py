@@ -2143,7 +2143,35 @@ def portable_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 L42_MAX_POSTING = 32  # corpus docs per band bucket before drop-as-boilerplate
 
 
-def crawl_flags(corpus: DataFrame, batch: DataFrame) -> DataFrame:
+def build_crawl_index(corpus: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """The two corpus-side probe indexes of the crawl funnel — what a
+    production pipeline PERSISTS (l42b) and l42 computes inline as its
+    self-contained oracle face: the distinct content-hash set (l38's
+    index) and the CAPPED portable band table (l40's index on l2f's md5
+    family; buckets holding more than L42_MAX_POSTING docs dropped at
+    build — the hot list is tiny, so one narrow count aggregate and a
+    broadcast ANTI join; the index never shuffles for the cap)."""
+    corpus_h = corpus.select(F.md5("text").alias("h")).distinct()
+    corpus_sh = corpus.select("doc_id", shingles().alias("sh"))
+    index_bands = portable_band_hashes(portable_minhash_signatures(corpus_sh))
+    hot = (
+        index_bands.groupBy("band", "band_hash")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > L42_MAX_POSTING)
+        .select("band", "band_hash")
+    )
+    capped_index = index_bands.join(
+        F.broadcast(hot), ["band", "band_hash"], "left_anti"
+    )
+    return corpus_h, capped_index
+
+
+def crawl_flags(
+    corpus: DataFrame,
+    batch: DataFrame,
+    corpus_h: DataFrame | None = None,
+    capped_index: DataFrame | None = None,
+) -> DataFrame:
     """The incremental-crawl gate cascade, batch-vs-index form: classify
     every NEW-batch document through the production funnel — URL-canonical
     dedup (l25's gate, within batch), exact dedup against the corpus
@@ -2206,7 +2234,8 @@ def crawl_flags(corpus: DataFrame, batch: DataFrame) -> DataFrame:
             ).over(wu)
         ).alias("s1"),
     )
-    corpus_h = corpus.select(F.md5("text").alias("h")).distinct()
+    if corpus_h is None:
+        corpus_h = corpus.select(F.md5("text").alias("h")).distinct()
     f2 = f1.join(
         corpus_h.withColumn("in_corpus", F.lit(True)), "h", "left"
     ).select(
@@ -2248,19 +2277,8 @@ def crawl_flags(corpus: DataFrame, batch: DataFrame) -> DataFrame:
     )
     corpus_sh = corpus.select("doc_id", shingles().alias("sh"))
     probe_bands = portable_band_hashes(portable_minhash_signatures(surv_sh))
-    index_bands = portable_band_hashes(portable_minhash_signatures(corpus_sh))
-    # Hot-bucket posting cap at index build (l40's formulation: the hot
-    # list is tiny by construction, so one narrow count aggregate + a
-    # broadcast ANTI join — the index never shuffles for the cap).
-    hot = (
-        index_bands.groupBy("band", "band_hash")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") > L42_MAX_POSTING)
-        .select("band", "band_hash")
-    )
-    capped_index = index_bands.join(
-        F.broadcast(hot), ["band", "band_hash"], "left_anti"
-    )
+    if capped_index is None:
+        _, capped_index = build_crawl_index(corpus)
     cands = (
         F.broadcast(probe_bands.withColumnRenamed("doc_id", "new_id"))
         .join(capped_index, ["band", "band_hash"])
@@ -2349,7 +2367,10 @@ def _l42_batch(d: DataFrame) -> DataFrame:
 def crawl_waterfall(corpus: DataFrame, batch: DataFrame) -> DataFrame:
     """Aggregate crawl_flags into the l34-shaped per-gate funnel, in docs
     AND tokens (the budget a crawl release actually reports)."""
-    flags = crawl_flags(corpus, batch)
+    return _crawl_waterfall_from_flags(crawl_flags(corpus, batch))
+
+
+def _crawl_waterfall_from_flags(flags: DataFrame) -> DataFrame:
     tot = flags.agg(
         F.count(F.lit(1)).cast("bigint").alias("n0"),
         *[
@@ -2400,9 +2421,7 @@ _L42_BAND_ORACLE = """
 """
 
 
-@register(
-    "l42_incremental_crawl",
-    oracle=f"""
+_L42_ORACLE = f"""
     WITH d AS (SELECT doc_id, text, lang, source FROM documents),
     batch AS (
       SELECT doc_id + 2000000 AS new_id, text,
@@ -2523,7 +2542,12 @@ _L42_BAND_ORACLE = """
       SELECT 4, 'neardup_vs_corpus', n3, n4, t3, t4 FROM tot
     )
     ORDER BY stage_no
-    """.replace("{{sig}}", _L2F_SIG_ORACLE).replace("{sig}", _L2F_SIG_ORACLE),
+    """.replace("{{sig}}", _L2F_SIG_ORACLE).replace("{sig}", _L2F_SIG_ORACLE)
+
+
+@register(
+    "l42_incremental_crawl",
+    oracle=_L42_ORACLE,
     doc="L42: the INCREMENTAL crawl composite (r11 verdict task 5) — the "
     "end-to-end funnel a recurring crawl runs against a standing corpus, "
     "registered as ONE query the way l11 proves the batch curation path: "
@@ -2563,3 +2587,151 @@ def incremental_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
     )
     return crawl_waterfall(d.select("doc_id", "text"), _l42_batch(d))
+
+
+def _crawl_index_artifact_base(sf_dir: str) -> str:
+    """Versioned location of the persisted crawl indexes for ``sf_dir``
+    — corpus identity + index config (hash family, band geometry,
+    posting cap) in the key; user-owned XDG cache root (the l26c/m14/
+    l43 shape applied to the fourth artifact kind: INDEX state)."""
+    import hashlib
+    import os
+
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    key = hashlib.sha256(
+        f"{os.path.abspath(sf_dir)}|{st.st_size}|{st.st_mtime_ns}"
+        f"|crawlidx-v1-md5x{N_MINHASHES}-b{N_BANDS}-cap{L42_MAX_POSTING}"
+        .encode()
+    ).hexdigest()[:16]
+    cache_root = os.environ.get(
+        "XDG_CACHE_HOME", os.path.join(os.path.expanduser("~"), ".cache")
+    )
+    return os.path.join(cache_root, "mric_crawl_index_artifacts", key)
+
+
+def publish_crawl_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build-if-missing for the crawl probe indexes: write the distinct
+    content-hash set and the capped band table to a staging dir, AUDIT
+    what was written from the artifacts' own invariants — the hash set
+    is genuinely distinct and non-null; no band bucket exceeds the
+    posting cap; band ids lie in [0, N_BANDS) — then one atomic rename.
+    The audit reads only the staged parquet (two narrow aggregates, one
+    row collected each), exactly what a later reader can re-verify."""
+    import os
+    import shutil
+    import tempfile
+
+    base = _crawl_index_artifact_base(sf_dir)
+    published = os.path.join(base, "published")
+    if os.path.isdir(published):
+        return published
+    os.makedirs(base, exist_ok=True)
+    staging = tempfile.mkdtemp(prefix="_staging_", dir=base)
+    d = spread(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        "doc_id",
+    )
+    corpus_h, capped_index = build_crawl_index(d)
+    corpus_h.write.mode("overwrite").parquet(os.path.join(staging, "hashes"))
+    capped_index.write.mode("overwrite").parquet(
+        os.path.join(staging, "bands")
+    )
+    h = spark.read.parquet(os.path.join(staging, "hashes"))
+    h_row = h.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("h").alias("nd"),
+        F.sum(F.col("h").isNull().cast("int")).alias("nulls"),
+    ).collect()[0]
+    b = spark.read.parquet(os.path.join(staging, "bands"))
+    b_row = b.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("band").alias("max_band"),
+        F.min("band").alias("min_band"),
+        F.sum(
+            (F.col("band_hash").isNull() | F.col("doc_id").isNull()).cast(
+                "int"
+            )
+        ).alias("nulls"),
+    ).collect()[0]
+    cap_row = (
+        b.groupBy("band", "band_hash")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n").alias("max_posting"))
+        .collect()[0]
+    )
+    # Empty-band-table note: a corpus that is wall-to-wall verbatim
+    # copies (the ×100 stress corpus: ~100 copies of every text) puts
+    # EVERY bucket over the posting cap, so an empty capped index is
+    # semantically correct — copies are the exact-hash index's job, and
+    # drop-as-boilerplate says the near-dup probe matches nothing. The
+    # aggregates over an empty frame come back NULL, hence the `or 0`
+    # coalesces (a real bug found by that corpus: `None == 0` failed a
+    # valid publish).
+    ok = (
+        h_row["n"] == h_row["nd"]
+        and (h_row["nulls"] or 0) == 0
+        and (b_row["nulls"] or 0) == 0
+        and (
+            b_row["n"] == 0
+            or (0 <= b_row["min_band"] and b_row["max_band"] < N_BANDS)
+        )
+        and (cap_row["max_posting"] or 0) <= L42_MAX_POSTING
+    )
+    if not ok:
+        raise ValueError(
+            f"crawl-index audit failed (hashes {tuple(h_row)}, bands "
+            f"{tuple(b_row)}, max_posting {tuple(cap_row)}) — NOT published"
+        )
+    try:
+        os.rename(staging, published)  # atomic on POSIX
+    except OSError:
+        if not os.path.isdir(published):
+            raise  # a real failure, not a lost publish race
+        shutil.rmtree(staging, ignore_errors=True)
+    return published
+
+
+@register(
+    "l42b_incremental_crawl_persisted",
+    oracle=_L42_ORACLE,
+    doc="L42b: l42's PRODUCTION face — the fourth and last artifact "
+    "kind (l26c = tokenizer, m14 = media, l43 = model, l42b = INDEX "
+    "state): publish_crawl_index builds the content-hash set and the "
+    "capped portable band table ONCE per corpus fingerprint (write → "
+    "audit-the-artifact's-own-invariants → one atomic rename), and the "
+    "steady-state funnel probes the PERSISTED parquet indexes — no "
+    "index build anywhere on the apply path (pinned by test: "
+    "build_crawl_index monkeypatched to raise once the artifact "
+    "exists). Identical gate semantics to l42 via the shared "
+    "crawl_flags — and therefore the IDENTICAL value oracle: DuckDB "
+    "re-derives the indexes from documents and must agree with the "
+    "funnel that read them from parquet, which closes the loop a "
+    "persisted index actually needs closed (a stale or corrupted "
+    "index would diverge from the re-derivation immediately). The "
+    "corpus is still scanned ONCE on the apply path — the Jaccard "
+    "verify's shingle lookup — which is the honest steady-state cost "
+    "(the verify reads payloads; only the INDEXES amortize). At "
+    "100 TB: per-crawl cost drops from rebuild-everything to "
+    "O(|batch| + capped probe + one corpus scan for survivors' "
+    "verify); the ×100 probe curve's dominant term (the 16-md5 "
+    "signature pass over the corpus, SCALE.md round-12) moves from "
+    "every-crawl to once.",
+    tags=("llm", "dedup", "composite", "artifact"),
+)
+def incremental_crawl_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = publish_crawl_index(spark, sf_dir)
+    d = spread(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text", "lang", "source"
+        ),
+        "doc_id",
+    )
+    corpus_h = spark.read.parquet(f"{path}/hashes")
+    capped_index = spark.read.parquet(f"{path}/bands")
+    flags = crawl_flags(
+        d.select("doc_id", "text"),
+        _l42_batch(d),
+        corpus_h=corpus_h,
+        capped_index=capped_index,
+    )
+    return _crawl_waterfall_from_flags(flags)

@@ -76,6 +76,12 @@ def test_bench_line_ladder_keeps_queries_map_and_gate():
         )
         if "queries" not in parsed:
             break
+        if "queries_shed" in parsed:  # rung 3: partial map, shed visible
+            assert len(parsed["queries"]) + parsed["queries_shed"] == len(
+                timings
+            )
+            assert "c23_ratio" in parsed
+            continue
         k0_len = budget
         assert set(parsed["queries"]) == set(timings)
         assert "c23_ratio" in parsed and "duck_common23" in parsed
@@ -84,17 +90,20 @@ def test_bench_line_ladder_keeps_queries_map_and_gate():
                 parsed["spark_over_duck_heavy"]
             )
     assert k0_len is not None, "queries map never survived any budget"
-    # At the k=0 boundary the line must fit exactly and carry NO ratio
-    # entries — i.e. the ladder genuinely reached the last rung instead
-    # of skipping from k=2 to the headline-only form.
-    parsed = json.loads(
-        bench.compose_line(74.0, timings, 0.1, heavy, duck, budget=k0_len)
-    )
-    assert parsed["spark_over_duck_heavy"] == {}
-    assert parsed["heavy_shed"] == len(heavy)
-    # One notch below: last resort, queries gone but the gate remains.
+    # One notch below the minimal full-map budget: rung 3 keeps the
+    # SLOWEST queries with the shed visible (r12: the 60-entry headline
+    # overflowed even the k=0 form — the map must degrade to its
+    # slowest members, never vanish wholesale).
     parsed = json.loads(
         bench.compose_line(74.0, timings, 0.1, heavy, duck, budget=k0_len - 1)
+    )
+    assert "queries" in parsed and parsed["queries_shed"] > 0
+    assert len(parsed["queries"]) + parsed["queries_shed"] == len(timings)
+    assert "c23_ratio" in parsed and "duck_common23" in parsed
+    # Only below every rung-3 form does the map finally drop — and the
+    # gate still survives in the last resort.
+    parsed = json.loads(
+        bench.compose_line(74.0, timings, 0.1, heavy, duck, budget=320)
     )
     assert "queries" not in parsed
     assert "c23_ratio" in parsed and "duck_common23" in parsed

@@ -1181,3 +1181,70 @@ def test_l43_model_artifact_is_apply_only(spark, sf_dir, monkeypatch):
     with pytest.raises(ValueError, match="tampered or stale"):
         S.load_model(spark, sf_dir)
     shutil.rmtree(base, ignore_errors=True)
+
+
+def test_l42b_persisted_index_is_probe_only(spark, sf_dir, monkeypatch):
+    """l42b's contract (the artifact-trilogy shape on INDEX state):
+    build the indexes once, publish, then every funnel run probes the
+    parquet artifacts — pinned by making the index build raise once the
+    artifact exists, and by row-for-row equality with the inline face
+    (same gates, same oracle)."""
+    import os
+    import shutil
+
+    import pandas as pd
+
+    from mric_bak_etl_spark.catalog import all_specs
+    from mric_bak_etl_spark.llm import dedup as D
+
+    base = D._crawl_index_artifact_base(sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    build = all_specs()["l42b_incremental_crawl_persisted"].builder
+
+    first = build(spark, sf_dir).toPandas()
+    assert os.path.isdir(os.path.join(base, "published"))
+
+    def boom(*_a, **_k):
+        raise AssertionError("index build ran on the probe-only path")
+
+    monkeypatch.setattr(D, "build_crawl_index", boom)
+    second = build(spark, sf_dir).toPandas()
+    pd.testing.assert_frame_equal(first, second)
+
+    # Persisted-index face == inline face, row for row.
+    monkeypatch.undo()
+    inline = all_specs()["l42_incremental_crawl"].builder(
+        spark, sf_dir
+    ).toPandas()
+    pd.testing.assert_frame_equal(first, inline)
+
+
+def test_l42b_publish_audit_blocks_overfull_bucket(
+    spark, sf_dir, monkeypatch, tmp_path
+):
+    """The artifact-invariant audit: an index whose band table violates
+    the posting cap (a packer that skipped the cap stage) must NOT
+    publish."""
+    import os
+
+    from mric_bak_etl_spark.llm import dedup as D
+
+    monkeypatch.setattr(
+        D, "_crawl_index_artifact_base", lambda _sf: str(tmp_path / "idx")
+    )
+    real = D.build_crawl_index
+
+    def uncapped(corpus):
+        corpus_h, _ = real(corpus)
+        # An uncapped bucket: one (band, band_hash) with cap+1 docs.
+        bad = spark.range(D.L42_MAX_POSTING + 1).select(
+            F.col("id").alias("doc_id"),
+            F.lit(0).alias("band"),
+            F.lit("deadbeef").alias("band_hash"),
+        )
+        return corpus_h, bad
+
+    monkeypatch.setattr(D, "build_crawl_index", uncapped)
+    with pytest.raises(ValueError, match="audit failed"):
+        D.publish_crawl_index(spark, sf_dir)
+    assert not os.path.isdir(str(tmp_path / "idx" / "published"))
