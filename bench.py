@@ -146,30 +146,50 @@ def main() -> None:
         # Measurement-cost guard: the duck pass is DIAGNOSTIC (the c23
         # gate members all run in milliseconds-to-seconds), but a
         # composite whose oracle re-derives a whole index in DuckDB
-        # (l42/l42b: ~58 s single-threaded at sf0.1) would add ~3 min
-        # of bench wall PER QUERY for a ratio nobody adjudicates by.
-        # If the warm-up run alone exceeds the budget, skip the
-        # measured runs and record the shed visibly (duck_slow_shed in
-        # bench_detail.json) — never silently.
+        # (l42/l42b: ~58 s single-threaded at sf0.1; l42c's
+        # two-generation fold is ~2x that) would add ~3 min of bench
+        # wall PER QUERY for a ratio nobody adjudicates by. The budget
+        # is enforced with a HARD interrupt (duckdb's con.interrupt()
+        # from a timer thread), so even the warm-up run costs at most
+        # DUCK_BUDGET_S before the query is shed — r12's guard let the
+        # warm-up run to completion first, which at l42c mass would
+        # have paid ~4 min for three sheds. Sheds are recorded visibly
+        # (duck_slow_shed in bench_detail.json) — never silently.
+        import threading
+
         DUCK_BUDGET_S = 20.0
         duck_slow_shed: list[str] = []
+
+        def run_within_budget(sql: str) -> float | None:
+            """One timed execution, interrupted (→ None) at the budget."""
+            timer = threading.Timer(DUCK_BUDGET_S, con.interrupt)
+            timer.start()
+            try:
+                start = time.perf_counter()
+                con.execute(sql).fetchall()
+                return time.perf_counter() - start
+            except Exception:
+                return None  # interrupted (or genuinely failed → shed)
+            finally:
+                timer.cancel()
+
         for name in names:
             oracle = specs[name].oracle
             if oracle is None:
                 continue
             try:
-                start = time.perf_counter()
-                con.execute(oracle).fetchall()  # warm (metadata, plan)
-                if time.perf_counter() - start > DUCK_BUDGET_S:
+                warm = run_within_budget(oracle)  # warm (metadata, plan)
+                if warm is None:
                     duck_slow_shed.append(name)
                     continue
                 best = None
                 for _ in range(2):
-                    start = time.perf_counter()
-                    con.execute(oracle).fetchall()
-                    elapsed = time.perf_counter() - start
-                    if best is None or elapsed < best:
+                    elapsed = run_within_budget(oracle)
+                    if elapsed is not None and (best is None or elapsed < best):
                         best = elapsed
+                if best is None:
+                    duck_slow_shed.append(name)
+                    continue
                 duck_timings[name] = round(best, 3)
             except Exception:
                 continue

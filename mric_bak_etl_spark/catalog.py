@@ -31,6 +31,15 @@ from pyspark.sql import DataFrame, SparkSession
 
 SparkBuilder = Callable[[SparkSession, str], DataFrame]
 
+# The build round this working tree belongs to — bumped once per round,
+# in the same commit that rewrites _VERIFY_FIRST. The parity/robustness/
+# plan-sweep rotations key on THIS constant (ADVICE r12: the old key —
+# len(glob('CORRECTNESS_r*.json')) — counted untracked files, so the
+# driver writing the new round's file mid-round silently flipped which
+# suite half ran between two local runs of the same commit, making
+# "value-matched before every commit" run-order-dependent).
+ROUND = 13
+
 
 @dataclass(frozen=True)
 class QuerySpec:
@@ -93,62 +102,56 @@ def all_specs() -> dict[str, QuerySpec]:
     return dict(_REGISTRY)
 
 
-# Verification order — round 12 rotation. The driver's correctness run
+# Verification order — round 13 rotation. The driver's correctness run
 # is time-budgeted (~50 entries/round); the cumulative record through
-# round 11 is 302 distinct queries driver-sampled, 293 full value-hash
-# green, 9 rows-only by design, 0 failures ever (CORRECTNESS_r01-r11).
-# Round-12 head, the r9-r11 discipline: the flagship canary; this
-# round's NEW first rows (m14 — the persisted-archive decode-only
-# media face, the l26c pattern applied to m12/m13's codec; l42 — the
-# incremental crawl composite: url→exact-index→in-batch→banded-neardup
-# funnel on the portable hash family, full value oracle); the full
-# `python -m mric_bak_etl_spark.introspect` queue for round-12 changes
-# (the ZIP decoder gained bit-3/data-descriptor decoding and
-# UTF-8/cp437 name handling, so every decode_media consumer re-enters:
-# m7-m13; l26c's artifact path moved to the XDG cache root and gained
-# the load-time audit). Then OLDEST-GREEN-FIRST: all 33 remaining
-# r3-vintage rows (finishing the sweep r11 started — after this round
-# no attestation predates round 4), and the 6 alphabetical leaders of
-# the r4 vintage fill the tail. 1 + 2 + 8 + 33 + 6 = 50, exactly the
-# driver budget. The local parity suite (tests/test_oracle_parity.py,
-# value-matched before every commit) remains the regression guard for
-# everything sitting out.
+# round 12 is 306 distinct queries driver-sampled, 297 full value-hash
+# green, 9 rows-only by design, 0 failures ever (CORRECTNESS_r01-r12).
+# Round-13 head, the standing discipline: the flagship canary; this
+# round's NEW first rows (l42c — true incremental MAINTENANCE of the
+# crawl indexes: foreachBatch folds each generation's survivors into
+# the persisted hash/band/count artifacts with the posting cap
+# re-enforced on MERGED counts, two-generation value oracle); the full
+# `python -m mric_bak_etl_spark.introspect` queue for round-13 changes
+# (crawl_flags gained the tagged-id Jaccard union + parameterized
+# hash/band/cap, and build_crawl_index now returns the per-bucket
+# count table, so l42/l42b re-enter; the l42b publish gained the
+# duplication-regime audit row). Then OLDEST-GREEN-FIRST: the FULL
+# r4 vintage (39 rows — after this round no attestation predates
+# round 5), and the alphabetical leaders of the r5 vintage fill the
+# tail. 1 + 1 + 2 + 39 + 7 = 50, exactly the driver budget. The local
+# parity suite (tests/test_oracle_parity.py, value-matched before
+# every commit) remains the regression guard for everything sitting
+# out.
 _VERIFY_FIRST: tuple[str, ...] = (
     "a1_pricing_summary",
-    # New first rows (round-12 operators)
-    "m14_zip_persisted_manifest",
+    # New first rows (round-13 operators)
+    "l42c_crawl_index_maintenance",
+    # Introspect queue: consumers of build_crawl_index/crawl_flags
+    # (tagged-id union, counts table, publish audit row).
     "l42_incremental_crawl",
     "l42b_incremental_crawl_persisted",
-    "l43_quality_score_persisted",
-    # Introspect queue: l33 re-enters (its training loop was factored
-    # into the _train_logreg helper l43's publisher shares); decode_media consumers of the ZIP decoder's
-    # bit-3/name-encoding change + the l26c artifact-path hardening.
-    "l26c_bpe_encode_persisted",
-    "m7_bmp_decode",
-    "m8_bmp_channel_stats",
-    "m9_wav_decode",
-    "m10_wav_window_stats",
-    "m11_ppm_decode",
-    "m12_zip_manifest",
-    "m13_zip_deflate_manifest",
-    # r3-vintage sweep (33): every query whose newest driver row is r3.
-    "f4_conditional", "f6_map_struct", "h6_forecast_revenue",
-    "j13_null_safe_join", "l21_bottomk_sample", "l23_containment_neardup",
-    "l24_bigram_lm", "l25_url_dedup", "l27_weighted_sample",
-    "l28_record_linkage", "l3e_pq_topk", "l5_slice_stats",
-    "o1_multikey_sort", "o4_limit_offset", "o5_distributed_row_number",
-    "q5_sql_udf", "q6_pipe_syntax", "q7_exec_immediate",
-    "q8_sql_scripting", "s14_time_travel", "s2_file_manifest",
-    "s3_snapshot_roundtrip", "t2_sliding_window", "t3_session_window",
-    "t4_watermark_cutoff", "tx_entropy", "u4_intersect_all",
-    "u5_union_missing_columns", "w2_lag_lead", "w8_interpolation",
-    "x1_unzip_payload", "x2_grouped_pandas_agg", "x9_iter_pandas_udf",
-    "l33_logreg_train",
-    # r4-vintage fills (3 alphabetical leaders of the 42-query r4 set;
-    # dq3/dq8/dq2 ceded their slots when l43, the l33 refactor, and
-    # l42b landed mid-round — the r10/r11 cede pattern)
-    "a22_regression_aggregates", "a24_exact_percentiles",
-    "dq10_source_freshness",
+    # r4-vintage sweep (39): every query whose newest driver row is r4.
+    "dq2_volume_anomaly", "dq3_column_profile",
+    "dq8_fact_summary_reconciliation", "dq9_pk_uniqueness",
+    "e10_time_to_conversion", "e11_cohort_ltv", "e12_growth_accounting",
+    "e2_cohort_retention", "f10_array_advanced", "f11_datetime_advanced",
+    "f14_variant", "f15_url", "f17_encoding", "f18_try_family",
+    "f19_malformed_json", "f25_map_higher_order",
+    "h19_disjunctive_predicates", "j16_null_skew_outer_join",
+    "l16_quality_classifier", "l30_train_test_split",
+    "l31_temperature_mixing", "l34_curation_waterfall",
+    "l35_epoch_ordering", "l36_source_overlap", "l37_length_histogram",
+    "l3c_grouped_centroids", "m6_pair_assembly", "o6_keyset_pagination",
+    "q10_sql_ddl_dml", "q11_catalog_introspection", "q9_merge_upsert",
+    "r22_late_arriving_facts", "s15_dynamic_partition_overwrite",
+    "s17_selective_file_ingestion", "s18_version_vacuum", "tx_redaction",
+    "w9_rolling_regression", "x10_grouped_arrow_apply", "x11_arrow_udtf",
+    # r5-vintage fills (7 alphabetical leaders of the 39-query r5 set;
+    # cede slots if new operators land mid-round — the standing cede
+    # pattern).
+    "a19_listagg", "a21_approx_percentile", "e3_gaps_islands",
+    "e5_rfm_segments", "e7_interarrival", "f13_date_spine",
+    "f16_transcendental",
 )
 
 
@@ -259,6 +262,8 @@ HEADLINE: tuple[str, ...] = (
     "l42_incremental_crawl",  # incremental crawl composite (url→exact→near-dup funnel)
     "l43_quality_score_persisted",  # model-artifact apply face (persisted logreg weights)
     "l42b_incremental_crawl_persisted",  # crawl funnel probing persisted indexes
+    # round-13 additions
+    "l42c_crawl_index_maintenance",  # two-generation index fold (append face)
 )
 
 

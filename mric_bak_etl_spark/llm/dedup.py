@@ -2143,27 +2143,40 @@ def portable_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 L42_MAX_POSTING = 32  # corpus docs per band bucket before drop-as-boilerplate
 
 
-def build_crawl_index(corpus: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """The two corpus-side probe indexes of the crawl funnel — what a
+def build_crawl_index(
+    corpus: DataFrame,
+    n_hashes: int = N_MINHASHES,
+    n_bands: int = N_BANDS,
+    cap: int = L42_MAX_POSTING,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The corpus-side probe indexes of the crawl funnel — what a
     production pipeline PERSISTS (l42b) and l42 computes inline as its
     self-contained oracle face: the distinct content-hash set (l38's
-    index) and the CAPPED portable band table (l40's index on l2f's md5
-    family; buckets holding more than L42_MAX_POSTING docs dropped at
-    build — the hot list is tiny, so one narrow count aggregate and a
-    broadcast ANTI join; the index never shuffles for the cap)."""
+    index), the CAPPED portable band table (l40's index on l2f's md5
+    family; buckets holding more than ``cap`` docs dropped at build —
+    the hot list is tiny, so one narrow count aggregate and a broadcast
+    ANTI join; the index never shuffles for the cap), and the full
+    per-bucket COUNT table (band, band_hash, n) over ALL buckets
+    including hot ones. The counts are one row per distinct bucket —
+    tiny next to the postings — and are what make the cap INCREMENTALLY
+    maintainable (l42c): a bucket dropped as hot loses its postings
+    forever, so append-time cap re-enforcement needs the true counts,
+    not the capped table's survivors. They also carry the l41-style
+    duplication-regime audit at publish time."""
     corpus_h = corpus.select(F.md5("text").alias("h")).distinct()
     corpus_sh = corpus.select("doc_id", shingles().alias("sh"))
-    index_bands = portable_band_hashes(portable_minhash_signatures(corpus_sh))
-    hot = (
-        index_bands.groupBy("band", "band_hash")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") > L42_MAX_POSTING)
-        .select("band", "band_hash")
+    index_bands = portable_band_hashes(
+        portable_minhash_signatures(corpus_sh, n_hashes=n_hashes),
+        n_bands=n_bands,
     )
+    counts = index_bands.groupBy("band", "band_hash").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    hot = counts.filter(F.col("n") > cap).select("band", "band_hash")
     capped_index = index_bands.join(
         F.broadcast(hot), ["band", "band_hash"], "left_anti"
     )
-    return corpus_h, capped_index
+    return corpus_h, capped_index, counts
 
 
 def crawl_flags(
@@ -2171,6 +2184,10 @@ def crawl_flags(
     batch: DataFrame,
     corpus_h: DataFrame | None = None,
     capped_index: DataFrame | None = None,
+    n_hashes: int = N_MINHASHES,
+    n_bands: int = N_BANDS,
+    cap: int = L42_MAX_POSTING,
+    thresh: float = 0.5,
 ) -> DataFrame:
     """The incremental-crawl gate cascade, batch-vs-index form: classify
     every NEW-batch document through the production funnel — URL-canonical
@@ -2276,19 +2293,46 @@ def crawl_flags(
         )
     )
     corpus_sh = corpus.select("doc_id", shingles().alias("sh"))
-    probe_bands = portable_band_hashes(portable_minhash_signatures(surv_sh))
+    probe_bands = portable_band_hashes(
+        portable_minhash_signatures(surv_sh, n_hashes=n_hashes),
+        n_bands=n_bands,
+    )
     if capped_index is None:
-        _, capped_index = build_crawl_index(corpus)
+        _, capped_index, _ = build_crawl_index(
+            corpus, n_hashes=n_hashes, n_bands=n_bands, cap=cap
+        )
     cands = (
         F.broadcast(probe_bands.withColumnRenamed("doc_id", "new_id"))
         .join(capped_index, ["band", "band_hash"])
         .select(F.col("doc_id").alias("doc_a"), F.col("new_id").alias("doc_b"))
         .distinct()
     )
+    # Jaccard verify on a TAGGED id space (ADVICE r12): the corpus
+    # shingles (keyed by doc_id) and the survivor shingles (keyed by
+    # new_id) travel through exact_jaccard as ONE frame, and the
+    # disjointness of the two id ranges used to live only in prose — a
+    # caller whose batch new_id range overlapped corpus doc_ids would
+    # conflate the sets and get silently wrong near-dup verdicts. Each
+    # side now carries a (side, id) struct key, so collision is
+    # structurally impossible whatever ids the caller ships.
+    def _tag(side: int, col: str) -> F.Column:
+        return F.struct(
+            F.lit(side).alias("side"), F.col(col).cast("long").alias("id")
+        )
+
+    tagged_sh = corpus_sh.select(
+        _tag(0, "doc_id").alias("doc_id"), "sh"
+    ).unionByName(surv_sh.select(_tag(1, "doc_id").alias("doc_id"), "sh"))
     near = (
-        exact_jaccard(corpus_sh.unionByName(surv_sh), cands)
-        .filter(F.col("jaccard") >= 0.5)
-        .select(F.col("doc_b").alias("new_id"))
+        exact_jaccard(
+            tagged_sh,
+            cands.select(
+                _tag(0, "doc_a").alias("doc_a"),
+                _tag(1, "doc_b").alias("doc_b"),
+            ),
+        )
+        .filter(F.col("jaccard") >= thresh)
+        .select(F.col("doc_b.id").alias("new_id"))
         .distinct()
         .withColumn("is_near", F.lit(True))
     )
@@ -2571,9 +2615,11 @@ _L42_ORACLE = f"""
     "t13b shape) is pinned by test: append the survivors to the "
     "corpus, re-ship the SAME batch, and the funnel keeps zero docs. "
     "At 100 TB the indexes are persisted artifacts (l26c/m14's "
-    "publish pattern) and the production form adds l40's hot-bucket "
-    "posting cap at index-build time (omitted here so the value "
-    "oracle can replicate the candidate set exactly). Downstream "
+    "publish pattern). l40's hot-bucket posting cap IS applied at "
+    "index-build time here, and the portable hash family lets the "
+    "value oracle replicate the capped index itself (the hot/capped "
+    "CTEs), so the candidate set matches bit-for-bit INCLUDING the "
+    "cap — see crawl_flags. Downstream "
     "stages of the composition are proven by their own apply faces: "
     "l26c tokenizes survivors via the persisted merge table, m14 "
     "manifests their media via the persisted archive column.",
@@ -2600,7 +2646,7 @@ def _crawl_index_artifact_base(sf_dir: str) -> str:
     st = os.stat(os.path.join(sf_dir, "documents.parquet"))
     key = hashlib.sha256(
         f"{os.path.abspath(sf_dir)}|{st.st_size}|{st.st_mtime_ns}"
-        f"|crawlidx-v1-md5x{N_MINHASHES}-b{N_BANDS}-cap{L42_MAX_POSTING}"
+        f"|crawlidx-v2-md5x{N_MINHASHES}-b{N_BANDS}-cap{L42_MAX_POSTING}"
         .encode()
     ).hexdigest()[:16]
     cache_root = os.environ.get(
@@ -2609,17 +2655,35 @@ def _crawl_index_artifact_base(sf_dir: str) -> str:
     return os.path.join(cache_root, "mric_crawl_index_artifacts", key)
 
 
+L42_CAP_WARN_FRAC = 0.05  # annotate when > 5% of buckets are capped
+
+
 def publish_crawl_index(spark: SparkSession, sf_dir: str) -> str:
     """Build-if-missing for the crawl probe indexes: write the distinct
-    content-hash set and the capped band table to a staging dir, AUDIT
-    what was written from the artifacts' own invariants — the hash set
-    is genuinely distinct and non-null; no band bucket exceeds the
-    posting cap; band ids lie in [0, N_BANDS) — then one atomic rename.
-    The audit reads only the staged parquet (two narrow aggregates, one
-    row collected each), exactly what a later reader can re-verify."""
+    content-hash set, the capped band table, and the full per-bucket
+    count table to a staging dir, AUDIT what was written from the
+    artifacts' own invariants — the hash set is genuinely distinct and
+    non-null; no band bucket exceeds the posting cap; band ids lie in
+    [0, N_BANDS); the capped band table agrees bucket-for-bucket with
+    the count table's under-cap rows — then one atomic rename. The
+    audit reads only the staged parquet, exactly what a later reader
+    can re-verify.
+
+    The audit also WRITES a row (the `audit` table in the artifact):
+    bucket totals plus the l41-style duplication annotation (r12
+    verdict task 3) — when more than L42_CAP_WARN_FRAC of band buckets
+    exceeded the posting cap, the corpus is in a duplication regime
+    (e.g. 100 lightly-edited variants per text) where the near-dup
+    gate is largely NEUTRALIZED by drop-as-boilerplate. That regime is
+    valid (the ×100 verbatim-copy corpus is the proof), so the publish
+    annotates and warns rather than refusing — but a consumer reading
+    `duplication_warning = true` knows to run l41's profile and pick a
+    cluster-representative form (l32/l2e) instead of trusting the
+    probe."""
     import os
     import shutil
     import tempfile
+    import warnings
 
     base = _crawl_index_artifact_base(sf_dir)
     published = os.path.join(base, "published")
@@ -2631,11 +2695,12 @@ def publish_crawl_index(spark: SparkSession, sf_dir: str) -> str:
         load_table(spark, sf_dir, "documents").select("doc_id", "text"),
         "doc_id",
     )
-    corpus_h, capped_index = build_crawl_index(d)
+    corpus_h, capped_index, counts = build_crawl_index(d)
     corpus_h.write.mode("overwrite").parquet(os.path.join(staging, "hashes"))
     capped_index.write.mode("overwrite").parquet(
         os.path.join(staging, "bands")
     )
+    counts.write.mode("overwrite").parquet(os.path.join(staging, "counts"))
     h = spark.read.parquet(os.path.join(staging, "hashes"))
     h_row = h.agg(
         F.count(F.lit(1)).alias("n"),
@@ -2659,6 +2724,34 @@ def publish_crawl_index(spark: SparkSession, sf_dir: str) -> str:
         .agg(F.max("n").alias("max_posting"))
         .collect()[0]
     )
+    # Cross-table invariant: the capped band table must hold EXACTLY
+    # the postings of the count table's under-cap buckets — a packer
+    # that dropped the wrong buckets (or a stale counts write) shows up
+    # as a mismatch row. Both sides are bucket-grain (tiny next to the
+    # postings); one join, one count.
+    c = spark.read.parquet(os.path.join(staging, "counts"))
+    staged_counts = b.groupBy("band", "band_hash").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_b")
+    )
+    mismatches = (
+        c.filter(F.col("n") <= L42_MAX_POSTING)
+        .join(staged_counts, ["band", "band_hash"], "full_outer")
+        .filter(
+            F.col("n").isNull()
+            | F.col("n_b").isNull()
+            | (F.col("n") != F.col("n_b"))
+        )
+        .count()
+    )
+    # The duplication-regime annotation (counts over ALL buckets).
+    c_row = c.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum((F.col("n") > L42_MAX_POSTING).cast("int")).alias("n_capped"),
+    ).collect()[0]
+    n_buckets = c_row["n_buckets"] or 0
+    n_capped = c_row["n_capped"] or 0
+    capped_frac = (n_capped / n_buckets) if n_buckets else 1.0
+    dup_warning = capped_frac > L42_CAP_WARN_FRAC
     # Empty-band-table note: a corpus that is wall-to-wall verbatim
     # copies (the ×100 stress corpus: ~100 copies of every text) puts
     # EVERY bucket over the posting cap, so an empty capped index is
@@ -2676,11 +2769,29 @@ def publish_crawl_index(spark: SparkSession, sf_dir: str) -> str:
             or (0 <= b_row["min_band"] and b_row["max_band"] < N_BANDS)
         )
         and (cap_row["max_posting"] or 0) <= L42_MAX_POSTING
+        and mismatches == 0
     )
     if not ok:
         raise ValueError(
             f"crawl-index audit failed (hashes {tuple(h_row)}, bands "
-            f"{tuple(b_row)}, max_posting {tuple(cap_row)}) — NOT published"
+            f"{tuple(b_row)}, max_posting {tuple(cap_row)}, "
+            f"count mismatches {mismatches}) — NOT published"
+        )
+    spark.createDataFrame(
+        [(n_buckets, n_capped, float(round(capped_frac, 6)), dup_warning)],
+        "n_buckets bigint, n_capped bigint, capped_frac double, "
+        "duplication_warning boolean",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(staging, "audit")
+    )
+    if dup_warning:
+        warnings.warn(
+            f"crawl-index publish: {n_capped}/{n_buckets} band buckets "
+            f"({capped_frac:.1%}) exceed the posting cap "
+            f"({L42_MAX_POSTING}) — the near-dup gate is largely "
+            "neutralized in this duplication regime; run l41's profile "
+            "and consider a cluster-representative dedup form",
+            stacklevel=2,
         )
     try:
         os.rename(staging, published)  # atomic on POSIX
@@ -2735,3 +2846,498 @@ def incremental_crawl_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         capped_index=capped_index,
     )
     return _crawl_waterfall_from_flags(flags)
+
+
+# ---------------------------------------------------------------------------
+# L42c: incremental MAINTENANCE of the crawl indexes (r12 verdict task 1)
+# ---------------------------------------------------------------------------
+
+
+def render_crawl_funnel_ctes(
+    suffix: str,
+    *,
+    n_hashes: int = N_MINHASHES,
+    n_bands: int = N_BANDS,
+    cap: int = L42_MAX_POSTING,
+    thresh: float = 0.5,
+    k: int = SHINGLE_K,
+) -> str:
+    """DuckDB CTE fragment for ONE generation of the crawl funnel — the
+    parameterized form of `_L42_ORACLE`'s gate chain, shared by the l42c
+    two-generation oracle and fuzz grammar 21 (which sweeps the funnel's
+    parameter space the way grammar 15 sweeps the sketch family's).
+    Assumes CTEs ``corpus{suffix}`` (doc_id, text) and ``batch{suffix}``
+    (new_id, text, curl) are already defined; emits the chain through
+    ``f4{suffix}`` (per-doc survival flags) and ``tot{suffix}`` (the
+    one-row funnel totals). Every stage mirrors :func:`crawl_flags`
+    bit-for-bit on the portable md5 family: same URL-canonical keeper
+    rule, same corpus-hash probe, same in-batch keeper, same capped band
+    index (hot buckets dropped at count > cap), same 4dp-rounded
+    exact-Jaccard verify."""
+    S = suffix
+    if n_hashes % n_bands != 0:
+        raise ValueError(f"{n_hashes} slots do not band into {n_bands}")
+    rpb = n_hashes // n_bands
+    shingle = f"""list_distinct(list_transform(
+      range(1, greatest(len(string_split_regex(text, '\\s+')) - {k - 1}, 1) + 1),
+      i -> array_to_string(string_split_regex(text, '\\s+')[i:i+{k - 1}], ' ')
+    ))"""
+    sig = ", ".join(
+        f"list_min(list_transform(sh, s -> md5(concat('{i}:', s))))"
+        for i in range(n_hashes)
+    )
+    band_key = ", ".join(f"mh[b.band*{rpb}+{r + 1}]" for r in range(rpb))
+    bands_list = ", ".join(str(b) for b in range(n_bands))
+    jac = (
+        f"CAST(len(list_intersect(ssh{S}.sh, csh{S}.sh)) AS DOUBLE)"
+        f" / (len(ssh{S}.sh) + len(csh{S}.sh)"
+        f" - len(list_intersect(ssh{S}.sh, csh{S}.sh)))"
+    )
+    return f"""
+    f0{S} AS (
+      SELECT new_id, text, curl,
+             CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS tok_n,
+             md5(text) AS h,
+             max(length(text)) OVER (PARTITION BY curl) AS best_len
+      FROM batch{S}
+    ),
+    f1{S} AS (
+      SELECT new_id, text, tok_n, h,
+             new_id = min(CASE WHEN length(text) = best_len THEN new_id END)
+                      OVER (PARTITION BY curl) AS s1
+      FROM f0{S}
+    ),
+    f2{S} AS (
+      SELECT f1{S}.*,
+             s1 AND h NOT IN (SELECT DISTINCT md5(text) FROM corpus{S}) AS s2
+      FROM f1{S}
+    ),
+    f3{S} AS (
+      SELECT f2{S}.*,
+             s2 AND new_id = min(CASE WHEN s2 THEN new_id END)
+                             OVER (PARTITION BY h) AS s3
+      FROM f2{S}
+    ),
+    ssh{S} AS (SELECT new_id AS doc_id, {shingle} AS sh FROM f3{S} WHERE s3),
+    csh{S} AS (SELECT doc_id, {shingle} AS sh FROM corpus{S}),
+    ssig{S} AS (SELECT doc_id, [{sig}] AS mh FROM ssh{S}),
+    csig{S} AS (SELECT doc_id, [{sig}] AS mh FROM csh{S}),
+    sbands{S} AS (
+      SELECT doc_id, b.band, md5(concat_ws('|', {band_key})) AS band_hash
+      FROM ssig{S} CROSS JOIN (SELECT unnest([{bands_list}]) AS band) b),
+    cbands{S} AS (
+      SELECT doc_id, b.band, md5(concat_ws('|', {band_key})) AS band_hash
+      FROM csig{S} CROSS JOIN (SELECT unnest([{bands_list}]) AS band) b),
+    hot{S} AS (
+      SELECT band, band_hash FROM cbands{S}
+      GROUP BY band, band_hash HAVING count(*) > {cap}
+    ),
+    capped{S} AS (
+      SELECT c.* FROM cbands{S} c
+      WHERE NOT EXISTS (
+        SELECT 1 FROM hot{S} h
+        WHERE h.band = c.band AND h.band_hash = c.band_hash
+      )
+    ),
+    cand{S} AS (
+      SELECT DISTINCT s.doc_id AS new_id, c.doc_id AS corp_id
+      FROM sbands{S} s JOIN capped{S} c
+        ON s.band = c.band AND s.band_hash = c.band_hash
+    ),
+    near{S} AS (
+      SELECT DISTINCT cand{S}.new_id
+      FROM cand{S}
+      JOIN ssh{S} ON ssh{S}.doc_id = cand{S}.new_id
+      JOIN csh{S} ON csh{S}.doc_id = cand{S}.corp_id
+      WHERE round({jac}, 4) >= {thresh}
+    ),
+    f4{S} AS (
+      SELECT f3{S}.*,
+             s3 AND new_id NOT IN (SELECT new_id FROM near{S}) AS s4
+      FROM f3{S}
+    ),
+    tot{S} AS (
+      SELECT CAST(count(*) AS BIGINT) AS n0,
+             CAST(sum(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+             CAST(sum(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+             CAST(sum(CASE WHEN s4 THEN 1 ELSE 0 END) AS BIGINT) AS n4,
+             CAST(sum(tok_n) AS BIGINT) AS t0,
+             CAST(sum(CASE WHEN s1 THEN tok_n ELSE 0 END) AS BIGINT) AS t1,
+             CAST(sum(CASE WHEN s2 THEN tok_n ELSE 0 END) AS BIGINT) AS t2,
+             CAST(sum(CASE WHEN s3 THEN tok_n ELSE 0 END) AS BIGINT) AS t3,
+             CAST(sum(CASE WHEN s4 THEN tok_n ELSE 0 END) AS BIGINT) AS t4
+      FROM f4{S}
+    )"""
+
+
+def render_crawl_waterfall_select(suffixes: list[tuple[int, str]]) -> str:
+    """The stacked-waterfall SELECT over one ``tot{suffix}`` CTE per
+    generation: (batch_no, stage_no, stage, n_in, n_out, n_dropped,
+    pct_kept, tok_in, tok_out) — the l42 waterfall shape plus the
+    generation column."""
+    stages = [
+        (1, "url_canonical"),
+        (2, "exact_vs_corpus"),
+        (3, "exact_in_batch"),
+        (4, "neardup_vs_corpus"),
+    ]
+    parts = [
+        f"SELECT {bn} AS batch_no, {i} AS stage_no, '{stage}' AS stage, "
+        f"n{i - 1} AS n_in, n{i} AS n_out, t{i - 1} AS tok_in, "
+        f"t{i} AS tok_out FROM tot{S}"
+        for bn, S in suffixes
+        for i, stage in stages
+    ]
+    return (
+        "SELECT batch_no, stage_no, stage, n_in, n_out, "
+        "n_in - n_out AS n_dropped, "
+        "round(CAST(n_out AS DOUBLE) / n_in, 4) AS pct_kept, "
+        "tok_in, tok_out FROM (\n"
+        + "\n      UNION ALL\n".join(parts)
+        + "\n    ) ORDER BY batch_no, stage_no"
+    )
+
+
+def _l42c_batch2(d: DataFrame) -> DataFrame:
+    """The SECOND crawl generation — designed so the appended index is
+    load-bearing, not decorative: re-ships of batch-1 survivors (%10==1
+    fresh docs, verbatim under new URLs → caught by the exact gate ONLY
+    if their hashes were folded into the index), a near-dup of each
+    batch-1 survivor (one appended token → Jaccard ≈ 0.86, caught by the
+    near-dup gate ONLY via the appended band postings), genuinely new
+    second-wave docs (%10==5 → kept), and the same wave shipped twice
+    under different URLs (in-batch exact gate keeps one)."""
+    url = lambda tail: F.concat(  # noqa: E731
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/"),
+        F.col("lang"),
+        tail,
+    )
+    fresh = F.concat(
+        F.lit("fresh crawl "),
+        F.col("doc_id").cast("string"),
+        F.lit(" carries entirely new token material "),
+        (F.col("doc_id") * 7).cast("string"),
+    )
+    wave2 = F.concat(
+        F.lit("second wave crawl "),
+        F.col("doc_id").cast("string"),
+        F.lit(" brings another batch of new material "),
+        (F.col("doc_id") * 3).cast("string"),
+    )
+
+    def arm(mod: int, shift: int, text: F.Column, tail: F.Column) -> DataFrame:
+        return d.filter(F.col("doc_id") % 10 == mod).select(
+            (F.col("doc_id") + shift).alias("new_id"),
+            text.alias("text"),
+            url(tail).alias("curl"),
+        )
+
+    did = F.col("doc_id").cast("string")
+    return (
+        arm(1, 7_000_000, fresh, F.concat(F.lit("/fresh2-"), did))
+        .unionByName(
+            arm(
+                1,
+                8_000_000,
+                F.concat(fresh, F.lit(" tailnote")),
+                F.concat(F.lit("/fresh3-"), did),
+            )
+        )
+        .unionByName(arm(5, 9_000_000, wave2, F.concat(F.lit("/wave2-"), did)))
+        .unionByName(arm(5, 9_500_000, wave2, F.concat(F.lit("/wave2b-"), did)))
+    )
+
+
+_L42C_BATCH1_SQL = """
+      SELECT doc_id + 2000000 AS new_id, text,
+             'https://'||source||'.example.com/'||lang||'/doc-'||(doc_id%40) AS curl
+      FROM d WHERE doc_id % 10 = 3
+      UNION ALL
+      SELECT doc_id + 3000000, text || ' rev',
+             'https://'||source||'.example.com/'||lang||'/doc-'||(doc_id%40)
+      FROM d WHERE doc_id % 10 = 7
+      UNION ALL
+      SELECT doc_id + 4000000, text || ' rev',
+             'https://'||source||'.example.com/'||lang||'/doc-'||(doc_id%40)||'-alt'
+      FROM d WHERE doc_id % 10 = 7
+      UNION ALL
+      SELECT doc_id + 5000000,
+             'fresh crawl '||doc_id||' carries entirely new token material '||(doc_id*7),
+             'https://'||source||'.example.com/'||lang||'/fresh-'||doc_id
+      FROM d WHERE doc_id % 10 = 1
+      UNION ALL
+      SELECT doc_id + 6000000, text || ' resend with extra tail',
+             'https://'||source||'.example.com/'||lang||'/doc-'||(doc_id%40)
+      FROM d WHERE doc_id % 10 = 9
+      UNION ALL
+      SELECT doc_id + 6500000, text || ' v0',
+             'https://'||source||'.example.com/'||lang||'/doc-'||(doc_id%40)
+      FROM d WHERE doc_id % 10 = 9
+"""
+
+_L42C_BATCH2_SQL = """
+      SELECT doc_id + 7000000 AS new_id,
+             'fresh crawl '||doc_id||' carries entirely new token material '||(doc_id*7) AS text,
+             'https://'||source||'.example.com/'||lang||'/fresh2-'||doc_id AS curl
+      FROM d WHERE doc_id % 10 = 1
+      UNION ALL
+      SELECT doc_id + 8000000,
+             'fresh crawl '||doc_id||' carries entirely new token material '||(doc_id*7)||' tailnote',
+             'https://'||source||'.example.com/'||lang||'/fresh3-'||doc_id
+      FROM d WHERE doc_id % 10 = 1
+      UNION ALL
+      SELECT doc_id + 9000000,
+             'second wave crawl '||doc_id||' brings another batch of new material '||(doc_id*3),
+             'https://'||source||'.example.com/'||lang||'/wave2-'||doc_id
+      FROM d WHERE doc_id % 10 = 5
+      UNION ALL
+      SELECT doc_id + 9500000,
+             'second wave crawl '||doc_id||' brings another batch of new material '||(doc_id*3),
+             'https://'||source||'.example.com/'||lang||'/wave2b-'||doc_id
+      FROM d WHERE doc_id % 10 = 5
+"""
+
+_L42C_ORACLE = f"""
+    WITH d AS (SELECT doc_id, text, lang, source FROM documents),
+    corpus_g1 AS (SELECT doc_id, text FROM d),
+    batch_g1 AS ({_L42C_BATCH1_SQL}),
+    {render_crawl_funnel_ctes("_g1")},
+    surv_g1 AS (SELECT new_id AS doc_id, text FROM f4_g1 WHERE s4),
+    corpus_g2 AS (
+      SELECT doc_id, text FROM corpus_g1
+      UNION ALL
+      SELECT doc_id, text FROM surv_g1
+    ),
+    batch_g2 AS ({_L42C_BATCH2_SQL}),
+    {render_crawl_funnel_ctes("_g2")}
+    {render_crawl_waterfall_select([(1, "_g1"), (2, "_g2")])}
+    """
+
+
+def _crawl_maint_artifact_base(sf_dir: str) -> str:
+    """Versioned location of the MAINTAINED crawl indexes — same key
+    recipe as the publish-once artifact (corpus identity + index
+    config) under its own root, because the maintained artifact's
+    content additionally depends on the fold history (v1, v2, ...)."""
+    import hashlib
+    import os
+
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    key = hashlib.sha256(
+        f"{os.path.abspath(sf_dir)}|{st.st_size}|{st.st_mtime_ns}"
+        f"|crawlmaint-v1-md5x{N_MINHASHES}-b{N_BANDS}-cap{L42_MAX_POSTING}"
+        .encode()
+    ).hexdigest()[:16]
+    cache_root = os.environ.get(
+        "XDG_CACHE_HOME", os.path.join(os.path.expanduser("~"), ".cache")
+    )
+    return os.path.join(cache_root, "mric_crawl_maint_artifacts", key)
+
+
+def make_crawl_index_append_sink(
+    spark: SparkSession,
+    sf_dir: str,
+    base: str,
+    state: dict[str, int],
+    n_hashes: int = N_MINHASHES,
+    n_bands: int = N_BANDS,
+    cap: int = L42_MAX_POSTING,
+):
+    """The foreachBatch handler that gives the crawl indexes true
+    incremental MAINTENANCE (the t10/t13b versioned-commit scaffold,
+    streaming/stateful.py:239, applied to INDEX state): each crawl
+    batch runs the funnel against the CURRENT committed index version,
+    and its survivors are folded into the next immutable version —
+    hashes ∪ survivor hashes; band postings ∪ survivor postings with
+    the posting cap RE-ENFORCED against the merged per-bucket counts
+    (this is why the counts table persists ALL buckets including hot
+    ones: a bucket whose postings were dropped as hot must STAY hot —
+    its true count only grows — and a bucket pushed over the cap by
+    the append must drop its old postings too; re-counting the capped
+    table instead would resurrect both). The fold also appends the
+    survivors' (doc_id, text) to the artifact's newdocs log (what a
+    production crawl writes to the corpus store anyway — the Jaccard
+    verify needs their payloads) and records the batch's waterfall.
+
+    Invariant, proven by test and by the value oracle: the folded
+    vN+1 indexes equal `build_crawl_index` run from scratch on
+    corpus ∪ all survivors — probe-after-append == inline-on-grown-
+    corpus. Exactly-once: batch_id keys the version (idempotent skip
+    on replay); a crash mid-write leaves only an uncommitted staging
+    dir (versions commit by one atomic rename), which the replayed
+    batch overwrites.
+
+    At 100 TB: per-append cost is O(|batch|) signature work + a
+    bucket-grain count merge + ONE index-sized union-anti-join write —
+    no corpus re-signature anywhere (the ×100 probe curve's dominant
+    term, SCALE.md round-12, now amortizes across the corpus's whole
+    life, not just until the next append)."""
+    import os
+    import shutil
+
+    from mric_bak_etl_spark.tables import materialize
+
+    def recover_version() -> int:
+        try:
+            return max(
+                (
+                    int(v[1:])
+                    for v in os.listdir(base)
+                    if v.startswith("v") and v[1:].isdigit()
+                ),
+                default=0,
+            )
+        except OSError:
+            return 0
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        if state["version"] == 0:
+            state["version"] = recover_version()
+        if state["version"] > batch_id:
+            return  # replayed batch already folded: idempotent skip
+        docs = spread(
+            load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+            "doc_id",
+        )
+        v = state["version"]
+        if v == 0:
+            corpus = docs
+            corpus_h, capped, counts = build_crawl_index(
+                corpus, n_hashes=n_hashes, n_bands=n_bands, cap=cap
+            )
+            newdocs = docs.filter(F.lit(False)).select(
+                F.col("doc_id").cast("long").alias("doc_id"), "text"
+            )
+        else:
+            vdir = os.path.join(base, f"v{v}")
+            newdocs = spark.read.parquet(os.path.join(vdir, "newdocs"))
+            corpus = docs.select(
+                F.col("doc_id").cast("long").alias("doc_id"), "text"
+            ).unionByName(newdocs)
+            corpus_h = spark.read.parquet(os.path.join(vdir, "hashes"))
+            capped = spark.read.parquet(os.path.join(vdir, "bands"))
+            counts = spark.read.parquet(os.path.join(vdir, "counts"))
+        flags = materialize(
+            crawl_flags(
+                corpus,
+                batch_df,
+                corpus_h=corpus_h,
+                capped_index=capped,
+                n_hashes=n_hashes,
+                n_bands=n_bands,
+                cap=cap,
+            )
+        )
+        survivors = flags.filter("s4").select(
+            F.col("new_id").cast("long").alias("doc_id"), "text"
+        )
+        surv_bands = portable_band_hashes(
+            portable_minhash_signatures(
+                survivors.select("doc_id", shingles().alias("sh")),
+                n_hashes=n_hashes,
+            ),
+            n_bands=n_bands,
+        )
+        surv_counts = surv_bands.groupBy("band", "band_hash").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n")
+        )
+        merged_counts = (
+            counts.unionByName(surv_counts)
+            .groupBy("band", "band_hash")
+            .agg(F.sum("n").cast("bigint").alias("n"))
+        )
+        hot = merged_counts.filter(F.col("n") > cap).select(
+            "band", "band_hash"
+        )
+        merged_bands = capped.unionByName(surv_bands).join(
+            F.broadcast(hot), ["band", "band_hash"], "left_anti"
+        )
+        merged_hashes = corpus_h.unionByName(
+            survivors.select(F.md5("text").alias("h"))
+        ).distinct()
+        merged_newdocs = newdocs.unionByName(survivors)
+        waterfall = _crawl_waterfall_from_flags(flags)
+        staging = os.path.join(base, f"_staging_v{batch_id + 1}")
+        shutil.rmtree(staging, ignore_errors=True)
+        for name, df_ in (
+            ("hashes", merged_hashes),
+            ("bands", merged_bands),
+            ("counts", merged_counts),
+            ("newdocs", merged_newdocs),
+            ("waterfall", waterfall),
+        ):
+            df_.write.mode("overwrite").parquet(os.path.join(staging, name))
+        committed = os.path.join(base, f"v{batch_id + 1}")
+        try:
+            os.rename(staging, committed)  # atomic on POSIX
+        except OSError:
+            if not os.path.isdir(committed):
+                raise  # a real failure, not a lost commit race
+            shutil.rmtree(staging, ignore_errors=True)
+        state["version"] = batch_id + 1
+
+    return fold
+
+
+def maintain_crawl_index(spark: SparkSession, sf_dir: str) -> str:
+    """Drive the append sink across the two fixture crawl generations
+    (build-if-missing; committed versions skip idempotently — the same
+    call is the recovery path after a crash)."""
+    import os
+
+    base = _crawl_maint_artifact_base(sf_dir)
+    os.makedirs(base, exist_ok=True)
+    state = {"version": 0}
+    fold = make_crawl_index_append_sink(spark, sf_dir, base, state)
+    d = spread(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text", "lang", "source"
+        ),
+        "doc_id",
+    )
+    fold(_l42_batch(d), 0)
+    fold(_l42c_batch2(d), 1)
+    return base
+
+
+@register(
+    "l42c_crawl_index_maintenance",
+    oracle=_L42C_ORACLE,
+    doc="L42c: TRUE INCREMENTAL MAINTENANCE for the crawl indexes (r12 "
+    "verdict task 1) — the append face that turns l42b's publish-once "
+    "artifact into the shape a DAILY crawl runs: generation 1 probes "
+    "the freshly built indexes and its survivors are FOLDED into the "
+    "persisted hash + band + count artifacts (the t10/t13b "
+    "versioned-commit foreachBatch scaffold: batch_id-keyed idempotent "
+    "replay, atomic-rename version dirs); generation 2 — re-ships of "
+    "gen-1 survivors, near-dups of gen-1 survivors, and genuinely new "
+    "second-wave docs — probes the APPENDED v1 indexes, so its "
+    "exact-vs-corpus and neardup-vs-corpus drops are load-bearing "
+    "evidence the fold worked (they catch docs that exist ONLY in the "
+    "appended state). The posting cap is re-enforced against the "
+    "MERGED per-bucket counts (persisted over ALL buckets including "
+    "hot ones — once-hot stays hot, newly-hot drops its old postings), "
+    "which is exactly what makes the fold equal a from-scratch rebuild "
+    "on the grown corpus: probe-after-append == inline-on-grown-corpus, "
+    "pinned by test AND by this query's value oracle — DuckDB re-derives "
+    "generation 2's indexes from corpus+survivors inline (the only way "
+    "SQL can express it) and must agree with the funnel that probed the "
+    "folded parquet. Output: both generations' waterfalls (docs AND "
+    "tokens per gate). At 100 TB this closes the last gap between the "
+    "engine and a production crawl: per-day cost is O(|batch|) + a "
+    "bucket-grain count merge — the corpus is never re-signatured after "
+    "day one.",
+    tags=("llm", "dedup", "composite", "artifact", "streaming"),
+)
+def crawl_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = maintain_crawl_index(spark, sf_dir)
+    w1 = spark.read.parquet(f"{base}/v1/waterfall")
+    w2 = spark.read.parquet(f"{base}/v2/waterfall")
+    return (
+        w1.select(F.lit(1).alias("batch_no"), "*")
+        .unionByName(w2.select(F.lit(2).alias("batch_no"), "*"))
+        .orderBy("batch_no", "stage_no")
+    )

@@ -27,21 +27,25 @@ def _parity_selected(name: str) -> bool:
     whose semantics moved) plus HALF of the remaining oracle set,
     alternating halves per round, so every query is locally
     value-checked at least every other round and the skipped half is
-    visible as skips, never silently absent. Rotation key = committed
-    parity-file count (increments once per round, same key as the
-    robustness rotation). SPARK_GRAFT_FULL_PARITY=1 restores the full
-    sweep (use for release-grade runs)."""
-    import glob
+    visible as skips, never silently absent. Rotation key = the
+    explicit catalog.ROUND constant (ADVICE r12: the old key — a
+    CORRECTNESS_r*.json file COUNT — included untracked files, so the
+    driver writing the new round's file mid-round flipped which half
+    ran between two runs of the same commit). SPARK_GRAFT_FULL_PARITY=1
+    restores the full sweep (use for release-grade runs)."""
     import os
     import zlib
+
+    from mric_bak_etl_spark.catalog import ROUND
 
     if os.environ.get("SPARK_GRAFT_FULL_PARITY"):
         return True
     if name in _VERIFY_FIRST:
         return True
-    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    k = len(glob.glob(os.path.join(here, "CORRECTNESS_r*.json")))
-    return (zlib.crc32(name.encode()) + k) % 2 == 0
+    # Phase: == 1 keeps the alternation unbroken across the key change
+    # (the r12 closing runs used the old key at k=11 ≡ crc-odd half, so
+    # round 13 must run the crc-even half; ROUND=13 + phase 1 does).
+    return (zlib.crc32(name.encode()) + ROUND) % 2 == 1
 
 
 def _normalize(df: pd.DataFrame) -> pd.DataFrame:

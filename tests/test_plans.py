@@ -179,14 +179,27 @@ def test_no_python_udfs_outside_declared_pandas_stages(spark, sf_dir, catalog_pl
     # an unchanged query's plan cannot regress between rounds, so
     # every-other-round coverage loses nothing. Skipped names are
     # counted loudly below; SPARK_GRAFT_FULL_PARITY=1 sweeps all.
+    # ADVICE r12: a shared-helper edit changes plans of consumers that
+    # are NOT in this round's _VERIFY_FIRST head, so the introspect
+    # sweep's changed-consumer set is always swept too — the guard no
+    # longer depends on the head being hand-updated before this runs.
     from test_oracle_parity import _parity_selected
+
+    from mric_bak_etl_spark.introspect import (
+        consumers_of_changed,
+        round_base_commit,
+    )
+
+    changed = set()
+    if round_base_commit() is not None:
+        changed = set(consumers_of_changed())
 
     offenders = []
     swept = skipped = 0
     for name in sorted(all_specs()):
         if name in pandas_ok:
             continue
-        if not _parity_selected(name):
+        if name not in changed and not _parity_selected(name):
             skipped += 1
             continue
         swept += 1

@@ -169,18 +169,22 @@ def test_results_survive_arrow_disabled(spark, duck, sf_dir):
 def _rotation_selected(scenario: str) -> bool:
     """The r11-declared suite-wall trim rung: run 2 of the 4 scenarios
     per round, rotating so every scenario runs at least every other
-    round (~110 s saved per run). The rotation key is the number of
-    committed driver-round parity files — it increments exactly once
-    per round, needs no env plumbing, and makes the selection
-    reproducible for the whole round. SPARK_GRAFT_FULL_ROBUSTNESS=1
-    restores full coverage (use for release-grade local runs)."""
-    import glob
+    round (~110 s saved per run). The rotation key is the explicit
+    catalog.ROUND constant — bumped exactly once per round in a
+    committed file, so the selection is reproducible for the whole
+    round regardless of what untracked driver files exist on disk
+    (ADVICE r12: the old CORRECTNESS-file COUNT flipped mid-round).
+    SPARK_GRAFT_FULL_ROBUSTNESS=1 restores full coverage (use for
+    release-grade local runs)."""
     import os
+
+    from mric_bak_etl_spark.catalog import ROUND
 
     if os.environ.get("SPARK_GRAFT_FULL_ROBUSTNESS"):
         return True
-    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    k = len(glob.glob(os.path.join(here, "CORRECTNESS_r*.json")))
+    # ROUND - 1 keeps the pre-key-change cadence: round 12's closing
+    # runs selected with k=11, so round 13 must select with 12.
+    k = ROUND - 1
     names = sorted(SCENARIOS)
     return scenario in {names[k % len(names)], names[(k + 1) % len(names)]}
 
