@@ -110,15 +110,19 @@ def all_specs() -> dict[str, QuerySpec]:
 # round's NEW first rows (l42c — true incremental MAINTENANCE of the
 # crawl indexes: foreachBatch folds each generation's survivors into
 # the persisted hash/band/count artifacts with the posting cap
-# re-enforced on MERGED counts, two-generation value oracle); the full
+# re-enforced on MERGED counts, two-generation value oracle; l3f —
+# the ANN ladder's persisted-artifact face: trained centroids + PQ
+# codebook + cell-partitioned corpus codes published once, apply-only
+# IVF-PQ probe with exact re-rank); the full
 # `python -m mric_bak_etl_spark.introspect` queue for round-13 changes
 # (crawl_flags gained the tagged-id Jaccard union + parameterized
 # hash/band/cap, and build_crawl_index now returns the per-bucket
-# count table, so l42/l42b re-enter; the l42b publish gained the
+# count table, so l42/l42b re-enter; l19/l3e re-enter for the
+# trainer/codebook extraction l3f shares; the l42b publish gained the
 # duplication-regime audit row). Then OLDEST-GREEN-FIRST: the FULL
 # r4 vintage (39 rows — after this round no attestation predates
 # round 5), and the alphabetical leaders of the r5 vintage fill the
-# tail. 1 + 1 + 2 + 39 + 7 = 50, exactly the driver budget. The local
+# tail. 1 + 2 + 4 + 39 + 4 = 50, exactly the driver budget. The local
 # parity suite (tests/test_oracle_parity.py, value-matched before
 # every commit) remains the regression guard for everything sitting
 # out.
@@ -126,10 +130,15 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "a1_pricing_summary",
     # New first rows (round-13 operators)
     "l42c_crawl_index_maintenance",
+    "l3f_ann_persisted",
     # Introspect queue: consumers of build_crawl_index/crawl_flags
-    # (tagged-id union, counts table, publish audit row).
+    # (tagged-id union, counts table, publish audit row) and of the
+    # k-means/PQ trainer extraction l3f shares (fit_spherical_kmeans,
+    # build_pq_codebook/pq_encode).
     "l42_incremental_crawl",
     "l42b_incremental_crawl_persisted",
+    "l19_kmeans",
+    "l3e_pq_topk",
     # r4-vintage sweep (39): every query whose newest driver row is r4.
     "dq2_volume_anomaly", "dq3_column_profile",
     "dq8_fact_summary_reconciliation", "dq9_pk_uniqueness",
@@ -146,12 +155,12 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "r22_late_arriving_facts", "s15_dynamic_partition_overwrite",
     "s17_selective_file_ingestion", "s18_version_vacuum", "tx_redaction",
     "w9_rolling_regression", "x10_grouped_arrow_apply", "x11_arrow_udtf",
-    # r5-vintage fills (7 alphabetical leaders of the 39-query r5 set;
-    # cede slots if new operators land mid-round — the standing cede
-    # pattern).
+    # r5-vintage fills (4 alphabetical leaders of the 39-query r5 set;
+    # e7/f13/f16 ceded their slots when l3f and the trainer
+    # extraction's introspect queue landed mid-round — the standing
+    # cede pattern).
     "a19_listagg", "a21_approx_percentile", "e3_gaps_islands",
-    "e5_rfm_segments", "e7_interarrival", "f13_date_spine",
-    "f16_transcendental",
+    "e5_rfm_segments",
 )
 
 
@@ -264,6 +273,7 @@ HEADLINE: tuple[str, ...] = (
     "l42b_incremental_crawl_persisted",  # crawl funnel probing persisted indexes
     # round-13 additions
     "l42c_crawl_index_maintenance",  # two-generation index fold (append face)
+    "l3f_ann_persisted",  # apply-only IVF-PQ probe of the persisted ANN index
 )
 
 

@@ -486,6 +486,74 @@ _KM_UPDATE = """
     )"""
 
 
+def _km_pack(cent: DataFrame) -> DataFrame:
+    """Centroids travel as ONE row holding an array<struct<cid, cv>> —
+    k×dim doubles — broadcast-cross-joined onto the corpus each round."""
+    return cent.agg(
+        F.sort_array(F.collect_list(F.struct("cid", "cv"))).alias("cents")
+    )
+
+
+def _km_assign(e: DataFrame, cent_arr: DataFrame) -> DataFrame:
+    """Assignment is a pure map-side expression (array_max over
+    (cs, -cid, cid) structs = max cosine, ties to smallest cid — the
+    oracle's row_number order), so the corpus is NEVER shuffled for
+    assignment."""
+    best = F.array_max(
+        F.transform(
+            "cents",
+            lambda c: F.struct(
+                F.round(_cosine(F.col("v"), c["cv"]), 6).alias("cs"),
+                (-c["cid"]).alias("ncid"),
+                c["cid"].alias("cid"),
+            ),
+        )
+    )
+    return (
+        e.crossJoin(F.broadcast(cent_arr))
+        .withColumn("best", best)
+        .select(
+            "vec_id", "v",
+            F.col("best.cid").alias("cid"), F.col("best.cs").alias("cs"),
+        )
+    )
+
+
+def _km_update(assigned: DataFrame) -> DataFrame:
+    """The only per-round shuffle: the (k·dim)-group centroid mean,
+    map-side-combined from |corpus|·dim exploded rows down to k·dim
+    groups."""
+    return (
+        assigned.select("cid", F.posexplode("v").alias("pos", "val"))
+        .groupBy("cid", "pos")
+        .agg(F.round(F.avg("val"), 6).alias("av"))
+        .groupBy("cid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "av"))),
+                lambda s: s["av"],
+            ).alias("cv")
+        )
+    )
+
+
+def fit_spherical_kmeans(e: DataFrame) -> DataFrame:
+    """The l19 trainer as a reusable stage (l3f persists its output):
+    deterministic seeds (vec_id % KMEANS_K_MOD == 0), KMEANS_ROUNDS
+    Lloyd rounds with 6dp centroid rounding so both engines iterate on
+    bit-identical state. Returns the packed 1-row centroid frame. The
+    whole fit is ONE lazy plan — no driver round-trips, no per-round
+    jobs."""
+    cents = _km_pack(
+        e.filter(F.col("vec_id") % KMEANS_K_MOD == 0).select(
+            F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+        )
+    )
+    for _ in range(KMEANS_ROUNDS):
+        cents = _km_pack(_km_update(_km_assign(e, cents)))
+    return cents
+
+
 @register(
     "l19_kmeans",
     oracle="""
@@ -528,63 +596,9 @@ def kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double().alias("v")
     ).repartition(sized_parallelism(sf_dir, "embeddings"))
-    # Centroids travel as ONE row holding an array<struct<cid, cv>> —
-    # k×dim doubles — broadcast-cross-joined onto the corpus each round.
-    # Assignment is then a pure map-side expression (array_max over
-    # (cs, -cid, cid) structs = max cosine, ties to smallest cid — the
-    # oracle's row_number order), so the corpus is NEVER shuffled for
-    # assignment; the only per-round shuffle is the (k·dim)-group
-    # centroid mean, map-side-combined from |corpus|·dim exploded rows
-    # down to k·dim groups. The whole 2-round fit plus final scoring is
-    # ONE lazy plan — no driver round-trips, no per-round jobs.
-    def pack(cent: DataFrame) -> DataFrame:
-        return cent.agg(
-            F.sort_array(F.collect_list(F.struct("cid", "cv"))).alias("cents")
-        )
-
-    def assign(cent_arr: DataFrame) -> DataFrame:
-        best = F.array_max(
-            F.transform(
-                "cents",
-                lambda c: F.struct(
-                    F.round(_cosine(F.col("v"), c["cv"]), 6).alias("cs"),
-                    (-c["cid"]).alias("ncid"),
-                    c["cid"].alias("cid"),
-                ),
-            )
-        )
-        return (
-            e.crossJoin(F.broadcast(cent_arr))
-            .withColumn("best", best)
-            .select(
-                "vec_id", "v",
-                F.col("best.cid").alias("cid"), F.col("best.cs").alias("cs"),
-            )
-        )
-
-    def update(assigned: DataFrame) -> DataFrame:
-        return (
-            assigned.select("cid", F.posexplode("v").alias("pos", "val"))
-            .groupBy("cid", "pos")
-            .agg(F.round(F.avg("val"), 6).alias("av"))
-            .groupBy("cid")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "av"))),
-                    lambda s: s["av"],
-                ).alias("cv")
-            )
-        )
-
-    cents = pack(
-        e.filter(F.col("vec_id") % KMEANS_K_MOD == 0).select(
-            F.col("vec_id").alias("cid"), F.col("v").alias("cv")
-        )
-    )
-    for _ in range(KMEANS_ROUNDS):
-        cents = pack(update(assign(cents)))
+    cents = fit_spherical_kmeans(e)
     return (
-        assign(cents)
+        _km_assign(e, cents)
         .groupBy(F.col("cid").alias("cluster"))
         .agg(
             F.count(F.lit(1)).alias("n_members"),
@@ -616,6 +630,64 @@ def _sq_l2_sql(a: str, b: str, n: int = PQ_D, base: int = 0) -> str:
         for i in range(base, n + base)
     ]
     return " + ".join(terms)
+
+
+def build_pq_codebook(spark: SparkSession, e: DataFrame) -> DataFrame:
+    """The PQ training stage (l3f persists its output): the 128-row
+    (s, c, cent) subspace-centroid table, materialized so the codebook
+    scan runs once per consumer. Deterministic data sample (production
+    swaps in fit_spherical_kmeans per subspace; the pipeline shape is
+    identical)."""
+    from pyspark.sql import Window
+
+    from mric_bak_etl_spark.tables import materialize
+
+    cb = (
+        e.filter(F.col("vec_id") % 31 == 1)
+        .orderBy("vec_id")
+        .limit(PQ_K)
+        .select(
+            (F.row_number().over(Window.orderBy("vec_id")) - 1).alias("c"),
+            "embedding",
+        )
+    )
+    subs = spark.range(PQ_M).select(F.col("id").cast("int").alias("s"))
+    return materialize(
+        cb.crossJoin(subs).select(
+            "s", "c",
+            F.expr(f"slice(embedding, s*{PQ_D}+1, {PQ_D})").alias("cent"),
+        )
+    )
+
+
+def _pq_subspace_dists(spark: SparkSession, e: DataFrame, subcb: DataFrame) -> DataFrame:
+    """Per-(vector, subspace, centroid) exact squared-L2 — the shared
+    ingest-time fan-out under both the corpus encode and the query
+    distance table. Generated-SQL arithmetic (term-for-term identical in
+    DuckDB) so codes match EXACTLY across engines."""
+    subs = spark.range(PQ_M).select(F.col("id").cast("int").alias("s"))
+    vecsub = (
+        spread(e, "vec_id")
+        .crossJoin(F.broadcast(subs))
+        .select(
+            "vec_id", "s",
+            F.expr(f"slice(embedding, s*{PQ_D}+1, {PQ_D})").alias("sub"),
+        )
+    )
+    return vecsub.join(F.broadcast(subcb), "s").select(
+        "vec_id", "s", "c", F.expr(_sq_l2_sql("sub", "cent")).alias("dd")
+    )
+
+
+def pq_encode(spark: SparkSession, e: DataFrame, subcb: DataFrame) -> DataFrame:
+    """The ingest-time PQ encode (l3f persists its output): each vector
+    compresses to PQ_M one-byte codes — argmin as a min_by aggregate
+    over the exploded subspace fan-out, map-side (codebook broadcast)."""
+    return (
+        _pq_subspace_dists(spark, e, subcb)
+        .groupBy("vec_id", "s")
+        .agg(F.expr("min_by(c, struct(dd, c))").alias("code"))
+    )
 
 
 @register(
@@ -684,40 +756,9 @@ def _sq_l2_sql(a: str, b: str, n: int = PQ_D, base: int = 0) -> str:
     tags=("llm", "similarity", "scale"),
 )
 def pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     e = load_table(spark, sf_dir, "embeddings")
-    cb = (
-        e.filter(F.col("vec_id") % 31 == 1)
-        .orderBy("vec_id")
-        .limit(PQ_K)
-        .select(
-            (F.row_number().over(Window.orderBy("vec_id")) - 1).alias("c"),
-            "embedding",
-        )
-    )
-    subs = spark.range(PQ_M).select(F.col("id").cast("int").alias("s"))
-    from mric_bak_etl_spark.tables import materialize
-
-    # 128-row codebook table, consumed by both the corpus encode and the
-    # query distance table — pinned so the codebook scan runs once.
-    subcb = materialize(
-        cb.crossJoin(subs).select(
-            "s", "c",
-            F.expr(f"slice(embedding, s*{PQ_D}+1, {PQ_D})").alias("cent"),
-        )
-    )
-    vecsub = (
-        spread(e, "vec_id")
-        .crossJoin(F.broadcast(subs))
-        .select(
-            "vec_id", "s",
-            F.expr(f"slice(embedding, s*{PQ_D}+1, {PQ_D})").alias("sub"),
-        )
-    )
-    dists = vecsub.join(F.broadcast(subcb), "s").select(
-        "vec_id", "s", "c", F.expr(_sq_l2_sql("sub", "cent")).alias("dd")
-    )
+    subcb = build_pq_codebook(spark, e)
+    dists = _pq_subspace_dists(spark, e, subcb)
     codes = dists.groupBy("vec_id", "s").agg(
         F.expr("min_by(c, struct(dd, c))").alias("code")
     )
@@ -736,4 +777,348 @@ def pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         adc.orderBy("dist", "vec_id")
         .limit(10)
         .select("vec_id", F.round("dist", 4).alias("pq_dist"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# L3f: the ANN ladder's persisted-artifact face (write-audit-publish on
+# INDEX state: trained IVF centroids + corpus cell assignments + PQ
+# codebook + corpus PQ codes, partitioned by cell)
+# ---------------------------------------------------------------------------
+
+ANN_NPROBE = 2      # IVF cells probed per query
+ANN_SHORTLIST = 20  # ADC shortlist re-ranked with exact cosine
+
+
+def _ann_artifact_base(sf_dir: str) -> str:
+    """Versioned location of the persisted ANN index for ``sf_dir`` —
+    corpus identity + full index config in the key (the l26c/m14/l43/
+    l42b shape applied to the fifth artifact kind: ANN index state),
+    rooted in the user-owned XDG cache."""
+    import hashlib
+    import os
+
+    st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
+    key = hashlib.sha256(
+        f"{os.path.abspath(sf_dir)}|{st.st_size}|{st.st_mtime_ns}"
+        f"|annidx-v1-km{KMEANS_K_MOD}r{KMEANS_ROUNDS}"
+        f"-pq{PQ_M}x{PQ_K}-np{ANN_NPROBE}".encode()
+    ).hexdigest()[:16]
+    cache_root = os.environ.get(
+        "XDG_CACHE_HOME", os.path.join(os.path.expanduser("~"), ".cache")
+    )
+    return os.path.join(cache_root, "mric_ann_artifacts", key)
+
+
+def publish_ann_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build-if-missing for the ANN index artifacts — the ingest-time
+    pass l3d/l3e's docstrings promise ("codes are precomputed at ingest",
+    "assignment stored as a partition column") made real:
+
+    - ``centroids``: the l19-TRAINED spherical-k-means centroids
+      (fit_spherical_kmeans — the training stage the apply path must
+      never re-run);
+    - ``codebook``: the PQ subspace-centroid table (build_pq_codebook);
+    - ``codes``: every corpus vector's PQ codes joined with its IVF cell
+      assignment, written PARTITIONED BY cell — so a query's nprobe cell
+      filter becomes parquet PARTITION PRUNING: the scan physically reads
+      ~nprobe/k of the code files, no join needed to select candidates.
+
+    Audit (from the staged parquet, exactly what a reader re-verifies):
+    centroid count equals the deterministic seed count with full-width
+    64-dim vectors; codebook is exactly PQ_M x PQ_K rows of PQ_D-dim
+    centroids; the code table covers every corpus vector exactly PQ_M
+    times, codes in [0, PQ_K), and every cell id is a real centroid id.
+    Then one atomic rename.
+
+    At 100 TB: train on a sample, assign + encode in one corpus scan at
+    ingest; a query then costs a k-row centroid read, a partition-pruned
+    scan of nprobe cells' 8-byte codes, a 128-row broadcast, and an
+    exact re-rank of ANN_SHORTLIST raw vectors — the corpus's float
+    embeddings are never scanned at query time."""
+    import os
+    import shutil
+    import tempfile
+
+    from mric_bak_etl_spark.tables import sized_parallelism
+
+    base = _ann_artifact_base(sf_dir)
+    published = os.path.join(base, "published")
+    if os.path.isdir(published):
+        return published
+    os.makedirs(base, exist_ok=True)
+    staging = tempfile.mkdtemp(prefix="_staging_", dir=base)
+
+    e_raw = load_table(spark, sf_dir, "embeddings")
+    e = e_raw.select("vec_id", _as_double().alias("v")).repartition(
+        sized_parallelism(sf_dir, "embeddings")
+    )
+    cents_arr = fit_spherical_kmeans(e)
+    centroids = cents_arr.select(F.explode("cents").alias("c")).select(
+        F.col("c.cid").alias("cid"), F.col("c.cv").alias("cv")
+    )
+    centroids.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(staging, "centroids")
+    )
+    assignments = _km_assign(e, cents_arr).select("vec_id", "cid")
+    subcb = build_pq_codebook(spark, e_raw)
+    subcb.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(staging, "codebook")
+    )
+    codes = pq_encode(spark, e_raw, subcb)
+    # One ingest-time shuffle (codes x assignments on vec_id) buys every
+    # future query partition pruning on the cell column.
+    codes.join(assignments, "vec_id").select(
+        "cid", "vec_id", "s", "code"
+    ).write.mode("overwrite").partitionBy("cid").parquet(
+        os.path.join(staging, "codes")
+    )
+
+    n_corpus = e_raw.count()
+    n_seeds = e_raw.filter(F.col("vec_id") % KMEANS_K_MOD == 0).count()
+    c = spark.read.parquet(os.path.join(staging, "centroids"))
+    c_row = c.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(F.size("cv")).alias("min_dim"),
+        F.max(F.size("cv")).alias("max_dim"),
+        F.sum(F.col("cid").isNull().cast("int")).alias("nulls"),
+    ).collect()[0]
+    cb = spark.read.parquet(os.path.join(staging, "codebook"))
+    cb_row = cb.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(F.size("cent")).alias("min_dim"),
+        F.max(F.size("cent")).alias("max_dim"),
+    ).collect()[0]
+    k = spark.read.parquet(os.path.join(staging, "codes"))
+    k_row = k.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("vec_id").alias("n_vecs"),
+        F.min("code").alias("min_code"),
+        F.max("code").alias("max_code"),
+    ).collect()[0]
+    bad_cells = (
+        k.select("cid").distinct().join(c.select("cid"), "cid", "left_anti")
+    ).count()
+    # Lloyd rounds legitimately DROP clusters that go empty (duplicate
+    # seed vectors collapse to one cid via the tiebreak — the x10
+    # verbatim-copy probe corpus found exactly this), so the centroid
+    # count is bounded by the seed count, not equal to it.
+    ok = (
+        1 <= c_row["n"] <= n_seeds
+        and (c_row["nulls"] or 0) == 0
+        and c_row["min_dim"] == c_row["max_dim"] == 64
+        and cb_row["n"] == PQ_M * PQ_K
+        and cb_row["min_dim"] == cb_row["max_dim"] == PQ_D
+        and k_row["n"] == n_corpus * PQ_M
+        and k_row["n_vecs"] == n_corpus
+        and (k_row["min_code"] or 0) >= 0
+        and (k_row["max_code"] or 0) < PQ_K
+        and bad_cells == 0
+    )
+    if not ok:
+        raise ValueError(
+            f"ANN-index audit failed (centroids {tuple(c_row)}, codebook "
+            f"{tuple(cb_row)}, codes {tuple(k_row)}, unknown cells "
+            f"{bad_cells}) — NOT published"
+        )
+    try:
+        os.rename(staging, published)  # atomic on POSIX
+    except OSError:
+        if not os.path.isdir(published):
+            raise  # a real failure, not a lost publish race
+        shutil.rmtree(staging, ignore_errors=True)
+    return published
+
+
+def load_ann_index(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame, str]:
+    """The apply-only artifact read (l26c load-audit lesson): re-verify
+    the cheap structural invariants — full-width centroids, exactly
+    PQ_M x PQ_K codebook rows — before trusting the index; a published
+    dir that violates them was planted or tampered with and is refused
+    loudly. Returns (centroids, codebook, codes, path); the code table
+    is returned lazily so the caller's cell filter prunes partitions."""
+    import os
+
+    path = publish_ann_index(spark, sf_dir)
+    c = spark.read.parquet(os.path.join(path, "centroids"))
+    c_row = c.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(F.size("cv")).alias("min_dim"),
+        F.max(F.size("cv")).alias("max_dim"),
+    ).collect()[0]
+    cb = spark.read.parquet(os.path.join(path, "codebook"))
+    n_cb = cb.count()
+    if not (
+        c_row["n"] >= 1
+        and c_row["min_dim"] == c_row["max_dim"] == 64
+        and n_cb == PQ_M * PQ_K
+    ):
+        raise ValueError(
+            f"published ANN index at {path} violates its audit contract "
+            f"(centroids {tuple(c_row)}, codebook rows {n_cb}) — artifact "
+            "tampered or stale; delete it to rebuild"
+        )
+    codes = spark.read.parquet(os.path.join(path, "codes"))
+    return c, cb, codes, path
+
+
+def _l3f_km_ctes() -> str:
+    """The l19 training rounds + final assignment, unrolled for the l3f
+    oracle (same _KM_ASSIGN/_KM_UPDATE fragments l19's own oracle uses,
+    so the re-learned trajectory is bit-identical by construction)."""
+    parts = [
+        f"c0 AS (SELECT vec_id AS cid, v AS cv FROM e "
+        f"WHERE vec_id % {KMEANS_K_MOD} = 0)"
+    ]
+    for i in range(1, KMEANS_ROUNDS + 1):
+        parts.append(_KM_ASSIGN.format(i=i, prev=i - 1).strip())
+        parts.append(_KM_UPDATE.format(i=i).strip())
+    parts.append(
+        _KM_ASSIGN.format(i=KMEANS_ROUNDS + 1, prev=KMEANS_ROUNDS).strip()
+    )
+    return ",\n    ".join(parts)
+
+
+_L3F_ORACLE = f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    {_l3f_km_ctes()},
+    qq AS (SELECT v AS qv FROM e WHERE vec_id = {QUERY_VEC_ID}),
+    probe AS (
+      SELECT cid FROM (
+        SELECT c.cid,
+               row_number() OVER (
+                 ORDER BY round(list_cosine_similarity(c.cv, qq.qv), 6) DESC,
+                          c.cid ASC) AS rn
+        FROM c{KMEANS_ROUNDS} c, qq) WHERE rn <= {ANN_NPROBE}
+    ),
+    cand AS (
+      SELECT a.vec_id FROM a{KMEANS_ROUNDS + 1} a JOIN probe USING (cid)
+      WHERE a.vec_id <> {QUERY_VEC_ID}
+    ),
+    cb AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, embedding
+      FROM embeddings WHERE vec_id % 31 = 1 ORDER BY vec_id LIMIT {PQ_K}
+    ),
+    subs AS (SELECT unnest(range(0, {PQ_M})) AS s),
+    subcb AS (
+      SELECT s, c, embedding[s*{PQ_D}+1 : s*{PQ_D}+{PQ_D}] AS cent
+      FROM cb, subs
+    ),
+    vecsub AS (
+      SELECT vec_id, s, embedding[s*{PQ_D}+1 : s*{PQ_D}+{PQ_D}] AS sub
+      FROM embeddings, subs
+    ),
+    dists AS (
+      SELECT vec_id, v.s, c, {_sq_l2_sql("sub", "cent", base=1)} AS dd
+      FROM vecsub v JOIN subcb cb ON cb.s = v.s
+    ),
+    codes AS (
+      SELECT vec_id, s, c AS code
+      FROM (
+        SELECT vec_id, s, c,
+               row_number() OVER (PARTITION BY vec_id, s ORDER BY dd, c) AS rn
+        FROM dists
+      ) WHERE rn = 1
+    ),
+    qd AS (
+      SELECT s, c, dd AS qdist FROM dists WHERE vec_id = {QUERY_VEC_ID}
+    ),
+    adc AS (
+      SELECT codes.vec_id, sum(qdist) AS dist
+      FROM codes
+      JOIN cand ON cand.vec_id = codes.vec_id
+      JOIN qd ON qd.s = codes.s AND qd.c = codes.code
+      GROUP BY codes.vec_id
+    ),
+    shortlist AS (
+      SELECT vec_id FROM adc ORDER BY dist, vec_id LIMIT {ANN_SHORTLIST}
+    )
+    SELECT e.vec_id, round(list_cosine_similarity(e.v, qq.qv), 4) AS cosine
+    FROM shortlist JOIN e USING (vec_id), qq
+    ORDER BY cosine DESC, vec_id ASC
+    LIMIT {TOP_K}
+    """
+
+
+@register(
+    "l3f_ann_persisted",
+    oracle=_L3F_ORACLE,
+    doc="L3f: the ANN ladder's PERSISTED-ARTIFACT face (the fifth "
+    "artifact kind: l26c = tokenizer, m14 = media, l43 = model, "
+    "l42b/l42c = dedup indexes, l3f = ANN INDEX) — publish_ann_index "
+    "trains the l19 spherical-k-means centroids and the l3e PQ "
+    "codebook ONCE per corpus fingerprint, assigns + PQ-encodes the "
+    "whole corpus in the same ingest pass, and writes the codes "
+    "PARTITIONED BY IVF CELL; the query face is then apply-only "
+    "IVF-PQ search, the production shape l3d/l3e each demonstrated "
+    "half of: nearest-nprobe cells from the k persisted centroids "
+    "(tiny read; the cell list is bounded model-state, not data), a "
+    "PARTITION-PRUNED scan of just those cells' 8-byte codes, ADC "
+    "scoring against a 128-row broadcast distance table, and an exact "
+    "cosine re-rank of the ADC shortlist (recall-recovery, l3e's "
+    "stated production fix). NO training anywhere on the apply path — "
+    "pinned by test (fit_spherical_kmeans and build_pq_codebook "
+    "monkeypatched to raise once the artifact exists). The value "
+    "oracle RE-LEARNS everything inline — the l19 Lloyd rounds "
+    "unrolled as CTEs (bit-identical 6dp trajectory), the PQ codes "
+    "from the shared generated-SQL arithmetic — and must agree with "
+    "the probe of the persisted parquet, the same closed loop "
+    "l42b proved for index state. At 100 TB: query cost is k "
+    "centroid rows + nprobe/k of the code bytes + ANN_SHORTLIST raw "
+    "vectors; the corpus's float embeddings are never scanned at "
+    "query time, and re-ingest amortizes training exactly like l26c "
+    "amortizes BPE merges.",
+    tags=("llm", "vector", "artifact"),
+)
+def ann_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cents, subcb, codes, _path = load_ann_index(spark, sf_dir)
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double().alias("v")
+    )
+    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("v").alias("qv")
+    )
+    # Probe selection: k rows x 1 query — a bounded model-state read
+    # (the l19/g1 driver-boundary rule), collected so the cell filter
+    # is a LITERAL list and the code scan partition-prunes.
+    probe = [
+        r["cid"]
+        for r in cents.crossJoin(F.broadcast(q))
+        .select(
+            "cid", F.round(_cosine(F.col("cv"), F.col("qv")), 6).alias("cs")
+        )
+        .orderBy(F.col("cs").desc(), F.col("cid").asc())
+        .limit(ANN_NPROBE)
+        .collect()
+    ]
+    q_raw = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") == QUERY_VEC_ID
+    )
+    qd = _pq_subspace_dists(spark, q_raw, subcb).select(
+        F.col("s").alias("qs"), F.col("c").alias("qc"),
+        F.col("dd").alias("qdist"),
+    )
+    adc = (
+        codes.filter(
+            F.col("cid").isin(probe) & (F.col("vec_id") != QUERY_VEC_ID)
+        )
+        .join(
+            F.broadcast(qd),
+            (F.col("qs") == F.col("s")) & (F.col("qc") == F.col("code")),
+        )
+        .groupBy("vec_id")
+        .agg(F.sum("qdist").alias("dist"))
+    )
+    shortlist = adc.orderBy("dist", "vec_id").limit(ANN_SHORTLIST)
+    return (
+        shortlist.join(e, "vec_id")
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(_cosine(F.col("v"), F.col("qv")), 4).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(TOP_K)
     )

@@ -1516,3 +1516,66 @@ def test_l42b_publish_annotates_duplication_regime(
     audit2 = spark.read.parquet(os.path.join(pub2, "audit")).collect()[0]
     assert audit2["duplication_warning"] is False
     assert audit2["n_capped"] == 0
+
+
+def test_l3f_apply_path_never_trains(spark, sf_dir, monkeypatch):
+    """The l3f artifact contract (r12 verdict task 2): once the ANN
+    index is published, the query face must be APPLY-ONLY — no k-means
+    fit, no codebook build anywhere on the probe path. Pinned the l42b
+    way: both training stages monkeypatched to raise, result must be
+    byte-identical to the first (building) run."""
+    import pandas as pd
+
+    from mric_bak_etl_spark.catalog import all_specs
+    from mric_bak_etl_spark.llm import similarity as S
+
+    build = all_specs()["l3f_ann_persisted"].builder
+    first = build(spark, sf_dir).toPandas()
+
+    def boom(*_a, **_k):
+        raise AssertionError("ANN training ran on the probe-only path")
+
+    monkeypatch.setattr(S, "fit_spherical_kmeans", boom)
+    monkeypatch.setattr(S, "build_pq_codebook", boom)
+    second = build(spark, sf_dir).toPandas()
+    pd.testing.assert_frame_equal(first, second)
+    # The re-rank is EXACT cosine, so every returned score must match
+    # the brute-force score for that vec_id (ANN prunes candidates,
+    # never distorts scores).
+    e = S.load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", S._as_double().alias("v")
+    )
+    q = e.filter(S.F.col("vec_id") == S.QUERY_VEC_ID)
+    brute = {
+        r["vec_id"]: r["cosine"]
+        for r in S.brute_force_topk(
+            e.filter(S.F.col("vec_id") != S.QUERY_VEC_ID), q, k=10**9
+        ).collect()
+    }
+    for row in first.itertuples():
+        assert abs(brute[row.vec_id] - row.cosine) < 1e-9
+
+
+def test_l3f_publish_audit_blocks_bad_codes(
+    spark, sf_dir, monkeypatch, tmp_path
+):
+    """The artifact-invariant audit: an encode pass that emits an
+    out-of-range code (or drops vectors) must NOT publish."""
+    import os
+
+    from mric_bak_etl_spark.llm import similarity as S
+
+    monkeypatch.setattr(
+        S, "_ann_artifact_base", lambda _sf: str(tmp_path / "ann")
+    )
+    real = S.pq_encode
+
+    def broken(spark_, e, subcb):
+        return real(spark_, e, subcb).withColumn(
+            "code", S.F.lit(S.PQ_K + 5)
+        )
+
+    monkeypatch.setattr(S, "pq_encode", broken)
+    with pytest.raises(ValueError, match="audit failed"):
+        S.publish_ann_index(spark, sf_dir)
+    assert not os.path.isdir(str(tmp_path / "ann" / "published"))

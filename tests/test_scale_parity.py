@@ -65,6 +65,10 @@ SCALE_SLICE = [
     # cover at a fraction of the wall.
     "m14_zip_persisted_manifest",
     "l43_quality_score_persisted",
+    # round-13 ANN artifact face: at 10x corpus the k-means trajectory,
+    # the PQ code table, and the cell partition layout all grow/shift;
+    # the apply path must match the oracle's full inline re-learn.
+    "l3f_ann_persisted",
 ]
 
 
