@@ -85,6 +85,11 @@ def main() -> None:
         # Pure bytes math: no spark/duck session needed.
         ("zipfile_interop", tp.ZIPFILE_CASES,
          tp.test_zip_decoder_against_zipfile_generated_archives, "pure"),
+        # Grammar 21 (r12 verdict task 7): the crawl funnel as a RECIPE —
+        # (signature geometry x cap x threshold x duplication regime x
+        # batch composition) vs the parameterized funnel-CTE oracle.
+        ("crawl", tf.CRAWL_CASES,
+         tf.test_random_crawl_funnel_recipes_agree, True),
     ]
     only = {g for g in args.only.split(",") if g}
     cfg = settings(

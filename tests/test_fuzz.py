@@ -1679,3 +1679,145 @@ def test_random_zip_manifest_recipes_agree(spark, duck, sf_dir, case):
         f"{case['xform']}|p{case['prefix']}|c{int(case['comment'])}|"
         f"d{int(case['deflate'])}]",
     )
+
+
+# --- grammar 21: incremental-crawl funnel recipe (l42's composition) --------
+# l42/l42b/l42c pin the funnel at two hand-picked configurations; this
+# grammar sweeps the funnel's PARAMETER SPACE (r12 verdict task 7):
+# (signature width x band count) x posting cap x verify threshold x
+# duplication regime (verbatim / lightly-edited copies) x batch
+# composition, each instance checked bit-for-bit against the
+# parameterized DuckDB oracle (render_crawl_funnel_ctes — the same
+# fragment generator the l42c two-generation oracle composes). The
+# fixture corpus/batch are generated from ONE SQL text executed by both
+# engines (spark.sql over a temp view and DuckDB over the documents
+# view), so the only thing under test is the funnel itself. The fresh
+# arm is ALWAYS present, which keeps every gate's n_in >= 1 (no 0/0
+# pct_kept rows to diverge on NaN semantics).
+
+CRAWL_CASES = st.fixed_dictionaries(
+    {
+        # (n_hashes, n_bands): rows-per-band from 2 to 8
+        "geom": st.sampled_from([(4, 2), (8, 2), (8, 4), (16, 4), (16, 8)]),
+        "cap": st.sampled_from([1, 2, 4, 8, 32]),
+        "thresh": st.sampled_from([0.3, 0.5, 0.7]),
+        "dup": st.sampled_from([1, 2, 5]),  # copies of every corpus text
+        "edited": st.booleans(),  # copies verbatim vs one-token-edited
+        "base_mod": st.integers(min_value=0, max_value=9),
+        "reship": st.booleans(),  # corpus doc re-shipped under a new URL
+        "inbatch": st.booleans(),  # same text twice inside the batch
+        "neardup": st.booleans(),  # corpus doc + one appended token
+    }
+)
+
+
+def _crawl_corpus_sql(case, table: str) -> str:
+    parts = []
+    for c in range(case["dup"]):
+        suffix = f" || ' v{c}'" if (case["edited"] and c > 0) else ""
+        parts.append(
+            f"SELECT doc_id + {1000000 * c} AS doc_id, text{suffix} AS text "
+            f"FROM {table} WHERE doc_id % 10 = {case['base_mod']}"
+        )
+    return "\n      UNION ALL\n      ".join(parts)
+
+
+def _crawl_batch_sql(case, table: str) -> str:
+    m = case["base_mod"]
+    where = f"WHERE doc_id % 10 = {m}"
+    parts = [
+        # URL arm (always): shared curl groups, keeper = longest text
+        f"SELECT doc_id + 2000000 AS new_id, text AS text, "
+        f"'u://'||(doc_id%7) AS curl FROM {table} {where}",
+        f"SELECT doc_id + 2100000, text || ' ext', "
+        f"'u://'||(doc_id%7) FROM {table} {where}",
+        # Fresh arm (always): survives every gate
+        f"SELECT doc_id + 5000000, "
+        f"'fresh crawl '||doc_id||' carries novel tokens '||(doc_id*7), "
+        f"'u://fresh/'||doc_id FROM {table} {where}",
+    ]
+    if case["reship"]:
+        parts.append(
+            f"SELECT doc_id + 3000000, text, 'u://re/'||doc_id "
+            f"FROM {table} {where}"
+        )
+    if case["inbatch"]:
+        parts.append(
+            f"SELECT doc_id + 4000000, text || ' dup', 'u://a/'||doc_id "
+            f"FROM {table} {where}"
+        )
+        parts.append(
+            f"SELECT doc_id + 4500000, text || ' dup', 'u://b/'||doc_id "
+            f"FROM {table} {where}"
+        )
+    if case["neardup"]:
+        parts.append(
+            f"SELECT doc_id + 6000000, text || ' tail', 'u://nd/'||doc_id "
+            f"FROM {table} {where}"
+        )
+    return "\n      UNION ALL\n      ".join(parts)
+
+
+def build_crawl_funnel_spark(spark, sf_dir, case):
+    from pyspark.sql import functions as F
+
+    from mric_bak_etl_spark.llm import dedup as D
+    from mric_bak_etl_spark.tables import load_table
+
+    load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).createOrReplaceTempView("g21_documents")
+    corpus = spark.sql(_crawl_corpus_sql(case, "g21_documents"))
+    batch = spark.sql(_crawl_batch_sql(case, "g21_documents"))
+    nh, nb = case["geom"]
+    flags = D.crawl_flags(
+        corpus,
+        batch,
+        n_hashes=nh,
+        n_bands=nb,
+        cap=case["cap"],
+        thresh=case["thresh"],
+    )
+    return D._crawl_waterfall_from_flags(flags).select(
+        F.lit(1).alias("batch_no"), "*"
+    )
+
+
+def render_crawl_funnel_sql(case) -> str:
+    from mric_bak_etl_spark.llm import dedup as D
+
+    nh, nb = case["geom"]
+    return f"""
+    WITH corpus_f AS (
+      {_crawl_corpus_sql(case, "documents")}
+    ),
+    batch_f AS (
+      {_crawl_batch_sql(case, "documents")}
+    ),
+    {D.render_crawl_funnel_ctes(
+        "_f",
+        n_hashes=nh,
+        n_bands=nb,
+        cap=case["cap"],
+        thresh=case["thresh"],
+    )}
+    {D.render_crawl_waterfall_select([(1, "_f")])}
+    """
+
+
+@FUZZ_SETTINGS
+@given(case=CRAWL_CASES)
+def test_random_crawl_funnel_recipes_agree(spark, duck, sf_dir, case):
+    from test_oracle_parity import assert_frames_match
+
+    got = build_crawl_funnel_spark(spark, sf_dir, case).toPandas()
+    want = duck.execute(render_crawl_funnel_sql(case)).df()
+    nh, nb = case["geom"]
+    assert_frames_match(
+        got,
+        want,
+        f"crawl[{nh}x{nb}|cap{case['cap']}|t{case['thresh']}|"
+        f"d{case['dup']}{'e' if case['edited'] else 'v'}|m{case['base_mod']}|"
+        f"{'r' if case['reship'] else ''}{'i' if case['inbatch'] else ''}"
+        f"{'n' if case['neardup'] else ''}]",
+    )
