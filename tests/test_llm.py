@@ -1540,20 +1540,31 @@ def test_l3f_apply_path_never_trains(spark, sf_dir, monkeypatch):
     second = build(spark, sf_dir).toPandas()
     pd.testing.assert_frame_equal(first, second)
     # The re-rank is EXACT cosine, so every returned score must match
-    # the brute-force score for that vec_id (ANN prunes candidates,
-    # never distorts scores).
+    # the directly-computed score for that vec_id (ANN prunes
+    # candidates, never distorts scores). Scored for the 10 returned
+    # ids only — a corpus-wide brute-force sort here cost 80 s of
+    # suite wall for the same assertion.
     e = S.load_table(spark, sf_dir, "embeddings").select(
         "vec_id", S._as_double().alias("v")
     )
-    q = e.filter(S.F.col("vec_id") == S.QUERY_VEC_ID)
-    brute = {
+    q = e.filter(S.F.col("vec_id") == S.QUERY_VEC_ID).select(
+        S.F.col("v").alias("qv")
+    )
+    ids = [int(v) for v in first["vec_id"]]
+    exact = {
         r["vec_id"]: r["cosine"]
-        for r in S.brute_force_topk(
-            e.filter(S.F.col("vec_id") != S.QUERY_VEC_ID), q, k=10**9
-        ).collect()
+        for r in e.filter(S.F.col("vec_id").isin(ids))
+        .crossJoin(S.F.broadcast(q))
+        .select(
+            "vec_id",
+            S.F.round(S._cosine(S.F.col("v"), S.F.col("qv")), 4).alias(
+                "cosine"
+            ),
+        )
+        .collect()
     }
     for row in first.itertuples():
-        assert abs(brute[row.vec_id] - row.cosine) < 1e-9
+        assert abs(exact[row.vec_id] - row.cosine) < 1e-9
 
 
 def test_l3f_publish_audit_blocks_bad_codes(
