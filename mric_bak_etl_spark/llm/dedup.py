@@ -1254,10 +1254,12 @@ L29_STOP_CAP = 50
     "footer from emitting a quadratic pair set). Residual divergence "
     "window: a 64-bit collision between two sub-cap windows whose "
     "UNION of docs exceeds the cap — probability ~2^-44 per corpus at "
-    "1e6 windows, absent on the fixtures. The survivor set is pinned "
-    "(localCheckpoint; a persisted table on a cluster) so the "
-    "band-filter and both pair-join sides don't re-run the corpus "
-    "lineage (the g4 working-set lesson). Output: pair + shared-window "
+    "1e6 windows, absent on the fixtures. Surviving windows group to "
+    "ONE bucket row each (win, sorted distinct doc set) and pairs are "
+    "the bucket's JVM-side i<j expansion — no survivor-set self-join, "
+    "no pin needed (r13: the former localCheckpoint + frequency-band "
+    "join + two self-join exchanges fused into the one groupBy). "
+    "Output: pair + shared-window "
     "count, the evidence a span-level trimmer consumes. Form selection: "
     "pair output means l29 inherits l41's pair_volume — profile first; "
     "a heavy clone tail (pair_volume ≫ n_docs) calls for cluster "
@@ -1267,25 +1269,48 @@ L29_STOP_CAP = 50
     tags=("llm", "dedup"),
 )
 def exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    banded = _shared_window_survivors(spark, sf_dir)
-    a = banded.select(F.col("win").alias("w_a"), F.col("doc_id").alias("doc_a"))
-    b = banded.select(F.col("win").alias("w_b"), F.col("doc_id").alias("doc_b"))
-    pairs = a.join(
-        b, (F.col("w_a") == F.col("w_b")) & (F.col("doc_a") < F.col("doc_b"))
+    # Optimization r13 (guide §2.4 / §2.3): pairs come from the bucket
+    # table's i<j expansion (the _pairs_from_bands idiom) instead of a
+    # banded-table SELF-join — the old form shuffled the survivor set
+    # twice on the 40-char window key and needed the set pinned
+    # (localCheckpoint) to avoid re-running the corpus lineage per join
+    # side; the bucket form groups once and expands JVM-side, so the
+    # pin, the frequency-band join and both self-join exchanges all
+    # disappear. Pair multiset is identical: each window contributes
+    # exactly its C(k, 2) ordered pairs.
+    buckets = _shared_window_buckets(spark, sf_dir)
+    pair_structs = F.filter(
+        F.flatten(
+            F.transform(
+                "ids",
+                lambda a: F.transform(
+                    "ids",
+                    lambda b: F.struct(a.alias("doc_a"), b.alias("doc_b")),
+                ),
+            )
+        ),
+        lambda p: p["doc_a"] < p["doc_b"],
     )
     return (
-        pairs.groupBy("doc_a", "doc_b")
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_windows"))
         .orderBy("doc_a", "doc_b")
     )
 
 
-def _shared_window_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """l29/l32 shared core: the banded survivor set (doc_id, win) —
-    every window occurrence whose exact string appears in 2..L29_STOP_CAP
-    distinct documents. Pinned (localCheckpoint), since every consumer
-    reads it at least twice."""
-    from mric_bak_etl_spark.tables import materialize, spread
+def _shared_window_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l29/l32 shared core, bucket-grain (optimization r13): one row per
+    surviving window — (win, ids), where ids is the SORTED distinct
+    doc set of every window whose exact string appears in
+    2..L29_STOP_CAP documents. Replaces the former row-grain survivor
+    set + localCheckpoint + frequency-band join: collect_set performs
+    the (doc_id, win) dedup, size(ids) IS the distinct-doc frequency,
+    and both consumers (l29's pair expansion, l32's star edges) read
+    the buckets exactly once — no pin, one exchange fewer, and the
+    window strings shuffle once instead of three times."""
+    from mric_bak_etl_spark.tables import spread
 
     # spread(): documents.parquet is one input split at test scale — the
     # explode/hash pass must fan out to engine parallelism first.
@@ -1318,19 +1343,20 @@ def _shared_window_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("h")
     )
     # Pass 2: map-side re-derivation of the window strings for surviving
-    # hashes only (AQE broadcasts shared_h — it is duplication-sized).
-    kept = materialize(
+    # hashes only (AQE broadcasts shared_h — it is duplication-sized),
+    # then ONE groupBy(win) builds the buckets: collect_set dedups
+    # (doc_id, win) occurrences — the former separate distinct shuffle —
+    # and the [2, cap] frequency band is a size filter on the set.
+    return (
         exploded.select(
             "doc_id", F.expr(f"substring(text, p, {L29_WIN})").alias("win")
         )
         .withColumn("h", F.xxhash64("win"))
         .join(shared_h, "h")
-        .select("doc_id", "win")
-        .distinct()
+        .groupBy("win")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
+        .filter(F.size("ids").between(2, L29_STOP_CAP))
     )
-    freq = kept.groupBy("win").agg(F.count_distinct("doc_id").alias("nd"))
-    keep = freq.filter(F.col("nd").between(2, L29_STOP_CAP)).select("win")
-    return materialize(kept.join(keep, "win"))
 
 
 # Shared CTE text: the l29 survivor set, string-grain, for oracles that
@@ -1395,18 +1421,15 @@ _L29_SURVIVORS_ORACLE = f"""
     tags=("llm", "dedup", "iterative"),
 )
 def substring_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    banded = _shared_window_survivors(spark, sf_dir)
-    # Star edges via ONE window shuffle (min over partitionBy(win)),
-    # not groupBy(win)+join back — the join form shuffles the survivor
-    # set twice on the 40-char string key; the window form once.
+    buckets = _shared_window_buckets(spark, sf_dir)
+    # Star edges straight off the bucket table (optimization r13): the
+    # hub is ids[0] — the ids array is sorted — so the former
+    # min-over-window shuffle on the 40-char string key is a free array
+    # subscript; only the distinct over the (member, hub) edges remains.
     star = (
-        banded.select(
-            F.col("doc_id").alias("doc_a"),
-            F.min("doc_id")
-            .over(Window.partitionBy("win"))
-            .alias("doc_b"),
+        buckets.select(
+            F.explode("ids").alias("doc_a"),
+            F.element_at("ids", 1).alias("doc_b"),
         )
         .distinct()
     )
@@ -1736,23 +1759,22 @@ def incremental_banded_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus.select("doc_id", shingle_hashes().alias("sh"))
     )
     index = band_hashes(minhash_signatures(corpus_sh))
-    # Document-frequency cap, formulated so the INDEX never shuffles for
-    # the filter: the hot-bucket list (posting length > cap) is tiny by
-    # construction — it IS the boilerplate — so compute it with one
-    # narrow count aggregate (int64 keys, map-side combine) and remove
-    # it with a broadcast ANTI join. The inner-join-with-sane-buckets
-    # formulation would carry the whole corpus-sized index through a
-    # shuffle just to keep ~everything. At scale this runs once at
-    # index-BUILD time and the capped index is what gets persisted.
-    hot_buckets = (
+    # Document-frequency cap via ONE bucket-grain groupBy (optimization
+    # r13, guide §2.4 — build_crawl_index got the same shape): group the
+    # postings per (band, band_hash) once and re-explode only the
+    # under-cap buckets. The previous hot-list + broadcast-ANTI-join
+    # form evaluated the 16-slot minhash pass twice (once under the
+    # count subtree, once under the postings side) and paid an extra
+    # exchange + broadcast for the same posting set. At scale this runs
+    # once at index-BUILD time and the capped index is what persists.
+    capped_index = (
         index.groupBy("band", "band_hash")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
-        .filter(F.col("n_docs") > L40_MAX_POSTING)
-        .select("band", "band_hash")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter(F.size("ids") <= L40_MAX_POSTING)
+        .select(
+            F.explode("ids").alias("match_doc"), "band", "band_hash"
+        )
     )
-    capped_index = index.join(
-        F.broadcast(hot_buckets), ["band", "band_hash"], "left_anti"
-    ).select(F.col("doc_id").alias("match_doc"), "band", "band_hash")
 
     nb = (
         d.filter(F.col("doc_id") % 10 == 4)
@@ -1936,15 +1958,17 @@ def portable_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tokenize+shingle pass per side serves signatures AND the verify.
     corpus_sh = materialize(corpus.select("doc_id", shingles().alias("sh")))
     index = portable_band_hashes(portable_minhash_signatures(corpus_sh))
-    hot_buckets = (
+    # Same one-groupBy capped-index shape as l40/build_crawl_index
+    # (optimization r13, guide §2.4): one signature pass, no anti-join;
+    # identical posting set, so the DuckDB rebuild oracle is unchanged.
+    capped_index = (
         index.groupBy("band", "band_hash")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
-        .filter(F.col("n_docs") > L40_MAX_POSTING)
-        .select("band", "band_hash")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter(F.size("ids") <= L40_MAX_POSTING)
+        .select(
+            F.explode("ids").alias("match_doc"), "band", "band_hash"
+        )
     )
-    capped_index = index.join(
-        F.broadcast(hot_buckets), ["band", "band_hash"], "left_anti"
-    ).select(F.col("doc_id").alias("match_doc"), "band", "band_hash")
 
     nb = (
         d.filter(F.col("doc_id") % 10 == 4)
@@ -2169,12 +2193,26 @@ def build_crawl_index(
         portable_minhash_signatures(corpus_sh, n_hashes=n_hashes),
         n_bands=n_bands,
     )
-    counts = index_bands.groupBy("band", "band_hash").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n")
+    # Optimization r13 (guide §2.4): ONE bucket-grain groupBy yields both
+    # artifacts. The previous form derived the hot list from a count
+    # aggregate and removed it with a broadcast anti-join — which
+    # evaluated the full 16-md5 signature pass over the corpus TWICE
+    # (once under the counts subtree, once under the postings side) and
+    # paid an extra exchange + broadcast. Grouping the postings per
+    # bucket once, the capped table is the under-cap buckets re-exploded
+    # and the count table is a narrow projection of the same groups —
+    # identical sets (postings are set-valued per bucket; collect_list
+    # order never escapes the explode), one signature pass, one shuffle,
+    # no anti-join. At 100 TB this halves the dominant index-build scan.
+    buckets = index_bands.groupBy("band", "band_hash").agg(
+        F.collect_list("doc_id").alias("ids"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
     )
-    hot = counts.filter(F.col("n") > cap).select("band", "band_hash")
-    capped_index = index_bands.join(
-        F.broadcast(hot), ["band", "band_hash"], "left_anti"
+    counts = buckets.select("band", "band_hash", "n")
+    capped_index = (
+        buckets.filter(F.col("n") <= cap)
+        .select("band", "band_hash", F.explode("ids").alias("doc_id"))
+        .select("doc_id", "band", "band_hash")
     )
     return corpus_h, capped_index, counts
 
@@ -2283,16 +2321,15 @@ def crawl_flags(
     # Near-dup probe: only s3 survivors probe the index (why band docs
     # the earlier gates already dropped). Portable family end to end.
     # surv_sh is batch-sized (bounded by the increment contract) →
-    # materialize; corpus_sh is CORPUS-sized — the fact stream — so it
-    # is recomputed by its two consumers instead of pinned executor-
-    # local (materialize()'s own rule; pinning it measured as runaway
-    # storage pressure across repeated runs at the ×10 corpus).
+    # materialize; the corpus stays un-pinned (materialize()'s own rule
+    # — pinning corpus-sized state measured as runaway storage pressure
+    # across repeated runs at the ×10 corpus) and its shingles are now
+    # computed only for candidate docs (prune below).
     surv_sh = materialize(
         f3.filter("s3").select(
             F.col("new_id").alias("doc_id"), shingles().alias("sh")
         )
     )
-    corpus_sh = corpus.select("doc_id", shingles().alias("sh"))
     probe_bands = portable_band_hashes(
         portable_minhash_signatures(surv_sh, n_hashes=n_hashes),
         n_bands=n_bands,
@@ -2301,12 +2338,31 @@ def crawl_flags(
         _, capped_index, _ = build_crawl_index(
             corpus, n_hashes=n_hashes, n_bands=n_bands, cap=cap
         )
-    cands = (
+    # cands is candidate-sized (bounded by cap × |batch bands|) and now
+    # has TWO consumers (the verify's melted join and the corpus-side
+    # prune below) → materialize, so the band probe — and on the inline
+    # face the whole index build under it — runs once, not twice.
+    cands = materialize(
         F.broadcast(probe_bands.withColumnRenamed("doc_id", "new_id"))
         .join(capped_index, ["band", "band_hash"])
         .select(F.col("doc_id").alias("doc_a"), F.col("new_id").alias("doc_b"))
         .distinct()
     )
+    # Optimization r13 (guide §8: decide on proxies, compute heavy
+    # per-row work only where needed): the Jaccard verify only ever
+    # reads shingles of docs that appear in a candidate pair, but the
+    # old plan shingled the ENTIRE corpus and let the broadcast join
+    # discard non-candidates afterwards. Prune the corpus to candidate
+    # doc_as with a broadcast semi-join BEFORE the shingle projection —
+    # the corpus is still scanned once (text + id), but the
+    # tokenize+shingle work runs on candidate docs only. Identical
+    # verify output: exact_jaccard's inner join already dropped every
+    # non-candidate row.
+    cand_corpus = corpus.join(
+        F.broadcast(cands.select(F.col("doc_a").alias("doc_id")).distinct()),
+        "doc_id",
+    )
+    corpus_sh = cand_corpus.select("doc_id", shingles().alias("sh"))
     # Jaccard verify on a TAGGED id space (ADVICE r12): the corpus
     # shingles (keyed by doc_id) and the survivor shingles (keyed by
     # new_id) travel through exact_jaccard as ONE frame, and the

@@ -901,8 +901,56 @@ def portable_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         F.expr(f"greatest(length(text) div {_M2B_DIM}, 1)").alias("step"),
     )
-    return stepped.select(
-        *[F.expr(e).alias(n) for n, e in _m2b_select("spark").items()]
+    # Optimization r13 (guide §4.1/§2.3 — Catalyst HOF lambdas get no
+    # common-subexpression elimination): the shared _m2b_select("spark")
+    # form re-ran split()+ascii() inside every one of the 33 per-slice
+    # folds (~2x|text| single-char string allocations per row). Compute
+    # the byte-value array ONCE in its own projection and fold each
+    # feature over slice(bytes, ...) of that column instead. Values are
+    # bit-identical: slice(bytes, p, n) holds exactly the ascii codes of
+    # substring(text, p, n) (same positions; a trailing empty split
+    # element can only add ascii('')=0 to the LAST slice's sum), the
+    # denominators still come from substring length, and the duck-side
+    # formula — the oracle — is untouched. Measured: 1.69 s -> see
+    # OPTIMIZATION_r13.md.
+    withbytes = stepped.select(
+        "doc_id",
+        "text",
+        "step",
+        F.expr(
+            "transform(split(text, ''), c -> CAST(ascii(c) AS BIGINT))"
+        ).alias("bytes"),
+    )
+
+    def slice_sum(start: str, n: str) -> str:
+        return (
+            f"aggregate(slice(bytes, {start}, {n}),"
+            " CAST(0 AS BIGINT), (a, x) -> a + x)"
+        )
+
+    features = []
+    for i in range(_M2B_DIM):
+        s = f"substring(text, {i} * step + 1, step)"
+        features.append(
+            f"(CASE WHEN length({s}) = 0 THEN CAST(0.0 AS DOUBLE)"
+            f" ELSE round(CAST({slice_sum(f'{i} * step + 1', 'step')} AS DOUBLE)"
+            f" / length({s}) / 255.0, 6) END)"
+        )
+    sel = {
+        "media_id": "doc_id",
+        "media_type": (
+            "CASE WHEN doc_id % 3 = 0 THEN 'image'"
+            " WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END"
+        ),
+        "n_bytes": "CAST(length(text) AS BIGINT)",
+        "mean_byte": (
+            f"round(CAST({slice_sum('1', 'length(text)')} AS DOUBLE)"
+            " / greatest(length(text), 1) / 255.0, 6)"
+        ),
+        "feature_sum": f"round({' + '.join(features)}, 6)",
+    }
+    return withbytes.select(
+        *[F.expr(e).alias(n) for n, e in sel.items()]
     ).orderBy("media_id")
 
 

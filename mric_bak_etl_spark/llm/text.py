@@ -1400,7 +1400,19 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    best_rows = []
+    # Optimization r13 (guide §1.2: remove redundant jobs, §5: persist
+    # only what lineage needs): the loop used to pay 3 Spark jobs per
+    # round — the 1-row argmax collect, a localCheckpoint of the folded
+    # word table, and a RE-RUN of the round's whole pair aggregation
+    # when the returned union plan materialized. The fold chain over the
+    # ONE pinned 150-row word table is a trivial narrow expression, so
+    # per-round checkpoints buy nothing (lineage is BPE_ROUNDS selects
+    # deep, linear); and the argmax values are already on the driver
+    # from the round probe, so the merge table is emitted as literal
+    # rows instead of re-aggregating per round at materialize time.
+    # Values are bit-identical; jobs drop from ~18 to ~7 per call
+    # (measured: l26b 3.33 s -> see OPTIMIZATION_r13.md).
+    best_rows: list[tuple[int, str, str, int]] = []
     for r in range(1, BPE_ROUNDS + 1):
         pairs = (
             words.select(F.split("syms", " ").alias("s"), "freq")
@@ -1419,24 +1431,15 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         best_df = pairs.orderBy(F.col("c").desc(), "a", "b").limit(1)
         best = best_df.collect()[0]  # 1-row round probe (g1/l19 pattern)
-        best_rows.append(
-            best_df.select(
-                F.lit(r).cast("int").alias("rank"),
-                "a",
-                "b",
-                F.col("c").cast("bigint").alias("pair_freq"),
-            )
-        )
+        best_rows.append((r, best["a"], best["b"], int(best["c"])))
         fold = _merge_fold_spark(best["a"], best["b"])
-        words = materialize(
-            words.select(F.split("syms", " ").alias("s"), "word", "freq")
-            .select("word", "freq", F.expr(fold).alias("syms"))
-        )
+        words = words.select(
+            F.split("syms", " ").alias("s"), "word", "freq"
+        ).select("word", "freq", F.expr(fold).alias("syms"))
 
-    out = best_rows[0]
-    for b_df in best_rows[1:]:
-        out = out.unionByName(b_df)
-    return out.orderBy("rank")
+    return spark.createDataFrame(
+        best_rows, "rank int, a string, b string, pair_freq bigint"
+    ).orderBy("rank")
 
 
 @register(

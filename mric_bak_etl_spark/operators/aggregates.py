@@ -1398,22 +1398,32 @@ def moment_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     #   multiplies per row instead of 6 — Spark decimals beyond 18
     #   digits are JVM BigDecimal with no int128 fast path, so every
     #   shared product is ~20% of this plan's wall).
+    # Optimization r13 (guide §2.3 — narrower types, provably safe): the
+    # cents column was DECIMAL(38,0), which UnsafeRow stores as a 16-byte
+    # BigDecimal and every product re-enters the slow wide path. Declared
+    # at its TRUE width instead — cents ≤ ~1.1e7 (extendedprice ≤ ~110k),
+    # so DECIMAL(8,0) — the products take the minimal lattice: c2 =
+    # DECIMAL(17,0) (≤ 1.2e14, long-backed compact), c3 = c2·c DECIMAL(26,0)
+    # (≤ 1.3e21), c4 = c2·c2 DECIMAL(35,0) (≤ 1.5e28). Sum headroom at
+    # sf100 (6e8 rows): sum(c3) ≤ 8e29 < 1e36, sum(c4) ≤ 9e36 < 1e38 —
+    # same guarantee as before, exact integer values identical, only the
+    # storage/arithmetic width shrinks (and with it the shuffle row).
     ints = li.select(
         "l_returnflag",
         F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("cb"),
-        F.expr("CAST(round(l_extendedprice * 100) AS DECIMAL(38,0))").alias(
+        F.expr("CAST(round(l_extendedprice * 100) AS DECIMAL(8,0))").alias(
             "c"
         ),
         F.expr("CAST(round(l_quantity) AS BIGINT)").alias("qb"),
     )
     prods = ints.select(
-        "l_returnflag", "cb", "qb", F.expr("c * c").alias("c2")
+        "l_returnflag", "cb", "qb", "c", F.expr("c * c").alias("c2")
     ).select(
         "l_returnflag",
         "cb",
         "qb",
         "c2",
-        F.expr("c2 * cb").alias("c3"),
+        F.expr("c2 * c").alias("c3"),
         F.expr("c2 * c2").alias("c4"),
     )
     sums = prods.groupBy("l_returnflag").agg(
