@@ -1510,27 +1510,29 @@ def incremental_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
     )
     corpus_h = d.select(F.md5("text").alias("h")).distinct()
-    newbatch = (
-        d.filter(F.col("doc_id") % 10 == 3)
-        .select((F.col("doc_id") + 2_000_000).alias("new_id"), "text")
-        .unionByName(
-            d.filter(F.col("doc_id") % 10 == 7).select(
-                (F.col("doc_id") + 3_000_000).alias("new_id"),
-                F.concat("text", F.lit(" rev")).alias("text"),
-            )
+    # One CASE-array + explode instead of four filter+union arms — one
+    # corpus pass, identical rows (optimization r13, the _l42_batch
+    # shape).
+    mod = F.col("doc_id") % 10
+
+    def entry(shift: int, text: F.Column) -> F.Column:
+        return F.struct(
+            (F.col("doc_id") + shift).alias("new_id"), text.alias("text")
         )
-        .unionByName(
-            d.filter(F.col("doc_id") % 10 == 7).select(
-                (F.col("doc_id") + 4_000_000).alias("new_id"),
-                F.concat("text", F.lit(" rev")).alias("text"),
-            )
+
+    arms = (
+        F.when(mod == 3, F.array(entry(2_000_000, F.col("text"))))
+        .when(
+            mod == 7,
+            F.array(
+                entry(3_000_000, F.concat("text", F.lit(" rev"))),
+                entry(4_000_000, F.concat("text", F.lit(" rev"))),
+            ),
         )
-        .unionByName(
-            d.filter(F.col("doc_id") % 10 == 5).select(
-                (F.col("doc_id") + 5_000_000).alias("new_id"),
-                F.concat("text", F.lit(" v2")).alias("text"),
-            )
-        )
+        .when(mod == 5, F.array(entry(5_000_000, F.concat("text", F.lit(" v2")))))
+    )
+    newbatch = d.select(F.explode(arms).alias("e")).select(
+        "e.new_id", "e.text"
     )
     hashed = newbatch.select("new_id", F.md5("text").alias("h"))
     marked = hashed.join(
@@ -2209,10 +2211,12 @@ def build_crawl_index(
         F.count(F.lit(1)).cast("bigint").alias("n"),
     )
     counts = buckets.select("band", "band_hash", "n")
-    capped_index = (
-        buckets.filter(F.col("n") <= cap)
-        .select("band", "band_hash", F.explode("ids").alias("doc_id"))
-        .select("doc_id", "band", "band_hash")
+    # Column order (band, band_hash, doc_id) matches the r12 artifact
+    # layout (the pre-r13 USING-join put keys first); the l42c fold's
+    # merged bands and a from-scratch rebuild must stay positionally
+    # identical so persisted versions compare bit-for-bit.
+    capped_index = buckets.filter(F.col("n") <= cap).select(
+        "band", "band_hash", F.explode("ids").alias("doc_id")
     )
     return corpus_h, capped_index, counts
 
@@ -2320,15 +2324,14 @@ def crawl_flags(
     )
     # Near-dup probe: only s3 survivors probe the index (why band docs
     # the earlier gates already dropped). Portable family end to end.
-    # surv_sh is batch-sized (bounded by the increment contract) →
-    # materialize; the corpus stays un-pinned (materialize()'s own rule
-    # — pinning corpus-sized state measured as runaway storage pressure
-    # across repeated runs at the ×10 corpus) and its shingles are now
-    # computed only for candidate docs (prune below).
-    surv_sh = materialize(
-        f3.filter("s3").select(
-            F.col("new_id").alias("doc_id"), shingles().alias("sh")
-        )
+    # surv_sh derives from the PINNED f3 by narrow ops only, so its two
+    # consumers (the band probe under the cands pin, the tagged verify
+    # union) recompute it instead of paying a third checkpoint job —
+    # batch-sized shingling, trivial next to a blocking job (r13; the
+    # corpus stays un-pinned per materialize()'s own rule, and its
+    # shingles are computed only for candidate docs — prune below).
+    surv_sh = f3.filter("s3").select(
+        F.col("new_id").alias("doc_id"), shingles().alias("sh")
     )
     probe_bands = portable_band_hashes(
         portable_minhash_signatures(surv_sh, n_hashes=n_hashes),
@@ -2419,48 +2422,61 @@ def _l42_batch(d: DataFrame) -> DataFrame:
     )
     slot = F.concat(F.lit("/doc-"), (F.col("doc_id") % 40).cast("string"))
 
-    def arm(mod: int, shift: int, text: F.Column, tail: F.Column) -> DataFrame:
-        return d.filter(F.col("doc_id") % 10 == mod).select(
+    # Optimization r13 (guide §2.3 — one pass instead of six): the six
+    # filter+union arms each re-read the spread exchange; emitting every
+    # doc's arm rows as ONE CASE array + explode scans the corpus once.
+    # Row set is identical arm for arm.
+    def entry(shift: int, text: F.Column, tail: F.Column) -> F.Column:
+        return F.struct(
             (F.col("doc_id") + shift).alias("new_id"),
             text.alias("text"),
             url(tail).alias("curl"),
         )
 
-    return (
-        arm(3, 2_000_000, F.col("text"), slot)
-        .unionByName(
-            arm(7, 3_000_000, F.concat("text", F.lit(" rev")), slot)
-        )
-        .unionByName(
-            arm(
-                7,
-                4_000_000,
-                F.concat("text", F.lit(" rev")),
-                F.concat(slot, F.lit("-alt")),
-            )
-        )
-        .unionByName(
-            arm(
-                1,
-                5_000_000,
-                F.concat(
-                    F.lit("fresh crawl "),
-                    F.col("doc_id").cast("string"),
-                    F.lit(" carries entirely new token material "),
-                    (F.col("doc_id") * 7).cast("string"),
+    mod = F.col("doc_id") % 10
+    arms = (
+        F.when(mod == 3, F.array(entry(2_000_000, F.col("text"), slot)))
+        .when(
+            mod == 7,
+            F.array(
+                entry(3_000_000, F.concat("text", F.lit(" rev")), slot),
+                entry(
+                    4_000_000,
+                    F.concat("text", F.lit(" rev")),
+                    F.concat(slot, F.lit("-alt")),
                 ),
-                F.concat(F.lit("/fresh-"), F.col("doc_id").cast("string")),
-            )
+            ),
         )
-        .unionByName(
-            arm(
-                9,
-                6_000_000,
-                F.concat("text", F.lit(" resend with extra tail")),
-                slot,
-            )
+        .when(
+            mod == 1,
+            F.array(
+                entry(
+                    5_000_000,
+                    F.concat(
+                        F.lit("fresh crawl "),
+                        F.col("doc_id").cast("string"),
+                        F.lit(" carries entirely new token material "),
+                        (F.col("doc_id") * 7).cast("string"),
+                    ),
+                    F.concat(F.lit("/fresh-"), F.col("doc_id").cast("string")),
+                )
+            ),
         )
-        .unionByName(arm(9, 6_500_000, F.concat("text", F.lit(" v0")), slot))
+        .when(
+            mod == 9,
+            F.array(
+                entry(
+                    6_000_000,
+                    F.concat("text", F.lit(" resend with extra tail")),
+                    slot,
+                ),
+                entry(6_500_000, F.concat("text", F.lit(" v0")), slot),
+            ),
+        )
+        # no otherwise: non-arm docs yield NULL, which explode() drops
+    )
+    return d.select(F.explode(arms).alias("e")).select(
+        "e.new_id", "e.text", "e.curl"
     )
 
 
