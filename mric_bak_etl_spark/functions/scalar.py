@@ -297,7 +297,7 @@ def json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("sql",),
 )
 def sql_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, only=("lineitem", "part"))
     return spark.sql(
         """
         SELECT l_returnflag, l_linestatus,
@@ -709,7 +709,7 @@ _REACHABILITY_SQL = """
     tags=("sql", "recursive"),
 )
 def recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, only=("events",))
     return spark.sql(_REACHABILITY_SQL.format(t="STRING"))
 
 
@@ -989,7 +989,7 @@ def number_format(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("sql",),
 )
 def session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, only=("orders",))
     spark.sql("DECLARE OR REPLACE VARIABLE price_floor DOUBLE DEFAULT 0.0")
     spark.sql("SET VAR price_floor = 250000.0")
     return spark.sql("""
@@ -1017,7 +1017,7 @@ def session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("sql",),
 )
 def parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, only=("orders",))
     return spark.sql(
         """
         SELECT o_orderstatus, count(*) AS n_orders,
@@ -1048,7 +1048,7 @@ def parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("functions", "sql"),
 )
 def collation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, only=("embeddings", "orders"))
     return spark.sql("""
         SELECT count(*) AS n_ci_match,
                sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
@@ -1226,7 +1226,7 @@ def regexp_family(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mric_bak_etl_spark.tables import register_views
 
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, only=("lineitem",))
     spark.sql(
         "CREATE OR REPLACE TEMPORARY FUNCTION disc_price(p DOUBLE, d DOUBLE) "
         "RETURNS DOUBLE RETURN p * (1 - d)"
@@ -1274,7 +1274,7 @@ def sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mric_bak_etl_spark.tables import register_views
 
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, only=("lineitem", "orders"))
     return spark.sql(
         """
         FROM lineitem
@@ -1376,7 +1376,7 @@ def csv_expressions(spark: SparkSession, sf_dir: str) -> DataFrame:
 def exec_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mric_bak_etl_spark.tables import register_views
 
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, only=("orders",))
     spark.sql("DECLARE OR REPLACE VARIABLE target_pri STRING")
     spark.sql("SET VAR target_pri = '1-URGENT'")
     return spark.sql(
@@ -1430,7 +1430,7 @@ def exec_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mric_bak_etl_spark.tables import register_views
 
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, only=("orders",))
     return spark.sql(
         """
         BEGIN
@@ -1568,7 +1568,7 @@ def sql_ddl_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
     import uuid
 
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, only=("orders",))
     tbl = f"q10_orders_{uuid.uuid4().hex[:8]}"
     loc = tempfile.mkdtemp(prefix="q10_tbl_")
     spark.sql(
@@ -1636,7 +1636,7 @@ def catalog_introspection(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
     import uuid
 
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, only=("events",))
     tag = uuid.uuid4().hex[:8]
     facts, lookup = f"q11_facts_{tag}", f"q11_lookup_{tag}"
     loc1 = tempfile.mkdtemp(prefix="q11_facts_")

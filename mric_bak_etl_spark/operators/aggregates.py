@@ -880,7 +880,7 @@ def histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 def bitmap_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mric_bak_etl_spark.tables import register_views
 
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, only=("orders",))
     # SQL form: the bitmap_* family is SQL-only surface (no DataFrame
     # helpers); two-level agg — bucket-grain bitmaps, then an exact sum.
     return spark.sql("""
@@ -916,7 +916,7 @@ def bitmap_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 def listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mric_bak_etl_spark.tables import register_views
 
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, only=("orders",))
     return spark.sql("""
         SELECT o_orderpriority,
                listagg(CAST(o_orderkey AS STRING), ',')

@@ -45,7 +45,7 @@ from mric_bak_etl_spark.tables import register_views
     tags=("subquery",),
 )
 def exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, only=("lineitem", "orders"))
     return spark.sql("""
         SELECT o_orderpriority, count(*) AS n_orders
         FROM orders o
@@ -80,7 +80,7 @@ def exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("subquery",),
 )
 def scalar_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, only=("customer", "lineitem", "orders"))
     return spark.sql("""
         SELECT CAST(count(*) AS BIGINT)            AS n_small_lines,
                round(sum(l_extendedprice), 4)      AS total_price
@@ -108,7 +108,7 @@ def scalar_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("subquery",),
 )
 def not_exists_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, only=("customer", "lineitem", "orders", "part"))
     return spark.sql("""
         SELECT CAST(count(*) AS BIGINT)  AS n_customers,
                round(sum(c_acctbal), 4)  AS total_balance
@@ -135,7 +135,7 @@ def not_exists_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("subquery",),
 )
 def in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, only=("customer", "lineitem", "nation", "part"))
     return spark.sql("""
         SELECT p_brand, CAST(count(*) AS BIGINT) AS n_parts
         FROM part
@@ -167,7 +167,7 @@ def in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("subquery",),
 )
 def lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, only=("customer", "nation", "orders"))
     return spark.sql("""
         SELECT n.n_name, top.c_name, top.c_acctbal
         FROM nation n,
@@ -206,7 +206,7 @@ def lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("subquery",),
 )
 def not_in_null_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, only=("customer", "orders", "part"))
     return spark.sql(
         """
         WITH keys AS (
@@ -252,7 +252,7 @@ def not_in_null_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("subqueries", "quantified"),
 )
 def any_all(spark: SparkSession, sf_dir: str) -> DataFrame:
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, only=("orders", "part"))
     return spark.sql("""
         SELECT
           CAST((SELECT count(*) FROM orders

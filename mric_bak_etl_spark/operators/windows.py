@@ -177,7 +177,7 @@ def frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 def range_interval_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mric_bak_etl_spark.operators.subqueries import register_views
 
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, only=("events",))
     # SQL form: the DataFrame API spells interval ranges awkwardly
     # (rangeBetween takes longs); windowed interval frames are exactly
     # what the SQL entry point is for.

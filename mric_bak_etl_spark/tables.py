@@ -112,9 +112,19 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
 
 
-def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    """Register every table as a temp view (SQL entry point, SURVEY §2B Q1)."""
-    dfs = load_all(spark, sf_dir)
+def register_views(
+    spark: SparkSession, sf_dir: str, only: tuple[str, ...] | None = None
+) -> dict[str, DataFrame]:
+    """Register tables as temp views (SQL entry point, SURVEY §2B Q1).
+
+    ``only`` names the tables the caller's SQL references; a 2-table query
+    then pays 2 parquet-footer reads + registrations instead of 10
+    (measured ~0.75 s of fixed driver-side cost per full registration at
+    sf0.1 — and at 100 TB each needless table is a catalog/file-index
+    listing). Default registers the full schema.
+    """
+    names = TABLE_NAMES if only is None else tuple(only)
+    dfs = {name: load_table(spark, sf_dir, name) for name in names}
     for name, df in dfs.items():
         df.createOrReplaceTempView(name)
     return dfs
