@@ -199,18 +199,22 @@ def large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
+    # One lineitem pass (optimization r13, guide §1.2/§2.4): the per-order
+    # quantity aggregate already IS the query's total_qty — the former
+    # semi-join + re-scan + re-aggregate of lineitem recomputed the same
+    # sum a second time. Joining the (l_orderkey, q) aggregate straight
+    # to orders halves the dominant scan and drops a corpus-grain
+    # groupBy; orders is unique per key, so the row set is identical.
     big = (
         li.groupBy("l_orderkey")
         .agg(F.sum("l_quantity").alias("q"))
         .filter(F.col("q") > 200)
-        .select("l_orderkey")
     )
     return (
-        li.join(big, "l_orderkey", "left_semi")
-        .join(o, li.l_orderkey == o.o_orderkey)
+        big.join(o, big.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(F.round(F.sum("l_quantity"), 4).alias("total_qty"))
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                "o_totalprice", F.round("q", 4).alias("total_qty"))
         .select(
             "c_name",
             "c_custkey",

@@ -41,9 +41,29 @@ TABLE_NAMES: tuple[str, ...] = (
 DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
 
+# Lazy-plan cache keyed by (session, table path): spark.read.parquet
+# re-infers the file schema on the DRIVER every call (~70 ms of footer
+# reads locally; a catalog/file-index listing at scale), and a catalog
+# query calls load_table one-to-three times per invocation. The cached
+# object is an UNEXECUTED logical plan — no rows, no results; every
+# action on it still scans the parquet — so this is the in-process
+# analogue of a metastore schema, not a result cache. Keyed by
+# applicationId so a new/hostile driver session never sees another
+# session's plans; the testdata dirs are immutable for a process
+# lifetime (every writer in the catalog targets scratch dirs).
+_PLAN_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table, normalizing types for cross-engine parity."""
     ensure_runtime_confs(spark)
+    key = (
+        spark.sparkContext.applicationId,
+        os.path.abspath(os.path.join(sf_dir, f"{name}.parquet")),
+    )
+    cached = _PLAN_CACHE.get(key)
+    if cached is not None:
+        return cached
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # ns since epoch → µs → TIMESTAMP_NTZ (matches DuckDB ts::TIMESTAMP).
@@ -52,6 +72,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = df.withColumn(
             "ts", F.expr("timestamp_micros(ts div 1000)").cast("timestamp_ntz")
         )
+    _PLAN_CACHE[key] = df
     return df
 
 

@@ -872,14 +872,18 @@ def test_incremental_dedup_plans_are_hash_joins(catalog_plan):
     # that dies at 100 TB.
     plan = catalog_plan("l39_incremental_jaccard_neardup")
     assert plan.count("BroadcastHashJoin Inner BuildLeft") >= 2, plan[:400]
-    # l40 specifically: the capped band probe must feed the exact verify
-    # — the hot-bucket cap is a broadcast ANTI join (the index never
-    # shuffles for the filter), the probe broadcasts onto the index,
-    # and the candidate set reaches the shingle tables via broadcast.
+    # l40 specifically: the capped band probe must feed the exact verify.
+    # r13 optimization: the hot-bucket cap is no longer a count-aggregate
+    # + broadcast ANTI join (two signature passes over the corpus) but a
+    # single bucket-grain aggregate whose under-cap groups re-explode —
+    # so the plan must show the bucket HashAggregate and NO anti join,
+    # and the index still never shuffles for the filter (the only joins
+    # are broadcast). The probe/candidate broadcasts are unchanged.
     plan = catalog_plan("l40_incremental_banded_neardup")
     assert "band_hash" in plan, plan[:400]
     assert "BroadcastHashJoin" in plan, plan[:400]
-    assert "LeftAnti" in plan, plan[:400]
+    assert "LeftAnti" not in plan, plan[:400]
+    assert "SortMergeJoin" not in plan, plan[:400]
 
 
 def test_python_round_only_in_l33_clamp():
