@@ -89,14 +89,23 @@ def scratch_dir(prefix: str) -> str:
 
 
 def default_parallelism() -> int:
-    """Shuffle-partition default: one per local core (driver-local testing).
+    """Shuffle-partition default: one per ENGINE core (driver-local testing).
 
-    On a cluster, override via SPARK_GRAFT_SHUFFLE_PARTITIONS or session conf
-    to ~2-3× total executor cores so AQE has room to coalesce downward.
+    Honors the bench contract's core count ($SPARK_GRAFT_CPUS → master
+    local[N]) ahead of os.cpu_count(): the driver also benches at a LOWER
+    core count to measure scaling, and planning cpu_count() partitions on
+    a local[8] session schedules 4 tasks per core of pure overhead on
+    every exchange/spread (r13 optimization; AQE coalesces reducers but
+    not the round-robin spread before CPU-dense stages). On a cluster,
+    override via SPARK_GRAFT_SHUFFLE_PARTITIONS or session conf to
+    ~2-3× total executor cores so AQE has room to coalesce downward.
     """
     env = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
     if env:
         return int(env)
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    if cpus and cpus.isdigit() and int(cpus) > 0:
+        return int(cpus)
     return os.cpu_count() or 8
 
 
