@@ -320,13 +320,23 @@ def compose_line(
     # Rung 3: the queries map ITSELF no longer fits (the headline set
     # crossed 60 entries in r12 — the k=0 form overflowed and the old
     # chain fell to the headline-only last resort, dropping the map the
-    # whole ladder exists to protect). Keep the SLOWEST entries — the
-    # ones a reader adjudicates by — and carry the shed count; the full
-    # map is always in bench_detail.json.
+    # whole ladder exists to protect). The COMMON23 members are
+    # UNSHEDDABLE (r13 PERF lesson: slowest-only shedding made improved
+    # fast queries read as "dropped_from_bench" in the cross-round
+    # comparison — the frozen comparable set must always be readable
+    # from the line itself); the remaining slots keep the SLOWEST
+    # non-c23 entries — the ones a reader adjudicates by — and the shed
+    # count stays visible; the full map is always in bench_detail.json.
     for q in (50, 40, 30, 20):
         if len(line) <= budget:
             break
-        slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:q])
+        protected = {n: t for n, t in timings.items() if n in COMMON23}
+        rest = sorted(
+            (kv for kv in timings.items() if kv[0] not in protected),
+            key=lambda kv: -kv[1],
+        )
+        slowest = dict(rest[: max(q - len(protected), 0)])
+        slowest.update(protected)
         line = json.dumps(
             {
                 "metric": "headline_queries_total_runtime",

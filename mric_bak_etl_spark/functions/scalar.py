@@ -208,7 +208,6 @@ def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.array_max(as_double), 4).alias("vec_max"),
             F.size(F.filter(F.col("embedding"), lambda x: x > 0)).alias("n_positive"),
         )
-        .orderBy("vec_id")
     )
 
 

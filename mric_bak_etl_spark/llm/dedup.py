@@ -29,7 +29,7 @@ with > N members as boilerplate) is the standard mitigation.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mric_bak_etl_spark.catalog import register
@@ -177,7 +177,6 @@ def duplication_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "CAST(k * (k - 1) DIV 2 * n_clusters AS BIGINT)"
             ).alias("pair_volume"),
         )
-        .orderBy("cluster_size")
     )
 
 
@@ -315,11 +314,23 @@ def lsh_candidate_pairs(
 def _pairs_from_bands(bands: DataFrame, max_bucket: int) -> DataFrame:
     """(band, band_hash)-bucketed pair expansion shared by the xxhash64 LSH
     (l2) and the portable md5 LSH (l2f) — band_hash may be int64 or string;
-    the grouping and i<j expansion are type-agnostic."""
+    the grouping and i<j expansion are type-agnostic.
+
+    The bucket-size gate runs as a WINDOW count over the same partitioning
+    BEFORE collect_list (optimization r14, guide §2.5/§5): collecting a
+    bucket's postings first and size-filtering after materializes the very
+    mega-buckets the cap exists to drop as single unspillable aggregation
+    buffers (a viral band at 100 TB = one task's OOM). The window count
+    rides the identical exchange (same key), its row buffer spills, and
+    only under-cap rows ever reach the collect. (doc_id, band) rows are
+    unique per doc, so count(*) IS the posting count.
+    """
+    wb = Window.partitionBy("band", "band_hash")
     buckets = (
-        bands.groupBy("band", "band_hash")
+        bands.withColumn("n", F.count(F.lit(1)).over(wb))
+        .filter((F.col("n") > 1) & (F.col("n") <= max_bucket))
+        .groupBy("band", "band_hash")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-        .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
     )
     pair_structs = F.filter(
         F.flatten(
@@ -415,7 +426,6 @@ def minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         exact_jaccard(sh, pairs)
         .filter(F.col("jaccard") >= 0.5)
-        .orderBy("doc_a", "doc_b")
     )
 
 
@@ -1296,7 +1306,6 @@ def exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p.doc_a", "p.doc_b")
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_windows"))
-        .orderBy("doc_a", "doc_b")
     )
 
 
@@ -1346,16 +1355,26 @@ def _shared_window_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hashes only (AQE broadcasts shared_h — it is duplication-sized),
     # then ONE groupBy(win) builds the buckets: collect_set dedups
     # (doc_id, win) occurrences — the former separate distinct shuffle —
-    # and the [2, cap] frequency band is a size filter on the set.
+    # and the [2, cap] frequency band gates BEFORE the set is collected
+    # (optimization r14, guide §2.5/§5): pass 1 only proves >= 2 distinct
+    # docs, so a boilerplate window in 10^6 docs would otherwise collect
+    # its whole doc set into one unspillable aggregation buffer just to
+    # be size-filtered away. dense_rank over (win, doc_id) + max over the
+    # same partition is the exact distinct-doc count ((doc_id, win) can
+    # repeat within a doc — count(*) would over-count); both windows and
+    # the collect ride ONE exchange, and the window row buffers spill.
+    ww = Window.partitionBy("win")
     return (
         exploded.select(
             "doc_id", F.expr(f"substring(text, p, {L29_WIN})").alias("win")
         )
         .withColumn("h", F.xxhash64("win"))
         .join(shared_h, "h")
+        .withColumn("dr", F.dense_rank().over(ww.orderBy("doc_id")))
+        .withColumn("nd", F.max("dr").over(ww))
+        .filter(F.col("nd").between(2, L29_STOP_CAP))
         .groupBy("win")
         .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
-        .filter(F.size("ids").between(2, L29_STOP_CAP))
     )
 
 
@@ -1555,7 +1574,6 @@ def incremental_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("new_id").alias("min_doc_id"),
             F.max("new_id").alias("max_doc_id"),
         )
-        .orderBy("status")
     )
 
 
@@ -1761,21 +1779,22 @@ def incremental_banded_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus.select("doc_id", shingle_hashes().alias("sh"))
     )
     index = band_hashes(minhash_signatures(corpus_sh))
-    # Document-frequency cap via ONE bucket-grain groupBy (optimization
-    # r13, guide §2.4 — build_crawl_index got the same shape): group the
-    # postings per (band, band_hash) once and re-explode only the
-    # under-cap buckets. The previous hot-list + broadcast-ANTI-join
-    # form evaluated the 16-slot minhash pass twice (once under the
-    # count subtree, once under the postings side) and paid an extra
-    # exchange + broadcast for the same posting set. At scale this runs
-    # once at index-BUILD time and the capped index is what persists.
+    # Document-frequency cap via ONE window count over the bucket key
+    # (optimization r14, guide §2.5/§5 — r13's one-groupBy shape kept the
+    # single signature pass but collect_list'd a bucket's FULL posting
+    # array before the size filter, so the boilerplate mega-buckets the
+    # cap exists to drop became single unspillable aggregation buffers —
+    # at 100 TB a viral band = one task's OOM). The window count rides
+    # the same single exchange, its row buffer spills, no posting array
+    # is ever materialized, and the under-cap rows pass through as-is
+    # (no collect + re-explode). Still one signature pass, one shuffle,
+    # no anti-join. At scale this runs once at index-BUILD time and the
+    # capped index is what persists.
+    wb = Window.partitionBy("band", "band_hash")
     capped_index = (
-        index.groupBy("band", "band_hash")
-        .agg(F.collect_list("doc_id").alias("ids"))
-        .filter(F.size("ids") <= L40_MAX_POSTING)
-        .select(
-            F.explode("ids").alias("match_doc"), "band", "band_hash"
-        )
+        index.withColumn("n", F.count(F.lit(1)).over(wb))
+        .filter(F.col("n") <= L40_MAX_POSTING)
+        .select(F.col("doc_id").alias("match_doc"), "band", "band_hash")
     )
 
     nb = (
@@ -1847,7 +1866,6 @@ def incremental_banded_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= 0.5)
-        .orderBy("new_id", "match_doc")
     )
 
 
@@ -1960,16 +1978,16 @@ def portable_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tokenize+shingle pass per side serves signatures AND the verify.
     corpus_sh = materialize(corpus.select("doc_id", shingles().alias("sh")))
     index = portable_band_hashes(portable_minhash_signatures(corpus_sh))
-    # Same one-groupBy capped-index shape as l40/build_crawl_index
-    # (optimization r13, guide §2.4): one signature pass, no anti-join;
+    # Same window-count capped-index shape as l40/build_crawl_index
+    # (optimization r14, guide §2.5/§5): one signature pass, one shuffle,
+    # no anti-join, and no per-bucket posting array is ever collected —
+    # the size gate runs before any aggregation state builds up;
     # identical posting set, so the DuckDB rebuild oracle is unchanged.
+    wb = Window.partitionBy("band", "band_hash")
     capped_index = (
-        index.groupBy("band", "band_hash")
-        .agg(F.collect_list("doc_id").alias("ids"))
-        .filter(F.size("ids") <= L40_MAX_POSTING)
-        .select(
-            F.explode("ids").alias("match_doc"), "band", "band_hash"
-        )
+        index.withColumn("n", F.count(F.lit(1)).over(wb))
+        .filter(F.col("n") <= L40_MAX_POSTING)
+        .select(F.col("doc_id").alias("match_doc"), "band", "band_hash")
     )
 
     nb = (
@@ -2033,7 +2051,6 @@ def portable_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= 0.5)
-        .orderBy("new_id", "match_doc")
     )
 
 
@@ -2195,28 +2212,29 @@ def build_crawl_index(
         portable_minhash_signatures(corpus_sh, n_hashes=n_hashes),
         n_bands=n_bands,
     )
-    # Optimization r13 (guide §2.4): ONE bucket-grain groupBy yields both
-    # artifacts. The previous form derived the hot list from a count
-    # aggregate and removed it with a broadcast anti-join — which
-    # evaluated the full 16-md5 signature pass over the corpus TWICE
-    # (once under the counts subtree, once under the postings side) and
-    # paid an extra exchange + broadcast. Grouping the postings per
-    # bucket once, the capped table is the under-cap buckets re-exploded
-    # and the count table is a narrow projection of the same groups —
-    # identical sets (postings are set-valued per bucket; collect_list
-    # order never escapes the explode), one signature pass, one shuffle,
-    # no anti-join. At 100 TB this halves the dominant index-build scan.
-    buckets = index_bands.groupBy("band", "band_hash").agg(
-        F.collect_list("doc_id").alias("ids"),
-        F.count(F.lit(1)).cast("bigint").alias("n"),
+    # Optimization r13 kept ONE signature pass (the pre-r13 anti-join
+    # form evaluated the 16-md5 pass twice) but collect_list'd every
+    # bucket's full posting array before the cap filter; r14 replaces
+    # the collect with a WINDOW count over the same (band, band_hash)
+    # partitioning (guide §2.5/§5): a boilerplate mega-bucket at 100 TB
+    # would materialize as one unspillable aggregation buffer on one
+    # task, while the window's row buffer spills and the cap drops its
+    # rows before anything is collected. Both artifacts still ride ONE
+    # exchange of ONE signature pass: the capped table is the under-cap
+    # rows passed through (no collect + re-explode), the count table a
+    # distinct over the same windowed rows (already partitioned by the
+    # bucket key — no further exchange), covering hot buckets too.
+    wb = Window.partitionBy("band", "band_hash")
+    gated = index_bands.withColumn(
+        "n", F.count(F.lit(1)).over(wb).cast("bigint")
     )
-    counts = buckets.select("band", "band_hash", "n")
+    counts = gated.select("band", "band_hash", "n").distinct()
     # Column order (band, band_hash, doc_id) matches the r12 artifact
     # layout (the pre-r13 USING-join put keys first); the l42c fold's
     # merged bands and a from-scratch rebuild must stay positionally
     # identical so persisted versions compare bit-for-bit.
-    capped_index = buckets.filter(F.col("n") <= cap).select(
-        "band", "band_hash", F.explode("ids").alias("doc_id")
+    capped_index = gated.filter(F.col("n") <= cap).select(
+        "band", "band_hash", "doc_id"
     )
     return corpus_h, capped_index, counts
 
@@ -2522,7 +2540,7 @@ def _crawl_waterfall_from_flags(flags: DataFrame) -> DataFrame:
         ),
         "tok_in",
         "tok_out",
-    ).orderBy("stage_no")
+    )
 
 
 _L42_SHINGLE_ORACLE = """list_distinct(list_transform(
@@ -3442,5 +3460,4 @@ def crawl_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         w1.select(F.lit(1).alias("batch_no"), "*")
         .unionByName(w2.select(F.lit(2).alias("batch_no"), "*"))
-        .orderBy("batch_no", "stage_no")
     )

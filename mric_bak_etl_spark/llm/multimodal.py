@@ -798,7 +798,7 @@ def feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             6,
         ).alias("feature_sum"),
-    ).orderBy("media_id")
+    )
 
 
 # m2b: m2's byte math re-expressed as engine-neutral arithmetic so the
@@ -951,7 +951,7 @@ def portable_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     return withbytes.select(
         *[F.expr(e).alias(n) for n, e in sel.items()]
-    ).orderBy("media_id")
+    )
 
 
 _FRAME_SCHEMA = "media_id long, frame_no int, frame_bytes long"
@@ -1055,7 +1055,6 @@ def bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         spread(d)
         .mapInPandas(_bmp_roundtrip_batches, schema=_M7_SCHEMA)
-        .orderBy("media_id")
     )
 
 
@@ -1162,7 +1161,6 @@ def bmp_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         spread(d)
         .mapInPandas(_bmp_channel_batches, schema=_M8_SCHEMA)
-        .orderBy("media_id")
     )
 
 
@@ -1253,7 +1251,6 @@ def wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         spread(d)
         .mapInPandas(_wav_batches, schema=_M9_SCHEMA)
-        .orderBy("media_id", "channel")
     )
 
 
@@ -1404,7 +1401,6 @@ def wav_window_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         spread(d)
         .mapInPandas(_wav_window_batches, schema=_M10_SCHEMA)
-        .orderBy("media_id", "channel", "win_no")
     )
 
 
@@ -1506,7 +1502,7 @@ def portable_wav_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("n_win_frames"),
         F.expr(_M10B_STATS),
-    ).orderBy("media_id", "channel", "win_no")
+    )
 
 
 _M11_SCHEMA = (
@@ -1588,7 +1584,6 @@ def ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         spread(d)
         .mapInPandas(_ppm_batches, schema=_M11_SCHEMA)
-        .orderBy("media_id")
     )
 
 
@@ -1681,7 +1676,6 @@ def zip_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         spread(d)
         .mapInPandas(_zip_batches, schema=_M12_SCHEMA)
-        .orderBy("media_id", "entry_no")
     )
 
 
@@ -1762,11 +1756,7 @@ def _zip_deflate_batches(
 )
 def zip_deflate_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return (
-        spread(d)
-        .mapInPandas(_zip_deflate_batches, schema=_M13_SCHEMA)
-        .orderBy("media_id", "entry_no")
-    )
+    return spread(d).mapInPandas(_zip_deflate_batches, schema=_M13_SCHEMA)
 
 
 def _m14_geometry(mid: int) -> tuple[list[int], list[int]]:
@@ -1966,7 +1956,6 @@ def zip_persisted_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         spread(m)
         .mapInPandas(_decode_persisted_batches, schema=_M13_SCHEMA)
-        .orderBy("media_id", "entry_no")
     )
 
 

@@ -799,7 +799,6 @@ def quality_score_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_kept"),
             F.round(F.avg("p"), 4).alias("avg_p"),
         )
-        .orderBy("lang")
     )
 
 

@@ -458,7 +458,6 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("keeper_id"),
             F.round(F.max("cos"), 4).alias("max_cos"),
         )
-        .orderBy("label")
     )
 
 
@@ -604,7 +603,6 @@ def kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_members"),
             F.round(F.avg("cs"), 4).alias("mean_cos"),
         )
-        .orderBy("cluster")
     )
 
 

@@ -833,7 +833,6 @@ def unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.min("nll"), 4).alias("min_nll"),
             F.round(F.max("nll"), 4).alias("max_nll"),
         )
-        .orderBy("lang")
     )
 
 
@@ -1513,7 +1512,6 @@ def _encode_corpus(
             F.sum("n_tokens").cast("bigint").alias("n_tokens"),
             F.bool_and("ok").alias("round_trip"),
         )
-        .orderBy("doc_id")
     )
 
 

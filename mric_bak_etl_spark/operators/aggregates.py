@@ -47,7 +47,6 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
-        .orderBy("l_returnflag", "l_linestatus")
     )
 
 
@@ -338,11 +337,6 @@ def rollup_quantities(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
         .select("l_returnflag", "l_linestatus", "gid", "sum_qty", "n")
-        .orderBy(
-            "gid",
-            F.col("l_returnflag").asc_nulls_last(),
-            F.col("l_linestatus").asc_nulls_last(),
-        )
     )
 
 
@@ -890,7 +884,7 @@ def bitmap_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
                  bitmap_bucket_number(o_custkey) AS bucket,
                  bitmap_count(bitmap_construct_agg(bitmap_bit_position(o_custkey))) AS cnt
           FROM orders GROUP BY 1, 2
-        ) GROUP BY o_orderpriority ORDER BY o_orderpriority
+        ) GROUP BY o_orderpriority
     """)
 
 
@@ -1228,7 +1222,7 @@ def portable_sketch_merge_rollup(
             rel.alias("rel_error"),
         )
     )
-    return week_rows.unionByName(total_row).orderBy("grain", "period")
+    return week_rows.unionByName(total_row)
 
 
 @register(
@@ -1446,4 +1440,4 @@ def moment_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "l_returnflag",
         *[F.expr(expr).alias(name) for name, expr in _A26_STATS.items()],
-    ).orderBy("l_returnflag")
+    )

@@ -272,7 +272,7 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n_trans"),
         (F.floor(F.col("n") / F.sum("n").over(wnorm) * 1000000 + 0.5) / 1000000)
         .alias("p_trans"),
-    ).orderBy("event_type", "next_type")
+    )
 
 
 @register(
@@ -592,7 +592,6 @@ def sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .filter(F.col("n_funnels") >= 1)
-        .orderBy("user_id")
     )
 
 
@@ -1447,4 +1446,4 @@ def srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = seg.unionByName(overall)
     return counts.select(
         *[F.expr(e).alias(n) for n, e in _E15_ROW.items()]
-    ).orderBy("segment")
+    )

@@ -474,7 +474,7 @@ def user_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     return ranks.select(
         F.col("v").alias("user_id"), F.round("r", 6).alias("pagerank")
-    ).orderBy(F.desc("pagerank"), F.asc("user_id"))
+    )
 
 
 # g4 edge construction: co-activity at the HOUR grain (scale-invariant

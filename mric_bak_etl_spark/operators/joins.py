@@ -59,7 +59,6 @@ def inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
             F.round(F.sum("o_totalprice"), 4).alias("revenue"),
         )
-        .orderBy("c_mktsegment")
     )
 
 
@@ -92,7 +91,6 @@ def broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_customers"),
             F.round(F.avg("c_acctbal"), 4).alias("avg_acctbal"),
         )
-        .orderBy("r_name")
     )
 
 
@@ -330,7 +328,7 @@ def asof_purchases_to_signups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_join(
         purchases, signups, key="user_id", left_ts="ts", right_ts="ts",
         right_cols=["event_id", "ts"],
-    ).orderBy("event_id")
+    )
 
 
 @register(
@@ -445,7 +443,6 @@ def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
             F.round(F.sum("l_quantity"), 4).alias("total_qty"),
         )
-        .orderBy("o_orderpriority")
     )
 
 
@@ -696,7 +693,6 @@ def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("a_start") <= F.col("b_end")) & (F.col("b_start") <= F.col("a_end")))
         .select("a_id", "b_id")
         .distinct()
-        .orderBy("a_id", "b_id")
     )
 
 
@@ -865,7 +861,6 @@ def bloom_prejoin(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
             F.round(F.sum("o_totalprice"), 4).alias("total"),
         )
-        .orderBy("o_orderpriority")
     )
 
 

@@ -97,7 +97,7 @@ def except_all_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     left = o.select("o_custkey")
     right = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
-    return left.exceptAll(right).orderBy("o_custkey")
+    return left.exceptAll(right)
 
 
 @register(

@@ -120,7 +120,6 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
         .agg(F.round(F.sum(_revenue()), 4).alias("revenue"))
-        .orderBy(F.desc("revenue"), "n_name")
     )
 
 

@@ -59,7 +59,6 @@ def ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.ntile(4).over(w).cast("bigint").alias("quartile"),
         )
         .filter(F.col("rn") <= 3)
-        .orderBy("o_custkey", "rn")
     )
 
 
@@ -595,5 +594,4 @@ def distributed_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_shipdate",
             F.round(F.col("local_rq") + F.col("off"), 4).alias("running_qty"),
         )
-        .orderBy("l_returnflag", "l_shipdate", "l_orderkey", "l_linenumber")
     )

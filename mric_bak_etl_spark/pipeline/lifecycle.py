@@ -1159,7 +1159,6 @@ def incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "o_orderpriority", "n", F.round("total", 2).alias("total")
         )
-        .orderBy("o_orderpriority")
     )
 
 
@@ -2086,7 +2085,6 @@ def replica_checksum_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.lit("content_drift"))
             .alias("status"),
         )
-        .orderBy("bucket")
     )
 
 

@@ -618,5 +618,4 @@ def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_orders"),
             F.round(F.sum("o_totalprice"), 4).alias("total_price"),
         )
-        .orderBy("priority")
     )

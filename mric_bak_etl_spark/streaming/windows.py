@@ -57,7 +57,6 @@ def tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
             "total_value",
         )
-        .orderBy("window_start", "event_type")
     )
 
 
@@ -694,4 +693,4 @@ def streaming_register_maintenance(
         "day",
         F.col("bucket").cast("int").alias("bucket"),
         F.col("r").cast("int").alias("r"),
-    ).orderBy("week", "day", "bucket")
+    )

@@ -76,8 +76,32 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+# Input bytes one CPU-dense task should own (spread): much smaller than a
+# scan split (128 MB+) because per-byte work downstream of a spread —
+# shingling, minhash folds, binary decodes in pandas — runs 10-100x a
+# plain scan. Parameterized for clusters; the default is A/B-measured at
+# the bench's measurement point (OPTIMIZATION_r14.md).
+SPREAD_DENSE_PARTITION_BYTES = int(
+    os.environ.get("SPARK_GRAFT_SPREAD_BYTES", str(256 << 10))
+)
+
+
+def _plan_bytes(df: DataFrame) -> int | None:
+    """Catalyst's own size estimate for an UNEXECUTED plan (file sizes
+    propagated through projections) — the local analogue of the catalog
+    statistics a cluster engine sizes operators with. None on any
+    failure: sizing must never break a query."""
+    try:
+        return int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes().toString()
+        )
+    except Exception:
+        return None
+
+
 def spread(df: DataFrame, *cols: str) -> DataFrame:
-    """Repartition to engine parallelism ahead of CPU-dense per-row work.
+    """Repartition ahead of CPU-dense per-row work, sized to INPUT BYTES
+    and capped at engine parallelism.
 
     Parquet map-side parallelism is bounded by row-group count; a file
     written as one row group scans as ONE task no matter how many cores
@@ -88,8 +112,27 @@ def spread(df: DataFrame, *cols: str) -> DataFrame:
     next to the per-row CPU they unlock. Pass key columns to make the
     exchange hash-partitioned (reusable by a downstream groupBy/join on
     the same keys); otherwise round-robin.
+
+    Sizing (optimization r14, guide §2.2): an unconditional fan-out to
+    core count schedules cores-many tasks and Python workers for inputs
+    of a few hundred KB — pure per-task overhead at fixture scale, and
+    the reason the engine's scaling curve bent at low core counts. The
+    partition count is bytes/SPREAD_DENSE_PARTITION_BYTES clamped to
+    [1, default_parallelism()]: small inputs stay on few tasks, and the
+    count grows with data until the core cap — at cluster scale the cap
+    binds and this is exactly the old full fan-out.
     """
-    n = default_parallelism()
+    size = _plan_bytes(df)
+    if size is None:
+        n = default_parallelism()
+    else:
+        n = max(
+            1,
+            min(
+                default_parallelism(),
+                -(-size // SPREAD_DENSE_PARTITION_BYTES),
+            ),
+        )
     return df.repartition(n, *[F.col(c) for c in cols]) if cols else df.repartition(n)
 
 

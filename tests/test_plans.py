@@ -873,10 +873,11 @@ def test_incremental_dedup_plans_are_hash_joins(catalog_plan):
     plan = catalog_plan("l39_incremental_jaccard_neardup")
     assert plan.count("BroadcastHashJoin Inner BuildLeft") >= 2, plan[:400]
     # l40 specifically: the capped band probe must feed the exact verify.
-    # r13 optimization: the hot-bucket cap is no longer a count-aggregate
-    # + broadcast ANTI join (two signature passes over the corpus) but a
-    # single bucket-grain aggregate whose under-cap groups re-explode —
-    # so the plan must show the bucket HashAggregate and NO anti join,
+    # r13 removed the count-aggregate + broadcast ANTI join (two
+    # signature passes); r14 replaced its bucket collect_list with a
+    # WINDOW count gate (guide §2.5/§5: a mega-bucket must never
+    # materialize as one aggregation buffer) — so the plan must show a
+    # Window count over the bucket key, NO collect_list, NO anti join,
     # and the index still never shuffles for the filter (the only joins
     # are broadcast). The probe/candidate broadcasts are unchanged.
     plan = catalog_plan("l40_incremental_banded_neardup")
@@ -884,6 +885,8 @@ def test_incremental_dedup_plans_are_hash_joins(catalog_plan):
     assert "BroadcastHashJoin" in plan, plan[:400]
     assert "LeftAnti" not in plan, plan[:400]
     assert "SortMergeJoin" not in plan, plan[:400]
+    assert "collect_list" not in plan, plan[:400]
+    assert "Window" in plan, plan[:400]
 
 
 def test_python_round_only_in_l33_clamp():
@@ -943,10 +946,11 @@ def test_w10_plan_is_two_phase_and_boundary_invariant(spark, sf_dir, catalog_pla
     assert "BroadcastExchange" in plan or "broadcast" in plan.lower(), (
         "offsets no longer broadcast"
     )
-    # (the final presentation orderBy contributes ONE legitimate range
-    # exchange; the rejected draft had a second, on the input side)
-    assert plan.count("rangepartitioning") == 1, (
-        "sampled input range phase crept back"
+    # (r14 dropped the final presentation orderBy — the driver's compare
+    # is an order-insensitive value-hash — so NO range exchange may
+    # appear at all; the rejected draft had one on the input side)
+    assert plan.count("rangepartitioning") == 0, (
+        "sampled range phase crept back"
     )
     assert "ExistingRDD" not in plan, "data-sized materialize crept back"
     assert "mkey" in plan, "calendar cell column gone from the plan"
@@ -969,13 +973,14 @@ def test_w10_plan_is_two_phase_and_boundary_invariant(spark, sf_dir, catalog_pla
             "l_returnflag", "l_orderkey", "l_linenumber", "l_shipdate",
             F.round("rq", 4).alias("running_qty"),
         )
-        .orderBy("l_returnflag", "l_shipdate", "l_orderkey", "l_linenumber")
         .collect()
     )
     got = all_specs()["w10_distributed_running_total"].builder(
         spark, sf_dir
     ).collect()
-    assert got == direct
+    # Row order is not part of the contract (order-insensitive compare);
+    # the equality pins the VALUES of the prefix-offset algebra.
+    assert sorted(map(tuple, got)) == sorted(map(tuple, direct))
 
 
 def test_bucket_scoped_repair_plan_shape(catalog_plan):
